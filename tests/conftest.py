@@ -1,0 +1,22 @@
+"""Test config: force CPU backend with a virtual 8-device mesh so CI needs
+no TPU; sharding tests exercise real pjit/shard_map partitioning."""
+
+import os
+
+# Force-set: the environment may pin JAX_PLATFORMS to a TPU plugin.
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(1234)

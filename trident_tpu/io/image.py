@@ -1,0 +1,39 @@
+"""Image IO (PIL-backed) — the stb_image / texture upload analogue.
+
+Reference: Loader/TextureLoader.cpp forces RGBA8 (stbi 4 channels); here PIL
+decodes PNG/JPG/BMP/TGA and we return (H,W,4) uint8. EXR/KTX cubemap loading
+lives in assets/skybox.py.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+
+
+def load_rgba8(path: str) -> np.ndarray:
+    from PIL import Image
+
+    with Image.open(path) as img:
+        return np.asarray(img.convert("RGBA"), dtype=np.uint8)
+
+
+def save_png(path: str, rgba: np.ndarray) -> None:
+    from PIL import Image
+
+    rgba = np.asarray(rgba)
+    if rgba.dtype != np.uint8:
+        rgba = np.clip(np.round(rgba * 255.0), 0, 255).astype(np.uint8)
+    mode = {1: "L", 3: "RGB", 4: "RGBA"}[rgba.shape[-1] if rgba.ndim == 3 else 1]
+    Image.fromarray(rgba.squeeze() if mode == "L" else rgba, mode).save(path)
+
+
+def checkerboard(size: int = 64, cells: int = 8,
+                 color_a=(255, 255, 255, 255), color_b=(40, 40, 40, 255)) -> np.ndarray:
+    """Procedural test texture."""
+    y, x = np.mgrid[0:size, 0:size]
+    cell = size // cells
+    mask = ((x // cell) + (y // cell)) % 2 == 0
+    out = np.where(mask[..., None], np.array(color_a, np.uint8), np.array(color_b, np.uint8))
+    return out.astype(np.uint8)

@@ -1,0 +1,212 @@
+"""Fragment shading: Cook-Torrance PBR, texturing, tonemap, skybox, AI blend.
+
+Math is an exact port of the reference's GLSL (Default.frag):
+  * GGX normal distribution, Smith geometry with k=(r+1)^2/8, Schlick Fresnel
+  * 1 directional + up to 8 point lights, squared edge-falloff attenuation
+  * roughness clamped to [0.045, 1], F0 = mix(0.04, albedo, metallic)
+  * ambient = ambient_color*intensity * albedo * ambient_strength
+  * Reinhard tonemap + gamma 2.2
+  * optional AI-frame blend as a final mix (Default.frag:182-191)
+
+Everything is elementwise over (...,3) arrays: the same functions shade the
+deferred full-frame pass AND run inside Pallas kernel bodies (jnp ops lower
+to VPU code in both contexts).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from trident_tpu.render.types import LightParams
+
+Array = jax.Array
+PI = 3.14159265359
+
+
+def _dot(a: Array, b: Array) -> Array:
+    return jnp.sum(a * b, axis=-1, keepdims=True)
+
+
+def _normalize(v: Array, eps: float = 1e-8) -> Array:
+    return v * jax.lax.rsqrt(jnp.maximum(jnp.sum(v * v, axis=-1, keepdims=True), eps))
+
+
+def distribution_ggx(n: Array, h: Array, roughness: Array) -> Array:
+    a = roughness * roughness
+    a2 = a * a
+    ndoth = jnp.maximum(_dot(n, h), 0.0)
+    denom = ndoth * ndoth * (a2 - 1.0) + 1.0
+    return a2 / (PI * denom * denom)
+
+
+def geometry_schlick_ggx(ndotv: Array, roughness: Array) -> Array:
+    r = roughness + 1.0
+    k = (r * r) / 8.0
+    denom = ndotv * (1.0 - k) + k
+    return ndotv / jnp.maximum(denom, 1e-4)
+
+
+def geometry_smith(n: Array, v: Array, l: Array, roughness: Array) -> Array:
+    ndotv = jnp.maximum(_dot(n, v), 0.0)
+    ndotl = jnp.maximum(_dot(n, l), 0.0)
+    return geometry_schlick_ggx(ndotv, roughness) * geometry_schlick_ggx(ndotl, roughness)
+
+
+def fresnel_schlick(cos_theta: Array, f0: Array) -> Array:
+    return f0 + (1.0 - f0) * jnp.power(jnp.clip(1.0 - cos_theta, 0.0, 1.0), 5.0)
+
+
+def evaluate_pbr_light(light_dir: Array, radiance: Array, normal: Array,
+                       view_dir: Array, albedo: Array, metallic: Array,
+                       roughness: Array, f0: Array) -> Array:
+    """One light's contribution (Default.frag EvaluatePBRLighting)."""
+    h = _normalize(view_dir + light_dir)
+    ndf = distribution_ggx(normal, h, roughness)
+    geom = geometry_smith(normal, view_dir, light_dir, roughness)
+    fresnel = fresnel_schlick(jnp.maximum(_dot(h, view_dir), 0.0), f0)
+    numerator = ndf * geom * fresnel
+    denominator = jnp.maximum(
+        4.0 * jnp.maximum(_dot(normal, view_dir), 0.0) * jnp.maximum(_dot(normal, light_dir), 0.0),
+        1e-4,
+    )
+    specular = numerator / denominator
+    ks = fresnel
+    kd = (1.0 - ks) * (1.0 - metallic)
+    ndotl = jnp.maximum(_dot(normal, light_dir), 0.0)
+    return (kd * albedo / PI + specular) * radiance * ndotl
+
+
+def shade_pbr(world: Array, normal: Array, albedo: Array, metallic: Array,
+              roughness: Array, ambient_strength: Array, camera_pos: Array,
+              lights: LightParams) -> Array:
+    """Full lighting sum → linear HDR color. Shapes: world/normal/albedo
+    (...,3); metallic/roughness/ambient_strength (...,1)."""
+    metallic = jnp.clip(metallic, 0.0, 1.0)
+    roughness = jnp.clip(roughness, 0.045, 1.0)
+    ambient_strength = jnp.clip(ambient_strength, 0.0, 1.0)
+
+    view_dir = _normalize(camera_pos - world)
+    f0 = 0.04 * (1.0 - metallic) + albedo * metallic
+
+    direct = jnp.zeros_like(albedo)
+
+    # directional light
+    dir_on = (lights.dir_count > 0).astype(albedo.dtype)
+    l_dir = _normalize(-lights.dir_direction)
+    l_dir = jnp.broadcast_to(l_dir, world.shape)
+    radiance = lights.dir_color[:3] * lights.dir_color[3]
+    direct += dir_on * evaluate_pbr_light(
+        l_dir, radiance, normal, view_dir, albedo, metallic, roughness, f0)
+
+    # point lights — static loop over the 8 slots, masked by point_count
+    max_points = lights.point_pos_range.shape[0]
+    for i in range(max_points):
+        on = (i < lights.point_count).astype(albedo.dtype)
+        to_light = lights.point_pos_range[i, :3] - world
+        dist = jnp.sqrt(jnp.maximum(jnp.sum(to_light * to_light, axis=-1, keepdims=True), 1e-12))
+        near_zero = dist <= 1e-4
+        l_vec = to_light / jnp.where(near_zero, 1.0, dist)
+        radius = jnp.maximum(lights.point_pos_range[i, 3], 1e-4)
+        norm_dist = jnp.clip(dist / radius, 0.0, 1.0)
+        atten = (1.0 - norm_dist) ** 2
+        radiance = (lights.point_color_intensity[i, :3]
+                    * lights.point_color_intensity[i, 3] * atten)
+        contrib = evaluate_pbr_light(
+            l_vec, radiance, normal, view_dir, albedo, metallic, roughness, f0)
+        direct += on * jnp.where(near_zero, 0.0, contrib)
+
+    ambient = lights.ambient[:3] * lights.ambient[3] * albedo * ambient_strength
+    return ambient + direct
+
+
+def tonemap_reinhard_gamma(color: Array) -> Array:
+    """color/(color+1) then gamma 1/2.2 (Default.frag:176-178)."""
+    c = color / (color + 1.0)
+    return jnp.power(jnp.maximum(c, 0.0), 1.0 / 2.2)
+
+
+# -- texture sampling ---------------------------------------------------------
+#
+# Textures live in a FLAT packed mip pyramid (render.types.TextureArrays):
+# data[s, offsets[l] + y*(edge>>l) + x]. Sampling any level is 4 gathers;
+# trilinear is exactly 8 regardless of level count.
+
+def _bilinear_flat(tex, slot: Array, uv: Array, level: Array) -> Array:
+    """Bilinear sample with REPEAT wrap at integer mip `level` (per-pixel).
+
+    tex: TextureArrays; slot (...,) i32; uv (...,2); level (...,) i32.
+    Returns (...,4) f32 in [0,1].
+    """
+    level = jnp.clip(level, 0, tex.offsets.shape[0] - 1)
+    lw = jnp.maximum(jnp.right_shift(tex.sizes[slot, 0], level), 1)  # (...)
+    lh = jnp.maximum(jnp.right_shift(tex.sizes[slot, 1], level), 1)
+    stride = jnp.right_shift(tex.edge, level)                        # (...)
+    base = tex.offsets[level]                                        # (...)
+
+    x = uv[..., 0] * lw.astype(jnp.float32) - 0.5
+    y = uv[..., 1] * lh.astype(jnp.float32) - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = (x - x0)[..., None]
+    fy = (y - y0)[..., None]
+
+    def wrap(v, n):
+        return jnp.mod(v.astype(jnp.int32), n)
+
+    x0i, x1i = wrap(x0, lw), wrap(x0 + 1, lw)
+    y0i, y1i = wrap(y0, lh), wrap(y0 + 1, lh)
+
+    def fetch(yi, xi):
+        return tex.data[slot, base + yi * stride + xi].astype(jnp.float32)
+
+    top = fetch(y0i, x0i) * (1.0 - fx) + fetch(y0i, x1i) * fx
+    bot = fetch(y1i, x0i) * (1.0 - fx) + fetch(y1i, x1i) * fx
+    return (top * (1.0 - fy) + bot * fy) * (1.0 / 255.0)
+
+
+def sample_bilinear(tex, slot: Array, uv: Array) -> Array:
+    """Bilinear sample at mip 0."""
+    return _bilinear_flat(tex, slot, uv, jnp.zeros(uv.shape[:-1], jnp.int32))
+
+
+def sample_texture_mip(tex, slot: Array, uv: Array, mip_level: Array) -> Array:
+    """Trilinear sample: bilinear at floor/ceil mip, lerped. 8 gathers."""
+    n_mips = tex.offsets.shape[0]
+    mip = jnp.clip(mip_level, 0.0, float(n_mips - 1))
+    lo = jnp.floor(mip)
+    frac = (mip - lo)[..., None]
+    lo_i = lo.astype(jnp.int32)
+    lo_samp = _bilinear_flat(tex, slot, uv, lo_i)
+    hi_samp = _bilinear_flat(tex, slot, uv, jnp.minimum(lo_i + 1, n_mips - 1))
+    return lo_samp * (1.0 - frac) + hi_samp * frac
+
+
+def sample_skybox(faces: Array, direction: Array) -> Array:
+    """Cubemap sample by direction. faces: (6,E,E,3) f32 ordered
+    +x,-x,+y,-y,+z,-z (Vulkan cube face order); direction: (...,3)."""
+    d = _normalize(direction)
+    x, y, z = d[..., 0], d[..., 1], d[..., 2]
+    ax, ay, az = jnp.abs(x), jnp.abs(y), jnp.abs(z)
+
+    # face selection per the cubemap spec
+    is_x = (ax >= ay) & (ax >= az)
+    is_y = (ay > ax) & (ay >= az)
+    face = jnp.where(
+        is_x, jnp.where(x > 0, 0, 1),
+        jnp.where(is_y, jnp.where(y > 0, 2, 3), jnp.where(z > 0, 4, 5)),
+    ).astype(jnp.int32)
+
+    ma = jnp.where(is_x, ax, jnp.where(is_y, ay, az))
+    ma = jnp.maximum(ma, 1e-8)
+    # (sc,tc) per face, standard cube-map convention
+    sc = jnp.where(is_x, jnp.where(x > 0, -z, z),
+                   jnp.where(is_y, x, jnp.where(z > 0, x, -x)))
+    tc = jnp.where(is_y, jnp.where(y > 0, z, -z), -y)
+    u = (sc / ma + 1.0) * 0.5
+    v = (tc / ma + 1.0) * 0.5
+
+    e = faces.shape[1]
+    xi = jnp.clip((u * e).astype(jnp.int32), 0, e - 1)
+    yi = jnp.clip((v * e).astype(jnp.int32), 0, e - 1)
+    return faces[face, yi, xi]

@@ -1,0 +1,163 @@
+"""Vertex stage: skinning + world/clip transforms as batched MXU matmuls.
+
+Replaces Default.vert (linear-blend skinning from the bone palette SSBO,
+normal-matrix transform, UV atlas transform) and the per-draw push-constant
+loop. All draws are processed in ONE batched pass: vertices are gathered
+into an expanded instance space and transformed by their draw's matrices via
+einsum — exactly the shape the MXU wants.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from trident_tpu.render.types import CameraParams, DrawParams, DrawPlan, GeometryBuffers
+
+Array = jax.Array
+
+
+class VertexStageOut(NamedTuple):
+    clip: Array       # (TV,4) f32
+    world: Array      # (TV,3) f32
+    normal: Array     # (TV,3) f32 — world-space, normalized
+    uv: Array         # (TV,2) f32 — atlas-transformed
+    color: Array      # (TV,3) f32
+
+
+def _skin(positions: Array, normals: Array, bone_indices: Array,
+          bone_weights: Array, palette: Array, bone_offset: Array,
+          bone_count: Array) -> tuple[Array, Array]:
+    """Linear-blend skinning, ≤4 influences (Default.vert:60-90 semantics:
+    weight<=0 or index outside [0,bone_count) is skipped; draws with
+    bone_count==0 pass through rigid)."""
+    tv = positions.shape[0]
+    valid = (bone_weights > 0.0) & (bone_indices >= 0) & (bone_indices < bone_count[:, None])
+    w = jnp.where(valid, bone_weights, 0.0)                       # (TV,4)
+    idx = jnp.clip(bone_offset[:, None] + bone_indices, 0, palette.shape[0] - 1)
+    mats = palette[idx]                                           # (TV,4,4,4)
+    skin_mat = jnp.einsum("vb,vbij->vij", w, mats)                # (TV,4,4)
+    rigid = bone_count <= 0                                       # (TV,)
+    eye = jnp.broadcast_to(jnp.eye(4, dtype=positions.dtype), (tv, 4, 4))
+    skin_mat = jnp.where(rigid[:, None, None], eye, skin_mat)
+    pos_h = jnp.concatenate([positions, jnp.ones((tv, 1), positions.dtype)], axis=-1)
+    skinned_pos = jnp.einsum("vij,vj->vi", skin_mat, pos_h)[:, :3]
+    skinned_nrm = jnp.einsum("vij,vj->vi", skin_mat[:, :3, :3], normals)
+    return skinned_pos, skinned_nrm
+
+
+def vertex_stage(geometry: GeometryBuffers, plan: DrawPlan, params: DrawParams,
+                 camera: CameraParams, palette: Array) -> VertexStageOut:
+    """Transform all expanded vertices: gather → skin → model → view-proj.
+
+    `palette` is the global bone-matrix table (P,4,4); unskinned scenes pass
+    a (1,4,4) identity.
+    """
+    src = plan.vtx_src
+    draw = plan.vtx_draw
+
+    positions = geometry.positions[src]
+    normals = geometry.normals[src]
+    colors = geometry.colors[src]
+    uvs = geometry.uvs[src]
+
+    bone_offset = params.bone_offset[draw]
+    bone_count = params.bone_count[draw]
+    skinned_pos, skinned_nrm = _skin(
+        positions, normals,
+        geometry.bone_indices[src], geometry.bone_weights[src],
+        palette, bone_offset, bone_count,
+    )
+
+    model = params.model[draw]                                    # (TV,4,4)
+    tv = skinned_pos.shape[0]
+    pos_h = jnp.concatenate([skinned_pos, jnp.ones((tv, 1), skinned_pos.dtype)], axis=-1)
+    world_h = jnp.einsum("vij,vj->vi", model, pos_h)
+    world = world_h[:, :3]
+
+    # normal matrix = transpose(inverse(mat3(model))); batched 3x3 inverse
+    m3 = model[:, :3, :3]
+    inv = jnp.linalg.inv(m3)
+    nrm = jnp.einsum("vji,vj->vi", inv, skinned_nrm)  # inv^T @ n == n @ inv
+    nrm = nrm / jnp.maximum(jnp.linalg.norm(nrm, axis=-1, keepdims=True), 1e-8)
+
+    vp = camera.proj @ camera.view                                # (4,4)
+    clip = world_h @ vp.T                                          # (TV,4) — ONE matmul on the MXU
+
+    uv = uvs * params.uv_scale[draw] * params.tiling[draw][:, None] + params.uv_offset[draw]
+
+    return VertexStageOut(clip=clip, world=world, normal=nrm, uv=uv, color=colors)
+
+
+class TriangleSetup(NamedTuple):
+    """Per-triangle rasterization constants for homogeneous (2DH) raster.
+
+    edge: (T,3,3) — rows are edge-function coefficients (a,b,c) such that
+          e_i(px,py) = a*px + b*py + c in PIXEL coordinates; e_i are the
+          clip-space barycentrics scaled by det. All e_i>=0 inside a
+          front-facing triangle.
+    z:    (T,3) clip-space z per vertex
+    w:    (T,3) clip-space w per vertex
+    bbox: (T,4) i32 — pixel-space (x0,y0,x1,y1) inclusive-exclusive
+    valid:(T,) bool — front-facing, non-degenerate, on-screen
+    """
+
+    edge: Array
+    z: Array
+    w: Array
+    bbox: Array
+    valid: Array
+
+
+def triangle_setup(clip: Array, tri_vtx: Array, tri_valid: Array,
+                   width: int, height: int) -> TriangleSetup:
+    """Compute homogeneous edge functions in pixel space.
+
+    NDC→pixel: px = (ndc_x+1)/2*W, py = (ndc_y+1)/2*H (row 0 = top, matching
+    Vulkan's y-down framebuffer with the projection Y-flip baked in). We fold
+    that viewport transform into the homogeneous coords so edge functions are
+    evaluated directly at pixel centers.
+    """
+    c = clip[tri_vtx]                    # (T,3,4)
+    x, y, z, w = c[..., 0], c[..., 1], c[..., 2], c[..., 3]
+
+    # viewport-scaled homogeneous coords: sx = (x + w)*W/2, sy = (y + w)*H/2
+    # (so sx/w = pixel x). Keep w as third coord.
+    sx = (x + w) * (0.5 * width)
+    sy = (y + w) * (0.5 * height)
+    m = jnp.stack([sx, sy, w], axis=-1)  # (T,3,3) rows = vertices
+
+    # adjugate via cross products of vertex rows: adj row i = cross(m_j, m_k)
+    v0, v1, v2 = m[:, 0], m[:, 1], m[:, 2]
+    e0 = jnp.cross(v1, v2)               # (T,3): e0 = (a,b,c) with p=(px,py,1)
+    e1 = jnp.cross(v2, v0)
+    e2 = jnp.cross(v0, v1)
+    edge = jnp.stack([e0, e1, e2], axis=1)           # (T,3,3)
+    det = jnp.einsum("ti,ti->t", v0, e0)             # det(M)
+
+    # Vulkan front face: counter-clockwise in framebuffer coords. With the
+    # Y-flip proj + y-down pixel mapping above, CCW-wound geometry yields
+    # det > 0 for camera-facing triangles (validated by the cube golden).
+    front = det > 1e-12
+
+    # bbox in pixels, from NDC projections of vertices with w>0. Triangles
+    # crossing w<=0 (near plane) get a conservative full-screen bbox.
+    safe_w = jnp.where(jnp.abs(w) < 1e-8, 1e-8, w)
+    px = sx / safe_w
+    py = sy / safe_w
+    any_behind = jnp.any(w <= 1e-6, axis=-1)
+    x0 = jnp.where(any_behind, 0.0, jnp.floor(jnp.min(px, axis=-1)))
+    y0 = jnp.where(any_behind, 0.0, jnp.floor(jnp.min(py, axis=-1)))
+    x1 = jnp.where(any_behind, float(width), jnp.ceil(jnp.max(px, axis=-1)) + 1.0)
+    y1 = jnp.where(any_behind, float(height), jnp.ceil(jnp.max(py, axis=-1)) + 1.0)
+    x0 = jnp.clip(x0, 0, width).astype(jnp.int32)
+    y0 = jnp.clip(y0, 0, height).astype(jnp.int32)
+    x1 = jnp.clip(x1, 0, width).astype(jnp.int32)
+    y1 = jnp.clip(y1, 0, height).astype(jnp.int32)
+    bbox = jnp.stack([x0, y0, x1, y1], axis=-1)
+
+    on_screen = (x1 > x0) & (y1 > y0)
+    valid = tri_valid & front & on_screen
+    return TriangleSetup(edge=edge, z=z, w=w, bbox=bbox, valid=valid)

@@ -1,0 +1,263 @@
+"""The renderer: scene arrays in, frames out.
+
+Replaces the reference's Renderer god-object + RenderCommand facade
+(Renderer/Renderer.h:77-598, RenderCommand.h:11-85). The entire Vulkan
+command-buffer/descriptor/barrier machinery collapses into ONE jitted
+function per (framebuffer size, pipeline flavor); everything else is
+host-side state management:
+
+  * GeometryCache + TextureSlots own assets; device uploads happen only on
+    version bumps (the UploadMeshFromCache analogue)
+  * DrawPlanCache re-expands instancing only on topology changes
+  * frames-in-flight = a ring of un-awaited device futures (XLA async
+    dispatch replaces fences/semaphores)
+  * per-viewport offscreen targets = separate render calls with their own
+    camera + size (Renderer.cpp:4576-4856)
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from trident_tpu.core.config import EngineConfig
+from trident_tpu.core.log import get_logger
+from trident_tpu.core.timing import FrameTimingRing, Time
+from trident_tpu.ecs.registry import Registry
+from trident_tpu.geometry.mesh import GeometryCache, Material, Mesh
+from trident_tpu.geometry.primitives import PrimitiveType, build_primitive
+from trident_tpu.ops.deferred import deferred_shade, pack_rgba8
+from trident_tpu.ops.raster_ref import visibility_ref
+from trident_tpu.ops.vertex import triangle_setup, vertex_stage
+from trident_tpu.render.camera import Camera, EditorCamera, RuntimeCamera
+from trident_tpu.render.frame import (
+    DrawPlanCache,
+    build_draw_params,
+    gather_mesh_draws,
+    geometry_to_device,
+)
+from trident_tpu.render.lights import gather_lights
+from trident_tpu.render.textures import TextureSlots
+from trident_tpu.render.types import (
+    AiBlend,
+    CameraParams,
+    FrameOutput,
+    MaterialTable,
+    SkyboxCube,
+)
+
+logger = get_logger("renderer")
+
+
+def _render_frame_impl(geometry, plan, tri_draw, params, palette, camera,
+                       lights, materials, textures, skybox, ai,
+                       *, width: int, height: int, clear_color,
+                       raster: str, chunk: int) -> FrameOutput:
+    verts = vertex_stage(geometry, plan, params, camera, palette)
+    setup = triangle_setup(verts.clip, plan.tri_vtx, plan.tri_valid, width, height)
+    if raster == "pallas":
+        from trident_tpu.ops.raster_pallas import visibility_pallas
+        gbuf = visibility_pallas(setup, width, height)
+    else:
+        gbuf = visibility_ref(setup, width, height, chunk=chunk)
+    frame = deferred_shade(gbuf, setup, verts, plan.tri_vtx, tri_draw, params,
+                           materials, textures, camera, lights, width, height,
+                           clear_color=clear_color, skybox=skybox, ai=ai)
+    return FrameOutput(color=pack_rgba8(frame), depth=gbuf.depth, tri_id=gbuf.tri_id)
+
+
+@functools.partial(jax.jit, static_argnames=("width", "height", "clear_color",
+                                             "raster", "chunk"))
+def render_frame(geometry, plan, tri_draw, params, palette, camera, lights,
+                 materials, textures, skybox, ai, *, width, height,
+                 clear_color, raster, chunk) -> FrameOutput:
+    return _render_frame_impl(
+        geometry, plan, tri_draw, params, palette, camera, lights, materials,
+        textures, skybox, ai, width=width, height=height,
+        clear_color=clear_color, raster=raster, chunk=chunk)
+
+
+@dataclass
+class ViewportContext:
+    """One offscreen target (reference: Renderer.h:421-428). ID 1 = scene
+    (editor camera), ID 2 = game (runtime camera) by convention."""
+
+    viewport_id: int
+    width: int
+    height: int
+    camera: Optional[Camera] = None
+    last_frame: Optional[FrameOutput] = None
+
+
+class Renderer:
+    SCENE_VIEWPORT = 1
+    GAME_VIEWPORT = 2
+
+    def __init__(self, config: Optional[EngineConfig] = None) -> None:
+        self.config = config or EngineConfig()
+        rc = self.config.render
+        self.geometry = GeometryCache()
+        self.textures = TextureSlots(max_slots=rc.max_textures, edge=rc.texture_size)
+        self.registry: Optional[Registry] = None
+        self.editor_camera = EditorCamera()
+        self.runtime_camera = RuntimeCamera()
+        self.runtime_camera_ready = False
+        self.time = Time()
+        self.timing = FrameTimingRing(self.config.capture.perf_dir)
+        self.viewports: Dict[int, ViewportContext] = {}
+        self.set_viewport(0, rc.width, rc.height)
+        self.active_viewport = 0
+
+        self._plan_cache = DrawPlanCache()
+        self._device_geometry = None
+        self._device_geometry_version = -1
+        self._primitive_mesh_indices: Dict[PrimitiveType, int] = {}
+        self._skybox: Optional[SkyboxCube] = None
+        self._ai_image: Optional[jnp.ndarray] = None
+        self.ai_blend: float = 0.0
+        self._inflight: List[FrameOutput] = []
+        self.max_inflight = 3
+        self.stats_models = 0
+        self.stats_triangles = 0
+
+    # -- registry / cameras ---------------------------------------------------
+    def set_active_registry(self, registry: Registry) -> None:
+        self.registry = registry
+
+    def set_viewport(self, viewport_id: int, width: int, height: int,
+                     camera: Optional[Camera] = None) -> ViewportContext:
+        ctx = self.viewports.get(viewport_id)
+        if ctx is None:
+            ctx = ViewportContext(viewport_id, width, height, camera)
+            self.viewports[viewport_id] = ctx
+        else:
+            ctx.width, ctx.height = width, height
+            if camera is not None:
+                ctx.camera = camera
+        return ctx
+
+    def _camera_for(self, ctx: ViewportContext) -> Camera:
+        if ctx.camera is not None:
+            cam = ctx.camera
+        elif ctx.viewport_id == self.GAME_VIEWPORT and self.runtime_camera_ready:
+            cam = self.runtime_camera
+        else:
+            cam = self.editor_camera
+        cam.set_viewport_size(ctx.width, ctx.height)
+        return cam
+
+    # -- assets -----------------------------------------------------------------
+    def append_meshes(self, meshes: List[Mesh], materials: List[Material]) -> Tuple[int, int]:
+        """Import a model's meshes+materials (Renderer::AppendMeshes)."""
+        return self.geometry.append(meshes, materials)
+
+    def ensure_primitive(self, kind: PrimitiveType) -> int:
+        if kind not in self._primitive_mesh_indices:
+            self._primitive_mesh_indices[kind] = self.geometry.add_mesh(build_primitive(kind))
+        return self._primitive_mesh_indices[kind]
+
+    def acquire_texture(self, key: str, rgba: Optional[np.ndarray] = None) -> int:
+        return self.textures.acquire(key, rgba)
+
+    def set_skybox(self, faces: np.ndarray) -> None:
+        """faces: (6,E,E,3) float in [0,1] ordered +x,-x,+y,-y,+z,-z."""
+        self._skybox = SkyboxCube(
+            faces=jnp.asarray(faces, jnp.float32),
+            valid=jnp.asarray(True),
+        )
+
+    def set_ai_frame(self, image: Optional[np.ndarray], blend: float) -> None:
+        self._ai_image = None if image is None else jnp.asarray(image, jnp.float32)
+        self.ai_blend = float(blend)
+
+    # -- frame ------------------------------------------------------------------
+    def _device_state(self):
+        packed = self.geometry.packed()
+        if self._device_geometry_version != self.geometry.version:
+            self._device_geometry = geometry_to_device(packed)
+            self._device_geometry_version = self.geometry.version
+        materials = MaterialTable(
+            params=jnp.asarray(self.geometry.material_table()),
+            texture_slot=jnp.asarray(self.geometry.texture_slot_table()),
+        )
+        return packed, self._device_geometry, materials
+
+    def _raster_mode(self) -> str:
+        use_pallas = self.config.render.use_pallas
+        if use_pallas is None:
+            use_pallas = jax.default_backend() != "cpu"
+        if use_pallas:
+            try:
+                from trident_tpu.ops import raster_pallas  # noqa: F401
+            except ImportError:
+                logger.warning("pallas raster kernel unavailable; using ref path")
+                use_pallas = False
+        return "pallas" if use_pallas else "ref"
+
+    def render_viewport(self, viewport_id: int = 0) -> FrameOutput:
+        """Render one viewport; returns device FrameOutput (async)."""
+        if self.registry is None:
+            raise RuntimeError("no active registry — call set_active_registry")
+        ctx = self.viewports[viewport_id]
+        cam = self._camera_for(ctx)
+
+        packed, device_geo, materials = self._device_state()
+        records = gather_mesh_draws(self.registry, self.geometry)
+        self.stats_models = len(records)
+        self.stats_triangles = sum(
+            packed.draw_infos[r.mesh_index].index_count // 3 for r in records)
+        plan, tri_draw = self._plan_cache.plan(packed, records, self.geometry.version)
+        params, palette = build_draw_params(records, plan.num_draws,
+                                            self.config.render.max_bones)
+        lights = gather_lights(self.registry)
+        textures = self.textures.device_arrays()
+        skybox = self._skybox or SkyboxCube(
+            faces=jnp.zeros((6, 1, 1, 3), jnp.float32), valid=jnp.asarray(False))
+        if self._ai_image is not None and self.ai_blend > 0.0:
+            ai = AiBlend(image=self._ai_image, blend=jnp.asarray(self.ai_blend, jnp.float32))
+        else:
+            ai = AiBlend(image=jnp.zeros((1, 1, 3), jnp.float32),
+                         blend=jnp.asarray(0.0, jnp.float32))
+
+        out = render_frame(
+            device_geo, plan, tri_draw, params, palette, cam.params(), lights,
+            materials, textures, skybox, ai,
+            width=ctx.width, height=ctx.height,
+            clear_color=tuple(self.config.render.clear_color),
+            raster=self._raster_mode(), chunk=64)
+        ctx.last_frame = out
+        return out
+
+    def draw_frame(self) -> FrameOutput:
+        """Render all viewports (active last), with frames-in-flight pacing
+        and frame timing accumulation — the DrawFrame analogue."""
+        dt = self.time.tick()
+        for vid in sorted(self.viewports):
+            if vid != self.active_viewport:
+                self.render_viewport(vid)
+        out = self.render_viewport(self.active_viewport)
+
+        # pacing: bound outstanding async frames (fences → block_until_ready)
+        self._inflight.append(out)
+        if len(self._inflight) > self.max_inflight:
+            old = self._inflight.pop(0)
+            jax.block_until_ready(old.color)
+
+        ctx = self.viewports[self.active_viewport]
+        self.timing.accumulate(dt * 1000.0, (ctx.width, ctx.height))
+        return out
+
+    def read_frame(self, out: Optional[FrameOutput] = None,
+                   viewport_id: Optional[int] = None) -> np.ndarray:
+        """Host readback (H,W,4) uint8 — the GPU→CPU staging analogue."""
+        if out is None:
+            vid = self.active_viewport if viewport_id is None else viewport_id
+            out = self.viewports[vid].last_frame
+            if out is None:
+                out = self.render_viewport(vid)
+        return np.asarray(jax.block_until_ready(out.color))

@@ -1,0 +1,155 @@
+"""Texture slot cache: the 256-slot sampler-array analogue.
+
+Reference: Renderer.cpp:3404-3745 — path-keyed cache of up to 256 combined
+image samplers; slot 0 is a 1×1 white fallback; slots resolve lazily and
+hot-reload replaces in place. Here slots live in ONE device-resident mip
+pyramid (a tuple of (S,e,e,4) uint8 arrays) rebuilt on change — asset
+uploads stay off the per-frame path, and a version counter tells the
+renderer when to refresh its device arrays.
+
+Non-square / non-pow2 images sit in the top-left of their padded tile; the
+sampler wraps by the ACTUAL size so REPEAT addressing stays correct.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+import jax.numpy as jnp
+
+from trident_tpu.render.types import TextureArrays
+
+
+def _box_downsample(img: np.ndarray) -> np.ndarray:
+    """2× box filter; odd dims are truncated (sizes are pow2-padded anyway)."""
+    h, w = img.shape[:2]
+    h2, w2 = max(h // 2, 1), max(w // 2, 1)
+    img = img[: h2 * 2, : w2 * 2].astype(np.float32)
+    if h >= 2 and w >= 2:
+        out = (img[0::2, 0::2] + img[1::2, 0::2] + img[0::2, 1::2] + img[1::2, 1::2]) * 0.25
+    elif h >= 2:
+        out = (img[0::2] + img[1::2]) * 0.5
+    elif w >= 2:
+        out = (img[:, 0::2] + img[:, 1::2]) * 0.5
+    else:
+        out = img
+    return np.clip(np.round(out), 0, 255).astype(np.uint8)
+
+
+class TextureSlots:
+    """Host-side slot registry + packed device arrays."""
+
+    def __init__(self, max_slots: int = 256, edge: int = 256, mip_count: Optional[int] = None):
+        self.max_slots = max_slots
+        self.edge = edge
+        self.mip_count = mip_count or (int(np.log2(edge)) + 1)
+        self._images: List[np.ndarray] = []     # mip-0 uint8 RGBA, original size
+        self._sizes: List[Tuple[int, int]] = []
+        self._by_path: Dict[str, int] = {}
+        self.version = 0
+        self._device: Optional[TextureArrays] = None
+        self._device_version = -1
+        # slot 0: white fallback
+        self._push(np.full((1, 1, 4), 255, np.uint8), "__white__")
+
+    def _push(self, rgba: np.ndarray, key: str) -> int:
+        slot = len(self._images)
+        if slot >= self.max_slots:
+            return 0  # out of slots → white fallback, like the reference
+        self._images.append(rgba)
+        self._sizes.append((rgba.shape[1], rgba.shape[0]))
+        self._by_path[key] = slot
+        self.version += 1
+        return slot
+
+    @staticmethod
+    def _sanitize(rgba: np.ndarray) -> np.ndarray:
+        rgba = np.asarray(rgba)
+        if rgba.dtype != np.uint8:
+            rgba = np.clip(np.round(np.asarray(rgba, np.float32) * 255.0), 0, 255).astype(np.uint8)
+        if rgba.ndim == 2:
+            rgba = rgba[..., None]
+        if rgba.shape[-1] == 3:
+            rgba = np.concatenate([rgba, np.full((*rgba.shape[:2], 1), 255, np.uint8)], axis=-1)
+        elif rgba.shape[-1] == 1:
+            rgba = np.concatenate([np.repeat(rgba, 3, axis=-1),
+                                   np.full((*rgba.shape[:2], 1), 255, np.uint8)], axis=-1)
+        return rgba
+
+    def acquire(self, key: str, rgba: Optional[np.ndarray] = None) -> int:
+        """Get-or-create a slot. If `rgba` is None the key must exist."""
+        if key in self._by_path:
+            return self._by_path[key]
+        if rgba is None:
+            return 0
+        rgba = self._sanitize(rgba)
+        if rgba.shape[0] > self.edge or rgba.shape[1] > self.edge:
+            rgba = self._downscale_to_fit(rgba)
+        return self._push(rgba, key)
+
+    def replace(self, key: str, rgba: np.ndarray) -> int:
+        """Hot-reload: swap pixels in an existing slot (Renderer.cpp:2118-2188)."""
+        rgba = self._sanitize(rgba)
+        if rgba.shape[0] > self.edge or rgba.shape[1] > self.edge:
+            rgba = self._downscale_to_fit(rgba)
+        if key not in self._by_path:
+            return self.acquire(key, rgba)
+        slot = self._by_path[key]
+        self._images[slot] = rgba
+        self._sizes[slot] = (rgba.shape[1], rgba.shape[0])
+        self.version += 1
+        return slot
+
+    def _downscale_to_fit(self, rgba: np.ndarray) -> np.ndarray:
+        while rgba.shape[0] > self.edge or rgba.shape[1] > self.edge:
+            rgba = _box_downsample(rgba)
+        return rgba
+
+    def slot_count(self) -> int:
+        return len(self._images)
+
+    def lookup(self, key: str) -> int:
+        return self._by_path.get(key, 0)
+
+    # -- device packing -------------------------------------------------------
+    def device_arrays(self) -> TextureArrays:
+        """Pack all slots into the FLAT mip pyramid (cached by version):
+        data[s, offsets[l] + y*(edge>>l) + x]. Slot count is bucketed to
+        multiples of 8 to limit retraces."""
+        if self._device is not None and self._device_version == self.version:
+            return self._device
+        n = len(self._images)
+        bucket = max(8, 1 << (n - 1).bit_length()) if n > 8 else 8
+        s = min(((n + bucket - 1) // bucket) * bucket, self.max_slots)
+        s = max(s, n)
+
+        level_edges = [max(self.edge >> l, 1) for l in range(self.mip_count)]
+        offsets = np.zeros(self.mip_count, np.int64)
+        for l in range(1, self.mip_count):
+            offsets[l] = offsets[l - 1] + level_edges[l - 1] ** 2
+        total = int(offsets[-1] + level_edges[-1] ** 2)
+
+        sizes = np.ones((s, 2), np.int32)
+        data = np.zeros((s, total, 4), np.uint8)
+        for i in range(s):
+            img = self._images[i] if i < n else np.full((1, 1, 4), 255, np.uint8)
+            if i < n:
+                sizes[i] = self._sizes[i]
+            cur = img
+            for l, e in enumerate(level_edges):
+                tile = np.zeros((e, e, 4), np.uint8)
+                ch, cw = min(cur.shape[0], e), min(cur.shape[1], e)
+                tile[:ch, :cw] = cur[:ch, :cw]
+                data[i, offsets[l]:offsets[l] + e * e] = tile.reshape(e * e, 4)
+                if l + 1 < self.mip_count:
+                    cur = _box_downsample(cur)
+
+        self._device = TextureArrays(
+            data=jnp.asarray(data),
+            sizes=jnp.asarray(sizes),
+            offsets=jnp.asarray(offsets.astype(np.int32)),
+            edge=jnp.asarray(self.edge, jnp.int32),
+        )
+        self._device_version = self.version
+        return self._device

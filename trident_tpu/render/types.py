@@ -1,0 +1,142 @@
+"""Jit-facing pytrees for the render pipeline.
+
+These replace the reference's GPU objects:
+  GeometryBuffers   <- the shared vertex/index device buffers (Renderer.cpp:1965-2116)
+  DrawPlan          <- the per-frame draw list flattened to arrays (expanded
+                       instancing; replaces the per-draw vkCmdDrawIndexed loop)
+  DrawParams        <- RenderablePushConstant fields, batched (RenderData.h:14-30)
+  CameraParams      <- view/proj rows of GlobalUniformBuffer
+  LightParams       <- light rows of GlobalUniformBuffer (UniformBuffer.h:17-28)
+  TextureArrays     <- the 256-slot combined-image-sampler array (Pipeline.h:18)
+  FrameOutput       <- swapchain image analogue + aux telemetry
+
+All are NamedTuples (automatic pytrees). Static shapes: DrawPlan arrays are
+padded to shape buckets so scene edits don't retrace.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+
+class GeometryBuffers(NamedTuple):
+    positions: Array      # (V,3) f32
+    normals: Array        # (V,3) f32
+    tangents: Array       # (V,3) f32
+    bitangents: Array     # (V,3) f32
+    colors: Array         # (V,3) f32
+    uvs: Array            # (V,2) f32
+    bone_indices: Array   # (V,4) i32 (-1 = none)
+    bone_weights: Array   # (V,4) f32
+
+
+class DrawPlan(NamedTuple):
+    """Expanded (instanced) geometry index arrays. Entity instancing is
+    resolved host-side into gather indices; triangles reference the expanded
+    vertex space. Padded entries point at vertex 0 of draw 0 with
+    tri_valid=0."""
+
+    vtx_src: Array       # (TV,) i32 — gather index into GeometryBuffers
+    vtx_draw: Array      # (TV,) i32 — draw id per expanded vertex
+    tri_vtx: Array       # (TT,3) i32 — expanded-vertex ids per triangle
+    tri_valid: Array     # (TT,) bool
+    num_draws: int       # static
+
+
+class DrawParams(NamedTuple):
+    """Per-draw state, batched over D draws (push-constant analogue)."""
+
+    model: Array          # (D,4,4) f32
+    tint: Array           # (D,4) f32
+    uv_scale: Array       # (D,2) f32
+    uv_offset: Array      # (D,2) f32
+    tiling: Array         # (D,) f32
+    texture_slot: Array   # (D,) i32
+    material_index: Array # (D,) i32
+    bone_offset: Array    # (D,) i32 — into the global palette, -1 = unskinned
+    bone_count: Array     # (D,) i32
+
+
+class CameraParams(NamedTuple):
+    view: Array           # (4,4) f32
+    proj: Array           # (4,4) f32
+    position: Array       # (3,) f32
+
+
+class LightParams(NamedTuple):
+    ambient: Array            # (4,) rgb + intensity
+    dir_direction: Array      # (3,) f32
+    dir_color: Array          # (4,) rgb + intensity
+    dir_count: Array          # () i32 (0 or 1)
+    point_pos_range: Array    # (8,4) xyz + radius
+    point_color_intensity: Array  # (8,4) rgb + intensity
+    point_count: Array        # () i32
+
+
+class MaterialTable(NamedTuple):
+    params: Array         # (M,8) f32: rgba, metallic, roughness, ambient, rsv
+    texture_slot: Array   # (M,) i32
+
+
+class TextureArrays(NamedTuple):
+    """Slot-indexed texture storage: a FLAT packed mip pyramid.
+
+    All mip levels of a slot live in one row: data[s, offsets[l] + y*(edge>>l)
+    + x] is texel (x,y) of level l. This keeps trilinear sampling at a fixed
+    8 gathers for ANY level count (an unrolled per-level cascade made XLA
+    compile times explode). Slot 0 is the 1×1-white analogue; sizes[s] is
+    the actual (w,h) footprint inside the padded tile for REPEAT wrap."""
+
+    data: Array               # (S, T, 4) uint8, T = Σ_l (edge>>l)²
+    sizes: Array              # (S,2) i32 actual (w,h) at mip 0
+    offsets: Array            # (L,) i32 flat offset of each level
+    edge: Array               # () i32 padded edge at mip 0
+
+
+class SkyboxCube(NamedTuple):
+    faces: Array          # (6, E, E, 3) f32 — +x,-x,+y,-y,+z,-z
+    valid: Array          # () bool — false → clear color fallback
+
+
+class AiBlend(NamedTuple):
+    image: Array          # (H,W,3) f32 — last interpolated frame
+    blend: Array          # () f32 — 0 disables
+
+
+class FramebufferConfig(NamedTuple):
+    """Static config (hashable; passed as static argnum)."""
+
+    width: int
+    height: int
+    msaa: int = 1
+    clear_color: Tuple[float, float, float, float] = (0.05, 0.05, 0.08, 1.0)
+
+
+class GBuffer(NamedTuple):
+    """Visibility-pass output: per-pixel winner triangle + depth."""
+
+    tri_id: Array         # (H,W) i32 — -1 = background
+    depth: Array          # (H,W) f32 — ndc z in [0,1]
+
+
+class FrameOutput(NamedTuple):
+    color: Array          # (H,W,4) uint8
+    depth: Array          # (H,W) f32
+    tri_id: Array         # (H,W) i32
+
+
+def zero_light_params() -> LightParams:
+    return LightParams(
+        ambient=jnp.zeros(4, jnp.float32),
+        dir_direction=jnp.array([0.0, -1.0, 0.0], jnp.float32),
+        dir_color=jnp.zeros(4, jnp.float32),
+        dir_count=jnp.array(0, jnp.int32),
+        point_pos_range=jnp.zeros((8, 4), jnp.float32),
+        point_color_intensity=jnp.zeros((8, 4), jnp.float32),
+        point_count=jnp.array(0, jnp.int32),
+    )
