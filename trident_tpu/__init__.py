@@ -19,4 +19,16 @@ Design stance (vs. the reference engine, see SURVEY.md):
 
 __version__ = "0.1.0"
 
+import os as _os
+
+# The Mosaic kernel compile helper needs these hints on tunneled TPU
+# environments (otherwise libtpu init fails with "could not determine TPU
+# accelerator type"). Harmless defaults elsewhere.
+_gen = _os.environ.get("PALLAS_AXON_TPU_GEN")
+if _gen and "TPU_ACCELERATOR_TYPE" not in _os.environ:
+    _os.environ["TPU_ACCELERATOR_TYPE"] = {
+        "v5e": "v5litepod-1", "v5p": "v5p-8", "v4": "v4-8", "v6e": "v6e-1",
+    }.get(_gen, "v5litepod-1")
+_os.environ.setdefault("TPU_WORKER_HOSTNAMES", "localhost")
+
 from trident_tpu.core.config import EngineConfig  # noqa: F401

@@ -27,7 +27,11 @@ def build_quad(material_index: int = 0) -> Mesh:
         [-0.5, -0.5, 0.0], [0.5, -0.5, 0.0], [0.5, 0.5, 0.0], [-0.5, 0.5, 0.0],
     ], dtype=np.float32)
     uvs = np.array([[0, 0], [1, 0], [1, 1], [0, 1]], dtype=np.float32)
-    indices = np.array([0, 1, 2, 0, 2, 3], dtype=np.int32)
+    # Wound to match the cube/sphere convention so a quad facing the camera
+    # renders. (The reference's quad is wound opposite to its own cube —
+    # Renderer.cpp:101 vs :166 — we side with the cube, which is what its
+    # scenes visibly use.)
+    indices = np.array([0, 2, 1, 0, 3, 2], dtype=np.int32)
     v = positions.shape[0]
     return Mesh(
         positions, indices,

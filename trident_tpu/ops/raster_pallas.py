@@ -1,0 +1,249 @@
+"""Production visibility pass: tile-binned Pallas rasterizer.
+
+Replaces the O(T×pixels) reference path with a sort-middle design:
+
+  1. (XLA) Triangle records are packed transposed (16, Tpad) — 9 homogeneous
+     edge coefficients, clip z and w per vertex — in chunks of C consecutive
+     triangles. Asset loaders emit spatially coherent triangle order, so a
+     chunk's union bbox is tight.
+  2. (XLA) Each chunk is binned to the framebuffer tiles its bbox overlaps
+     (≤ SPAN×SPAN slots); chunks spanning more tiles are emitted for EVERY
+     tile (rare: huge triangles), and every tile gets one sentinel pair so
+     the kernel initializes all output blocks. One sort by tile id yields
+     the pair list, tile-major.
+  3. (Pallas) Grid over PAIRS: scalar-prefetched pair arrays drive the
+     index maps, so the records block of pair i's chunk streams in with
+     Pallas's own double-buffered pipeline — no manual DMA. All pairs of a
+     tile are consecutive, so the (TILE_H,TILE_W) depth/tri output blocks
+     accumulate across revisits: per pair, all C triangles are evaluated
+     against all tile pixels as flat (TH·TW, C) vector work — edge
+     functions, perspective depth z·e / w·e, early-Z merge with
+     later-triangle-wins ties (the LESS_OR_EQUAL depth state of the
+     reference pipeline).
+
+The per-pixel winner-triangle GBuffer feeds the same deferred shading pass
+as the reference rasterizer, so goldens compare the two directly.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from trident_tpu.ops.vertex import TriangleSetup
+from trident_tpu.render.types import GBuffer
+
+Array = jax.Array
+
+TILE_H = 16
+TILE_W = 128
+CHUNK = 128          # triangles per record block
+SPAN = 4             # max tile rows/cols a binned chunk may cover
+MAX_GLOBAL = 64      # wide-span chunks broadcast to all tiles
+DEPTH_SENTINEL = 4.0
+
+
+class PallasBins(NamedTuple):
+    records: Array      # (16, (NC+1)*C) f32; last chunk is the empty sentinel
+    pair_tile: Array    # (NPAIR,) i32 tile id per pair, sorted ascending
+    pair_chunk: Array   # (NPAIR,) i32 chunk id per pair
+    n_pairs: int        # static upper bound (== NPAIR)
+
+
+def _build_records(setup: TriangleSetup, tpad: int) -> Array:
+    t = setup.edge.shape[0]
+    valid = setup.valid
+    cols = []
+    for k in range(3):  # e_k = a*px + b*py + c ; invalid triangles get e ≡ -1
+        cols.append(jnp.where(valid, setup.edge[:, k, 0], 0.0))
+        cols.append(jnp.where(valid, setup.edge[:, k, 1], 0.0))
+        cols.append(jnp.where(valid, setup.edge[:, k, 2], -1.0))
+    for k in range(3):
+        cols.append(jnp.where(valid, setup.z[:, k], 0.0))
+    for k in range(3):
+        cols.append(jnp.where(valid, setup.w[:, k], 1.0))
+    cols.append(jnp.zeros_like(cols[0]))
+    rec = jnp.stack(cols, axis=1)                       # (T, 16) row-major
+    pad = jnp.zeros((tpad - t + CHUNK, 16), rec.dtype)  # + sentinel chunk
+    pad = pad.at[:, 2].set(-1.0).at[:, 5].set(-1.0).at[:, 8].set(-1.0)
+    pad = pad.at[:, 12:15].set(1.0)
+    return jnp.concatenate([rec, pad], axis=0)
+
+
+def build_bins(setup: TriangleSetup, width: int, height: int) -> PallasBins:
+    t = setup.edge.shape[0]
+    n_chunks = max(1, -(-t // CHUNK))
+    tpad = n_chunks * CHUNK
+    ntx = -(-width // TILE_W)
+    nty = -(-height // TILE_H)
+    n_tiles = ntx * nty
+    sentinel_chunk = n_chunks
+
+    records = _build_records(setup, tpad)
+
+    # chunk union bboxes (pixel space, x0/y0 incl, x1/y1 excl)
+    bbox = setup.bbox
+    valid = setup.valid
+    if tpad != t:
+        empty = jnp.tile(jnp.asarray([1 << 20, 1 << 20, 0, 0], jnp.int32),
+                         (tpad - t, 1))
+        bbox = jnp.concatenate([bbox, empty], axis=0)
+        valid = jnp.concatenate([valid, jnp.zeros(tpad - t, bool)])
+    big = jnp.asarray(1 << 20, jnp.int32)
+    x0 = jnp.where(valid, bbox[:, 0], big).reshape(n_chunks, CHUNK).min(axis=1)
+    y0 = jnp.where(valid, bbox[:, 1], big).reshape(n_chunks, CHUNK).min(axis=1)
+    x1 = jnp.where(valid, bbox[:, 2], 0).reshape(n_chunks, CHUNK).max(axis=1)
+    y1 = jnp.where(valid, bbox[:, 3], 0).reshape(n_chunks, CHUNK).max(axis=1)
+    nonempty = (x1 > x0) & (y1 > y0)
+
+    ctx0 = jnp.clip(x0 // TILE_W, 0, ntx - 1)
+    cty0 = jnp.clip(y0 // TILE_H, 0, nty - 1)
+    ctx1 = jnp.clip((x1 - 1) // TILE_W, 0, ntx - 1)
+    cty1 = jnp.clip((y1 - 1) // TILE_H, 0, nty - 1)
+    span_x = ctx1 - ctx0 + 1
+    span_y = cty1 - cty0 + 1
+    small = nonempty & (span_x <= SPAN) & (span_y <= SPAN)
+
+    # small chunks → up to SPAN×SPAN (tile, chunk) pairs
+    k = SPAN * SPAN
+    dx = jnp.arange(k, dtype=jnp.int32) % SPAN
+    dy = jnp.arange(k, dtype=jnp.int32) // SPAN
+    tx = ctx0[:, None] + dx[None, :]
+    ty = cty0[:, None] + dy[None, :]
+    in_range = small[:, None] & (dx[None, :] < span_x[:, None]) \
+        & (dy[None, :] < span_y[:, None])
+    small_keys = jnp.where(in_range, ty * ntx + tx, n_tiles).astype(jnp.int32)
+    small_vals = jnp.broadcast_to(
+        jnp.arange(n_chunks, dtype=jnp.int32)[:, None], (n_chunks, k))
+
+    # big chunks (rare, huge triangles): compact to ≤ MAX_GLOBAL via stable
+    # argsort, then broadcast to every tile
+    gmask = nonempty & ~small
+    order = jnp.argsort(~gmask, stable=True).astype(jnp.int32)
+    g = min(MAX_GLOBAL, n_chunks)
+    gsel = order[:g]                                       # chunk ids
+    gvalid = gmask[gsel]
+    tile_ids = jnp.arange(n_tiles, dtype=jnp.int32)
+    big_keys = jnp.where(gvalid[:, None], tile_ids[None, :], n_tiles)
+    big_vals = jnp.broadcast_to(gsel[:, None], (g, n_tiles))
+
+    # sentinel pair per tile so every output block is visited/initialized.
+    # Emitted FIRST so the stable sort puts it before the tile's real pairs.
+    sent_keys = tile_ids
+    sent_vals = jnp.full(n_tiles, sentinel_chunk, jnp.int32)
+
+    keys = jnp.concatenate([sent_keys, small_keys.reshape(-1),
+                            big_keys.reshape(-1)])
+    vals = jnp.concatenate([sent_vals, small_vals.reshape(-1),
+                            big_vals.reshape(-1)])
+    sorted_keys, sorted_vals = jax.lax.sort_key_val(keys, vals)
+
+    # out-of-range keys (n_tiles) sort to the end; clamp them to the last
+    # tile with the sentinel chunk (harmless extra passes over one block)
+    overflow = sorted_keys >= n_tiles
+    pair_tile = jnp.where(overflow, n_tiles - 1, sorted_keys)
+    pair_chunk = jnp.where(overflow, sentinel_chunk, sorted_vals)
+
+    return PallasBins(records=records, pair_tile=pair_tile,
+                      pair_chunk=pair_chunk, n_pairs=int(keys.shape[0]))
+
+
+def _visibility_kernel(pair_tile_ref, pair_chunk_ref, rec_ref,
+                       depth_out, tri_out, *, ntx: int):
+    """Layouts chosen for Mosaic: triangles on sublanes (C,1), pixels on
+    lanes (1,npx); outputs are flat (1, npx) tile rows — no in-kernel
+    reshapes or transposes."""
+    i = pl.program_id(0)
+    tile = pair_tile_ref[i]
+    prev = pair_tile_ref[jnp.maximum(i - 1, 0)]
+    first = jnp.logical_or(i == 0, tile != prev)
+    cid = pair_chunk_ref[i]
+    ty = tile // ntx
+    tx = jax.lax.rem(tile, ntx)
+
+    npx = TILE_H * TILE_W
+
+    @pl.when(first)
+    def _():
+        depth_out[0] = jnp.full((1, npx), 1.0, jnp.float32)
+        tri_out[0] = jnp.full((1, npx), -1, jnp.int32)
+
+    r = jax.lax.broadcasted_iota(jnp.int32, (1, npx), 1)
+    pxf = (tx * TILE_W + jax.lax.rem(r, TILE_W)).astype(jnp.float32) + 0.5
+    pyf = (ty * TILE_H + r // TILE_W).astype(jnp.float32) + 0.5
+
+    rec = rec_ref[:]                               # (C, 16) auto-pipelined
+
+    def col(j):
+        return rec[:, j:j + 1]                     # (C, 1)
+
+    e0 = col(0) * pxf + col(1) * pyf + col(2)      # (C, npx)
+    e1 = col(3) * pxf + col(4) * pyf + col(5)
+    e2 = col(6) * pxf + col(7) * pyf + col(8)
+    zi = e0 * col(9) + e1 * col(10) + e2 * col(11)
+    wi = e0 * col(12) + e1 * col(13) + e2 * col(14)
+    cover = (e0 >= 0.0) & (e1 >= 0.0) & (e2 >= 0.0) & (wi > 1e-12)
+    d = zi / jnp.where(cover, wi, 1.0)
+    cover &= (d >= 0.0) & (d <= 1.0)
+    dm = jnp.where(cover, d, DEPTH_SENTINEL)
+
+    cmin = jnp.min(dm, axis=0, keepdims=True)      # (1, npx)
+    tid = cid * CHUNK + jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0)
+    win = jnp.max(jnp.where(dm <= cmin, tid, -1), axis=0, keepdims=True)
+
+    acc_d = depth_out[0]
+    acc_t = tri_out[0]
+    better = (cmin <= acc_d) & (win >= 0)
+    depth_out[0] = jnp.where(better, cmin, acc_d)
+    tri_out[0] = jnp.where(better, win, acc_t)
+
+
+def visibility_pallas(setup: TriangleSetup, width: int, height: int) -> GBuffer:
+    """Tile-binned Pallas visibility: per-pixel winner triangle + depth."""
+    ntx = -(-width // TILE_W)
+    nty = -(-height // TILE_H)
+    wpad, hpad = ntx * TILE_W, nty * TILE_H
+
+    bins = build_bins(setup, wpad, hpad)
+
+    n_tiles = ntx * nty
+    npx = TILE_H * TILE_W
+    kernel = functools.partial(_visibility_kernel, ntx=ntx)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(bins.n_pairs,),
+        in_specs=[
+            pl.BlockSpec((CHUNK, 16),
+                         lambda i, tiles, chunks: (chunks[i], 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, npx), lambda i, tiles, chunks: (tiles[i], 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, npx), lambda i, tiles, chunks: (tiles[i], 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+    )
+    depth, tri = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((n_tiles, 1, npx), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, 1, npx), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+    )(bins.pair_tile, bins.pair_chunk, bins.records)
+
+    # (n_tiles, TH·TW) → (H, W)
+    def untile(flat):
+        return (flat.reshape(nty, ntx, TILE_H, TILE_W)
+                .transpose(0, 2, 1, 3).reshape(hpad, wpad))
+
+    return GBuffer(tri_id=untile(tri)[:height, :width],
+                   depth=untile(depth)[:height, :width])
