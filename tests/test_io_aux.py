@@ -1,0 +1,168 @@
+"""Aux subsystems: dataset recorder, video export, text overlay, timing,
+file watcher, config, events/input."""
+
+import json
+import logging
+import os
+import time
+
+import numpy as np
+import pytest
+
+from trident_tpu.core.config import EngineConfig
+from trident_tpu.core.events import (
+    EventDispatcher, FileDropEvent, KeyPressedEvent, KeyReleasedEvent,
+    MouseMovedEvent, WindowResizeEvent,
+)
+from trident_tpu.core.filewatch import FileWatcher, ReloadType
+from trident_tpu.core.input import Input
+from trident_tpu.core.timing import FrameTimingRing
+from trident_tpu.io.dataset_recorder import FrameDatasetRecorder
+from trident_tpu.io.text_overlay import TextOverlay, composite_overlay
+from trident_tpu.io.video import VideoEncoder, rgb_to_yuv420
+
+
+def test_dataset_recorder_roundtrip(tmp_path):
+    rec = FrameDatasetRecorder(str(tmp_path / "ds"), interval_s=0.0)
+    rec.start()
+    frame = np.random.default_rng(0).random((8, 8, 3)).astype(np.float32)
+    idx = rec.record_input_frame(frame)
+    assert idx == 0
+    rec.record_ai_output(idx, frame * 0.5)
+    rec.stop()
+    files = sorted(os.listdir(tmp_path / "ds"))
+    assert "frame_000000_input.npy" in files
+    assert "frame_000000_output.npy" in files
+    loaded = np.load(tmp_path / "ds" / "frame_000000_input.npy")
+    np.testing.assert_allclose(loaded, frame)
+    meta = json.load(open(tmp_path / "ds" / "frame_000000_input.json"))
+    assert meta["width"] == 8 and meta["normalized"] is True
+
+
+def test_dataset_recorder_interval_throttle(tmp_path):
+    rec = FrameDatasetRecorder(str(tmp_path / "ds"), interval_s=100.0)
+    rec.start()
+    f = np.zeros((4, 4, 3), np.float32)
+    assert rec.record_input_frame(f, now=0.0) == 0
+    assert rec.record_input_frame(f, now=1.0) is None   # throttled
+    assert rec.record_input_frame(f, now=150.0) == 1
+    rec.stop()
+
+
+def test_video_y4m(tmp_path):
+    enc = VideoEncoder()
+    path = str(tmp_path / "clip.y4m")
+    assert enc.begin_session(path, 64, 48, fps=24, prefer_ffmpeg=False)
+    frame = np.full((48, 64, 3), 128, np.uint8)
+    for _ in range(3):
+        assert enc.submit_frame(frame)
+    out = enc.end_session()
+    assert out and os.path.exists(out)
+    blob = open(out, "rb").read()
+    assert blob.startswith(b"YUV4MPEG2 W64 H48 F24:1")
+    assert blob.count(b"FRAME\n") == 3
+    # size: header + 3 * (64*48 + 2*32*24)
+    frame_bytes = 64 * 48 + 2 * 32 * 24
+    assert len(blob) > 3 * frame_bytes
+
+
+def test_video_odd_dims_sanitized(tmp_path):
+    enc = VideoEncoder()
+    assert enc.begin_session(str(tmp_path / "c.y4m"), 65, 49, prefer_ffmpeg=False)
+    assert enc._size == (64, 48)
+    enc.end_session()
+
+
+def test_rgb_to_yuv_gray():
+    gray = np.full((4, 4, 3), 128, np.uint8)
+    y, u, v = rgb_to_yuv420(gray)
+    assert abs(int(y[0, 0]) - 128) <= 1
+    assert abs(int(u[0, 0]) - 128) <= 1 and abs(int(v[0, 0]) - 128) <= 1
+
+
+def test_text_overlay():
+    overlay = TextOverlay()
+    overlay.queue_text(1, "Hello", 2, 2, color=(1, 0, 0, 1), size=12)
+    img = overlay.render_overlay(1, 64, 32)
+    assert img is not None and img.shape == (32, 64, 4)
+    assert img[..., 3].max() > 0          # something was drawn
+    assert overlay.render_overlay(2, 64, 32) is None
+    frame = np.zeros((32, 64, 4), np.uint8)
+    out = composite_overlay(frame, img)
+    assert out[..., 0].max() > 50         # red text composited
+
+
+def test_timing_capture_csv(tmp_path):
+    ring = FrameTimingRing(str(tmp_path))
+    ring.begin_capture()
+    for i in range(5):
+        ring.accumulate(16.0 + i, (640, 480))
+    path = ring.end_capture()
+    assert path and os.path.exists(path)
+    lines = open(path).read().strip().splitlines()
+    assert lines[0].startswith("timestamp")
+    assert len(lines) == 6
+    stats = ring.stats()
+    assert stats.sample_count == 5
+    assert stats.min_ms == 16.0 and stats.max_ms == 20.0
+
+
+def test_file_watcher(tmp_path):
+    d = tmp_path / "Textures"
+    d.mkdir()
+    w = FileWatcher(poll_interval=0.0)
+    w.watch(str(d), ReloadType.TEXTURE)
+    w.poll(now=0.0)                       # baseline scan
+    (d / "a.png").write_bytes(b"x")
+    assert w.poll(now=1.0) == 1
+    ev = w.pop_pending()
+    assert ev.kind == ReloadType.TEXTURE and ev.path.endswith("a.png")
+    # touching with newer mtime requeues
+    time.sleep(0.01)
+    os.utime(d / "a.png")
+    assert w.poll(now=2.0) == 1
+
+
+def test_input_edges():
+    inp = Input()
+    inp.begin_frame()
+    inp.on_event(KeyPressedEvent(key=65))
+    assert inp.key_pressed(65) and inp.key_down(65)
+    inp.end_frame()
+    inp.begin_frame()
+    assert not inp.key_pressed(65) and inp.key_down(65)
+    inp.on_event(KeyReleasedEvent(key=65))
+    assert inp.key_released(65) and not inp.key_down(65)
+    inp.on_event(MouseMovedEvent(x=10, y=20))
+    assert inp.mouse_position == (10, 20)
+    inp.ui_capturing_keyboard = True
+    inp.on_event(KeyPressedEvent(key=66))
+    assert not inp.key_pressed(66)        # gated by UI capture
+
+
+def test_event_dispatcher():
+    d = EventDispatcher()
+    seen = []
+    d.subscribe(WindowResizeEvent, lambda e: (seen.append((e.width, e.height)), True)[1])
+    handled = d.dispatch(WindowResizeEvent(width=800, height=600))
+    assert handled and seen == [(800, 600)]
+    assert not d.dispatch(FileDropEvent(paths=["x"]))
+
+
+def test_config_roundtrip(tmp_path):
+    cfg = EngineConfig()
+    cfg.render.width = 1280
+    cfg.ai.blend = 0.7
+    text = cfg.to_json()
+    cfg2 = EngineConfig.from_json(text)
+    assert cfg2.render.width == 1280
+    assert cfg2.ai.blend == 0.7
+
+
+def test_config_env_overrides(monkeypatch):
+    monkeypatch.setenv("TRIDENT_AI_MODEL", "/models/x")
+    monkeypatch.setenv("TRIDENT_DATASET_CAPTURE_ENABLE", "1")
+    monkeypatch.setenv("TRIDENT_DATASET_CAPTURE_DIR", "/caps")
+    cfg = EngineConfig.from_env()
+    assert cfg.ai.model_path == "/models/x" and cfg.ai.enabled
+    assert cfg.capture.dataset_enabled and cfg.capture.dataset_dir == "/caps"

@@ -1,0 +1,94 @@
+"""Skybox loading + application shell loop."""
+
+import os
+
+import numpy as np
+import pytest
+
+from trident_tpu.assets.skybox import (
+    discover_faces, load_skybox, solid_skybox,
+)
+from trident_tpu.io.image import save_png
+
+
+def test_discover_and_load_faces(tmp_path):
+    for token in ("px", "nx", "py", "ny", "pz", "nz"):
+        img = np.full((8, 8, 3), 100, np.uint8)
+        save_png(str(tmp_path / f"sky_{token}.png"), img)
+    paths = discover_faces(str(tmp_path))
+    assert paths is not None and len(paths) == 6
+    faces = load_skybox(str(tmp_path))
+    assert faces.shape == (6, 8, 8, 3)
+    np.testing.assert_allclose(faces, 100 / 255.0, atol=1e-3)
+
+
+def test_skybox_fallback(tmp_path):
+    faces = load_skybox(str(tmp_path / "missing"))
+    assert faces.shape[0] == 6
+    assert (faces == faces[0, 0, 0]).all()
+
+
+def test_skybox_renders_background():
+    import jax
+
+    from trident_tpu.core.config import EngineConfig, RenderConfig
+    from trident_tpu.ecs.registry import Registry
+    from trident_tpu.render.renderer import Renderer
+
+    r = Renderer(EngineConfig(render=RenderConfig(width=64, height=64,
+                                                  use_pallas=False)))
+    reg = Registry()
+    r.set_active_registry(reg)
+    faces = solid_skybox((1.0, 0.0, 0.0), edge=4)
+    faces[2] = [0.0, 1.0, 0.0]  # +y face green
+    r.set_skybox(faces)
+    r.editor_camera.set_position([0, 0, 0])
+    r.editor_camera.set_rotation([89.0, 0, 0])  # look up
+    img = r.read_frame()
+    center = img[32, 32]
+    assert center[1] > 150 and center[0] < 100  # green up-face
+
+
+def test_application_headless_loop(tmp_path):
+    from trident_tpu.app import Application, Layer
+    from trident_tpu.core.config import EngineConfig, RenderConfig
+    from trident_tpu.core.events import FileDropEvent, WindowCloseEvent
+    from trident_tpu.ecs.components import MeshComponent, TransformComponent
+    from trident_tpu.geometry.primitives import PrimitiveType
+
+    app = Application(EngineConfig(render=RenderConfig(width=48, height=48,
+                                                       use_pallas=False)))
+    calls = {"update": 0, "render": 0}
+
+    class TestLayer(Layer):
+        def update(self, app, dt):
+            calls["update"] += 1
+
+        def render(self, app):
+            calls["render"] += 1
+
+    app.push_layer(TestLayer())
+    # spawn a cube via the engine API
+    reg = app.scene.editor_registry
+    e = reg.create()
+    reg.add(e, TransformComponent())
+    reg.add(e, MeshComponent(mesh_index=app.renderer.ensure_primitive(PrimitiveType.CUBE)))
+    app.renderer.editor_camera.set_position([0, 0, 3])
+
+    app.run(frames=3)
+    assert calls["update"] == 3 and calls["render"] == 3
+    stats = app.renderer.timing.stats()
+    assert stats.sample_count == 3
+
+    # file drop imports an asset
+    obj = tmp_path / "tri.obj"
+    obj.write_text("v 0 0 0\nv 1 0 0\nv 0 1 0\nf 1 2 3\n")
+    before = len(reg)
+    app.post_event(FileDropEvent(paths=[str(obj)]))
+    assert len(reg) == before + 1
+
+    # close event stops the loop
+    app.running = True
+    app.post_event(WindowCloseEvent())
+    assert not app.running
+    app.shutdown()

@@ -51,10 +51,13 @@ class Mesh:
                  bone_indices: Optional[np.ndarray] = None,
                  bone_weights: Optional[np.ndarray] = None,
                  material_index: int = 0,
-                 name: str = "") -> None:
+                 name: str = "",
+                 spatial_sort: bool = True) -> None:
         v = positions.shape[0]
         self.positions = np.asarray(positions, dtype=np.float32).reshape(v, 3)
         self.indices = np.asarray(indices, dtype=np.int32).reshape(-1)
+        if spatial_sort:
+            self.indices = morton_order(self.indices, self.positions)
         self.normals = _default(normals, (v, 3), [0.0, 0.0, 1.0])
         self.tangents = _default(tangents, (v, 3), [1.0, 0.0, 0.0])
         self.bitangents = _default(bitangents, (v, 3), [0.0, 1.0, 0.0])
@@ -78,6 +81,34 @@ class Mesh:
     @property
     def skinned(self) -> bool:
         return bool((self.bone_indices >= 0).any())
+
+
+def _part1by2(x: np.ndarray) -> np.ndarray:
+    """Spread 10 bits to every 3rd bit (Morton interleave helper)."""
+    x = x.astype(np.uint64) & 0x3FF
+    x = (x | (x << 16)) & 0x030000FF
+    x = (x | (x << 8)) & 0x0300F00F
+    x = (x | (x << 4)) & 0x030C30C3
+    x = (x | (x << 2)) & 0x09249249
+    return x
+
+
+def morton_order(indices: np.ndarray, positions: np.ndarray) -> np.ndarray:
+    """Reorder triangle triples by Morton code of their centroid in the
+    mesh-local bbox. Consecutive triangles become spatially coherent, which
+    is what the raster binner's chunk bboxes rely on (chunks of C
+    consecutive triangles must be compact on screen). One-time host cost at
+    mesh build; draw order only affects equal-depth tie-breaking."""
+    tri = indices.reshape(-1, 3)
+    if tri.shape[0] <= 2:
+        return indices
+    centroid = positions[tri].mean(axis=1)
+    lo = centroid.min(axis=0)
+    span = np.maximum(centroid.max(axis=0) - lo, 1e-12)
+    q = np.clip(((centroid - lo) / span) * 1023.0, 0, 1023).astype(np.uint32)
+    code = _part1by2(q[:, 0]) | (_part1by2(q[:, 1]) << 1) | (_part1by2(q[:, 2]) << 2)
+    order = np.argsort(code, kind="stable")
+    return tri[order].reshape(-1)
 
 
 def _default(value: Optional[np.ndarray], shape: Tuple[int, ...], fill) -> np.ndarray:

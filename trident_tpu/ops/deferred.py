@@ -1,11 +1,14 @@
 """Deferred resolve: winner-triangle GBuffer → shaded RGBA8 frame.
 
 The reference shades every fragment inside the raster pass; on TPU we shade
-exactly once per pixel AFTER visibility, in one fused XLA pass: gather the
-winning triangle's attributes, recompute perspective-correct barycentrics,
-interpolate, sample the material texture (mip level from the triangle's
-screen-space UV footprint), evaluate PBR, fill background with skybox/clear,
-tonemap, optionally AI-blend, and pack to uint8.
+exactly once per pixel AFTER visibility, in one fused XLA pass. Per-pixel
+random access is the cost driver on TPU, so every gather fetches ONE packed
+row: the winner's edge row (9f), its vertex-id triple, three packed vertex
+attribute rows (world/normal/uv/color, 12f), one draw-shade row
+(color-factor/metallic/roughness/ambient/texture-slot, 8f), and u32 texels.
+Then: perspective-correct barycentrics, attribute interpolation, mip level
+from the triangle's screen-space UV footprint, bilinear/trilinear texture
+sample, Cook-Torrance PBR, skybox background, Reinhard+gamma, AI blend.
 """
 
 from __future__ import annotations
@@ -20,10 +23,8 @@ from trident_tpu.ops.vertex import TriangleSetup, VertexStageOut
 from trident_tpu.render.types import (
     AiBlend,
     CameraParams,
-    DrawParams,
     GBuffer,
     LightParams,
-    MaterialTable,
     SkyboxCube,
     TextureArrays,
 )
@@ -46,7 +47,6 @@ def _background(camera: CameraParams, skybox: Optional[SkyboxCube],
     ny, nx = jnp.meshgrid(ys, xs, indexing="ij")
 
     proj = camera.proj
-    # invert the projective xy terms: ndc.x = p00 * x_view / (-z_view)
     p00 = proj[0, 0]
     p11 = proj[1, 1]
     x_v = nx / p00
@@ -60,19 +60,24 @@ def _background(camera: CameraParams, skybox: Optional[SkyboxCube],
 
 def deferred_shade(gbuffer: GBuffer, setup: TriangleSetup,
                    verts: VertexStageOut, tri_vtx: Array, tri_draw: Array,
-                   params: DrawParams, materials: MaterialTable,
-                   textures: TextureArrays, camera: CameraParams,
-                   lights: LightParams, width: int, height: int,
+                   shade_table: Array, textures: TextureArrays,
+                   camera: CameraParams, lights: LightParams,
+                   width: int, height: int,
                    clear_color=(0.05, 0.05, 0.08, 1.0),
                    skybox: Optional[SkyboxCube] = None,
                    ai: Optional[AiBlend] = None) -> Array:
-    """Shade the frame. Returns (H,W,4) float32 in [0,1] (post-tonemap)."""
+    """Shade the frame. `shade_table` is (D,8): color_factor rgba
+    (material base-color × tint), metallic, roughness, ambient_strength,
+    texture slot (as f32). Returns (H,W,4) float32 in [0,1]."""
     tri = gbuffer.tri_id                                  # (H,W)
     covered = tri >= 0
     tri_safe = jnp.maximum(tri, 0)
 
-    # --- recompute perspective-correct barycentrics at pixel centers -------
-    edge = setup.edge[tri_safe]                           # (H,W,3,3)
+    # --- one row gather each: edge coefficients, vertex ids, draw row ------
+    edge = setup.edge[tri_safe]                           # (H,W,3,3) — 9f row
+    vids = tri_vtx[tri_safe]                              # (H,W,3)
+    draw_row = shade_table[tri_draw[tri_safe]]            # (H,W,8)
+
     ys = jnp.arange(height, dtype=jnp.float32) + 0.5
     xs = jnp.arange(width, dtype=jnp.float32) + 0.5
     py, px = jnp.meshgrid(ys, xs, indexing="ij")
@@ -80,39 +85,32 @@ def deferred_shade(gbuffer: GBuffer, setup: TriangleSetup,
          + edge[..., 1] * py[..., None]
          + edge[..., 2])                                  # (H,W,3)
     e_sum = jnp.sum(e, axis=-1, keepdims=True)
-    b = e / jnp.where(jnp.abs(e_sum) < 1e-20, 1e-20, e_sum)  # clip-space bary
+    inv_sum = 1.0 / jnp.where(jnp.abs(e_sum) < 1e-20, 1e-20, e_sum)
+    b = e * inv_sum                                       # clip-space bary
 
-    # --- gather + interpolate vertex attributes ----------------------------
-    vids = tri_vtx[tri_safe]                              # (H,W,3)
+    # --- three packed attribute rows, interpolated --------------------------
+    a3 = verts.attrs[vids]                                # (H,W,3,12)
+    interp = jnp.sum(a3 * b[..., None], axis=-2)          # (H,W,12)
+    world = interp[..., 0:3]
+    normal = shading._normalize(interp[..., 3:6])
+    uv = interp[..., 6:8]
+    vcolor = interp[..., 8:11]
 
-    def interp(attr: Array) -> Array:
-        vals = attr[vids]                                 # (H,W,3,A)
-        return jnp.sum(vals * b[..., None], axis=-2)
-
-    world = interp(verts.world)
-    normal = shading._normalize(interp(verts.normal))
-    uv = interp(verts.uv)
-    vcolor = interp(verts.color)
-
-    # --- per-draw / material state -----------------------------------------
-    draw = tri_draw[tri_safe]                             # (H,W)
-    tint = params.tint[draw]                              # (H,W,4)
-    mat_idx = params.material_index[draw]
-    mat = materials.params[mat_idx]                       # (H,W,8)
-    slot = params.texture_slot[draw]                      # (H,W)
+    color_factor = draw_row[..., 0:4]
+    metallic = draw_row[..., 4:5]
+    roughness = draw_row[..., 5:6]
+    ambient_strength = draw_row[..., 6:7]
+    slot = draw_row[..., 7].astype(jnp.int32)
 
     # --- mip level from the triangle's screen-space UV gradient ------------
-    # Affine per-triangle approximation: duv/dpixel from the edge-function
-    # derivative of the barycentrics (constant over the triangle).
-    uv3 = verts.uv[vids]                              # (H,W,3,2)
-    a_coef = edge[..., 0]                             # (H,W,3) de/dx
-    b_coef = edge[..., 1]                             # (H,W,3) de/dy
-    inv_sum = 1.0 / jnp.where(jnp.abs(e_sum) < 1e-20, 1e-20, e_sum)
+    uv3 = a3[..., 6:8]                                    # (H,W,3,2)
+    a_coef = edge[..., 0]                                 # (H,W,3) de/dx
+    b_coef = edge[..., 1]                                 # (H,W,3) de/dy
     duv_dx = (jnp.sum(a_coef[..., None] * uv3, axis=-2)
               - jnp.sum(a_coef, axis=-1, keepdims=True) * uv) * inv_sum
     duv_dy = (jnp.sum(b_coef[..., None] * uv3, axis=-2)
               - jnp.sum(b_coef, axis=-1, keepdims=True) * uv) * inv_sum
-    tex_size = textures.sizes[slot].astype(jnp.float32)  # (H,W,2)
+    tex_size = textures.sizes[slot].astype(jnp.float32)   # (H,W,2)
     rho = jnp.maximum(
         jnp.sum(jnp.square(duv_dx * tex_size), axis=-1),
         jnp.sum(jnp.square(duv_dy * tex_size), axis=-1),
@@ -120,11 +118,8 @@ def deferred_shade(gbuffer: GBuffer, setup: TriangleSetup,
     mip = 0.5 * jnp.log2(jnp.maximum(rho, 1e-12))
     sampled = shading.sample_texture_mip(textures, slot, uv, mip)
 
-    albedo = sampled[..., :3] * mat[..., :3] * tint[..., :3] * vcolor
-    alpha = mat[..., 3:4] * tint[..., 3:4] * sampled[..., 3:4]
-    metallic = mat[..., 4:5]
-    roughness = mat[..., 5:6]
-    ambient_strength = mat[..., 6:7]
+    albedo = sampled[..., :3] * color_factor[..., :3] * vcolor
+    alpha = color_factor[..., 3:4] * sampled[..., 3:4]
 
     lit = shading.shade_pbr(world, normal, albedo, metallic, roughness,
                             ambient_strength, camera.position, lights)

@@ -2,24 +2,27 @@
 
 Replaces the O(T×pixels) reference path with a sort-middle design:
 
-  1. (XLA) Triangle records are packed transposed (16, Tpad) — 9 homogeneous
-     edge coefficients, clip z and w per vertex — in chunks of C consecutive
-     triangles. Asset loaders emit spatially coherent triangle order, so a
-     chunk's union bbox is tight.
+  1. (XLA) Triangle records are packed (Tpad+C, 16) row-major — 9
+     homogeneous edge coefficients, clip z and w per vertex — in chunks of C
+     consecutive triangles. Meshes are Morton-ordered at build time
+     (geometry.mesh.morton_order), so a chunk's union bbox is tight.
+     Records chunk 0 is an empty sentinel.
   2. (XLA) Each chunk is binned to the framebuffer tiles its bbox overlaps
-     (≤ SPAN×SPAN slots); chunks spanning more tiles are emitted for EVERY
+     (≤ SPAN_X×SPAN_Y slots); chunks spanning more tiles are emitted for EVERY
      tile (rare: huge triangles), and every tile gets one sentinel pair so
-     the kernel initializes all output blocks. One sort by tile id yields
-     the pair list, tile-major.
-  3. (Pallas) Grid over PAIRS: scalar-prefetched pair arrays drive the
-     index maps, so the records block of pair i's chunk streams in with
-     Pallas's own double-buffered pipeline — no manual DMA. All pairs of a
-     tile are consecutive, so the (TILE_H,TILE_W) depth/tri output blocks
+     the kernel initializes all output blocks. Pairs pack as
+     tile << CHUNK_BITS | chunk_slot in ONE i32 — a single sort yields the
+     tile-major pair list AND the per-tile ordering (sentinel chunk 0
+     first, then chunks ascending = draw order).
+  3. (Pallas) Grid over PAIRS: the scalar-prefetched pair array drives the
+     index maps, so each pair's record block streams in with Pallas's own
+     double-buffered pipeline — no manual DMA. All pairs of a tile are
+     consecutive, so the flat (1, TILE_H·TILE_W) depth/tri output blocks
      accumulate across revisits: per pair, all C triangles are evaluated
-     against all tile pixels as flat (TH·TW, C) vector work — edge
-     functions, perspective depth z·e / w·e, early-Z merge with
-     later-triangle-wins ties (the LESS_OR_EQUAL depth state of the
-     reference pipeline).
+     against all tile pixels as (C, npx) vector work — edge functions,
+     perspective depth z·e / w·e, early-Z merge with later-triangle-wins
+     ties (the LESS_OR_EQUAL depth state of the reference pipeline,
+     Pipeline.cpp:549-725).
 
 The per-pixel winner-triangle GBuffer feeds the same deferred shading pass
 as the reference rasterizer, so goldens compare the two directly.
@@ -42,17 +45,20 @@ Array = jax.Array
 
 TILE_H = 16
 TILE_W = 128
-CHUNK = 128          # triangles per record block
-SPAN = 4             # max tile rows/cols a binned chunk may cover
+CHUNK = 64           # triangles per record block
+SPAN_X = 2           # max tile cols a binned chunk may cover (128px tiles)
+SPAN_Y = 8           # max tile rows (16px tiles) — chunks are ~square patches
 MAX_GLOBAL = 64      # wide-span chunks broadcast to all tiles
+CHUNK_BITS = 18      # chunk-slot bits in the packed pair
+CHUNK_MASK = (1 << CHUNK_BITS) - 1
 DEPTH_SENTINEL = 4.0
 
 
 class PallasBins(NamedTuple):
-    records: Array      # (16, (NC+1)*C) f32; last chunk is the empty sentinel
-    pair_tile: Array    # (NPAIR,) i32 tile id per pair, sorted ascending
-    pair_chunk: Array   # (NPAIR,) i32 chunk id per pair
-    n_pairs: int        # static upper bound (== NPAIR)
+    records: Array      # ((NC+1)*C, 16) f32; chunk slot 0 = empty sentinel
+    pair_tile: Array    # (NPAIR,) i32 tile per pair (sorted, tile-major)
+    pair_chunk: Array   # (NPAIR,) i32 chunk slot per pair (0 = sentinel)
+    n_pairs: int        # static (== NPAIR)
 
 
 def _build_records(setup: TriangleSetup, tpad: int) -> Array:
@@ -69,10 +75,14 @@ def _build_records(setup: TriangleSetup, tpad: int) -> Array:
         cols.append(jnp.where(valid, setup.w[:, k], 1.0))
     cols.append(jnp.zeros_like(cols[0]))
     rec = jnp.stack(cols, axis=1)                       # (T, 16) row-major
-    pad = jnp.zeros((tpad - t + CHUNK, 16), rec.dtype)  # + sentinel chunk
-    pad = pad.at[:, 2].set(-1.0).at[:, 5].set(-1.0).at[:, 8].set(-1.0)
-    pad = pad.at[:, 12:15].set(1.0)
-    return jnp.concatenate([rec, pad], axis=0)
+    empty_row = jnp.zeros((16,), rec.dtype)
+    empty_row = empty_row.at[2].set(-1.0).at[5].set(-1.0).at[8].set(-1.0)
+    empty_row = empty_row.at[12:15].set(1.0)
+    # sentinel chunk 0 in front + tail padding
+    front = jnp.tile(empty_row, (CHUNK, 1))
+    tail = jnp.tile(empty_row, (tpad - t, 1)) if tpad != t else None
+    parts = [front, rec] + ([tail] if tail is not None else [])
+    return jnp.concatenate(parts, axis=0)
 
 
 def build_bins(setup: TriangleSetup, width: int, height: int) -> PallasBins:
@@ -82,7 +92,8 @@ def build_bins(setup: TriangleSetup, width: int, height: int) -> PallasBins:
     ntx = -(-width // TILE_W)
     nty = -(-height // TILE_H)
     n_tiles = ntx * nty
-    sentinel_chunk = n_chunks
+    assert n_tiles < (1 << (31 - CHUNK_BITS)), "framebuffer too large for packed pairs"
+    assert n_chunks + 1 <= CHUNK_MASK, "too many triangle chunks"
 
     records = _build_records(setup, tpad)
 
@@ -107,56 +118,59 @@ def build_bins(setup: TriangleSetup, width: int, height: int) -> PallasBins:
     cty1 = jnp.clip((y1 - 1) // TILE_H, 0, nty - 1)
     span_x = ctx1 - ctx0 + 1
     span_y = cty1 - cty0 + 1
-    small = nonempty & (span_x <= SPAN) & (span_y <= SPAN)
+    small = nonempty & (span_x <= SPAN_X) & (span_y <= SPAN_Y)
 
-    # small chunks → up to SPAN×SPAN (tile, chunk) pairs
-    k = SPAN * SPAN
-    dx = jnp.arange(k, dtype=jnp.int32) % SPAN
-    dy = jnp.arange(k, dtype=jnp.int32) // SPAN
+    # chunk slot in records = chunk index + 1 (slot 0 is the sentinel)
+    slot_ids = jnp.arange(1, n_chunks + 1, dtype=jnp.int32)
+
+    # small chunks → up to SPAN_X×SPAN_Y (tile, chunk) pairs
+    k = SPAN_X * SPAN_Y
+    dx = jnp.arange(k, dtype=jnp.int32) % SPAN_X
+    dy = jnp.arange(k, dtype=jnp.int32) // SPAN_X
     tx = ctx0[:, None] + dx[None, :]
     ty = cty0[:, None] + dy[None, :]
     in_range = small[:, None] & (dx[None, :] < span_x[:, None]) \
         & (dy[None, :] < span_y[:, None])
-    small_keys = jnp.where(in_range, ty * ntx + tx, n_tiles).astype(jnp.int32)
-    small_vals = jnp.broadcast_to(
-        jnp.arange(n_chunks, dtype=jnp.int32)[:, None], (n_chunks, k))
+    tile_of = ty * ntx + tx
+    small_pairs = jnp.where(
+        in_range, (tile_of << CHUNK_BITS) | slot_ids[:, None],
+        n_tiles << CHUNK_BITS).astype(jnp.int32)
 
     # big chunks (rare, huge triangles): compact to ≤ MAX_GLOBAL via stable
     # argsort, then broadcast to every tile
     gmask = nonempty & ~small
     order = jnp.argsort(~gmask, stable=True).astype(jnp.int32)
     g = min(MAX_GLOBAL, n_chunks)
-    gsel = order[:g]                                       # chunk ids
+    gsel = order[:g]
     gvalid = gmask[gsel]
     tile_ids = jnp.arange(n_tiles, dtype=jnp.int32)
-    big_keys = jnp.where(gvalid[:, None], tile_ids[None, :], n_tiles)
-    big_vals = jnp.broadcast_to(gsel[:, None], (g, n_tiles))
+    big_pairs = jnp.where(
+        gvalid[:, None],
+        (tile_ids[None, :] << CHUNK_BITS) | (gsel[:, None] + 1),
+        n_tiles << CHUNK_BITS).astype(jnp.int32)
 
-    # sentinel pair per tile so every output block is visited/initialized.
-    # Emitted FIRST so the stable sort puts it before the tile's real pairs.
-    sent_keys = tile_ids
-    sent_vals = jnp.full(n_tiles, sentinel_chunk, jnp.int32)
+    # sentinel pair (chunk slot 0) per tile: sorts FIRST within its tile
+    sent_pairs = (tile_ids << CHUNK_BITS).astype(jnp.int32)
 
-    keys = jnp.concatenate([sent_keys, small_keys.reshape(-1),
-                            big_keys.reshape(-1)])
-    vals = jnp.concatenate([sent_vals, small_vals.reshape(-1),
-                            big_vals.reshape(-1)])
-    sorted_keys, sorted_vals = jax.lax.sort_key_val(keys, vals)
-
-    # out-of-range keys (n_tiles) sort to the end; clamp them to the last
-    # tile with the sentinel chunk (harmless extra passes over one block)
-    overflow = sorted_keys >= n_tiles
-    pair_tile = jnp.where(overflow, n_tiles - 1, sorted_keys)
-    pair_chunk = jnp.where(overflow, sentinel_chunk, sorted_vals)
+    pairs = jnp.concatenate([sent_pairs, small_pairs.reshape(-1),
+                             big_pairs.reshape(-1)])
+    pairs = jnp.sort(pairs)
+    # overflow slots clamp to (last tile, sentinel chunk): harmless repeats
+    overflow = pairs >= (n_tiles << CHUNK_BITS)
+    pairs = jnp.where(overflow, ((n_tiles - 1) << CHUNK_BITS), pairs)
+    # unpack for the scalar-prefetch index maps (plain array reads lower
+    # reliably in Mosaic index maps; bit ops there hung the compiler)
+    pair_tile = pairs >> CHUNK_BITS
+    pair_chunk = pairs & CHUNK_MASK
 
     return PallasBins(records=records, pair_tile=pair_tile,
-                      pair_chunk=pair_chunk, n_pairs=int(keys.shape[0]))
+                      pair_chunk=pair_chunk, n_pairs=int(pairs.shape[0]))
 
 
-def _visibility_kernel(pair_tile_ref, pair_chunk_ref, rec_ref,
-                       depth_out, tri_out, *, ntx: int):
+def _visibility_kernel(pair_tile_ref, pair_chunk_ref, rec_ref, depth_out,
+                       tri_out, *, ntx: int):
     """Layouts chosen for Mosaic: triangles on sublanes (C,1), pixels on
-    lanes (1,npx); outputs are flat (1, npx) tile rows — no in-kernel
+    lanes (1,npx); outputs are flat (1,1,npx) tile rows — no in-kernel
     reshapes or transposes."""
     i = pl.program_id(0)
     tile = pair_tile_ref[i]
@@ -193,7 +207,7 @@ def _visibility_kernel(pair_tile_ref, pair_chunk_ref, rec_ref,
     dm = jnp.where(cover, d, DEPTH_SENTINEL)
 
     cmin = jnp.min(dm, axis=0, keepdims=True)      # (1, npx)
-    tid = cid * CHUNK + jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0)
+    tid = (cid - 1) * CHUNK + jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0)
     win = jnp.max(jnp.where(dm <= cmin, tid, -1), axis=0, keepdims=True)
 
     acc_d = depth_out[0]
@@ -223,9 +237,11 @@ def visibility_pallas(setup: TriangleSetup, width: int, height: int) -> GBuffer:
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, npx), lambda i, tiles, chunks: (tiles[i], 0, 0),
+            pl.BlockSpec((1, 1, npx),
+                         lambda i, tiles, chunks: (tiles[i], 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, npx), lambda i, tiles, chunks: (tiles[i], 0, 0),
+            pl.BlockSpec((1, 1, npx),
+                         lambda i, tiles, chunks: (tiles[i], 0, 0),
                          memory_space=pltpu.VMEM),
         ],
     )
@@ -240,7 +256,7 @@ def visibility_pallas(setup: TriangleSetup, width: int, height: int) -> GBuffer:
             dimension_semantics=("arbitrary",)),
     )(bins.pair_tile, bins.pair_chunk, bins.records)
 
-    # (n_tiles, TH·TW) → (H, W)
+    # (n_tiles, 1, TH·TW) → (H, W)
     def untile(flat):
         return (flat.reshape(nty, ntx, TILE_H, TILE_W)
                 .transpose(0, 2, 1, 3).reshape(hpad, wpad))

@@ -158,7 +158,14 @@ def _bilinear_flat(tex, slot: Array, uv: Array, level: Array) -> Array:
     y0i, y1i = wrap(y0, lh), wrap(y0 + 1, lh)
 
     def fetch(yi, xi):
-        return tex.data[slot, base + yi * stride + xi].astype(jnp.float32)
+        # one u32 gather per texel; unpack RGBA8 with vector shifts
+        v = tex.data[slot, base + yi * stride + xi]
+        return jnp.stack([
+            (v & 0xFF).astype(jnp.float32),
+            ((v >> 8) & 0xFF).astype(jnp.float32),
+            ((v >> 16) & 0xFF).astype(jnp.float32),
+            ((v >> 24) & 0xFF).astype(jnp.float32),
+        ], axis=-1)
 
     top = fetch(y0i, x0i) * (1.0 - fx) + fetch(y0i, x1i) * fx
     bot = fetch(y1i, x0i) * (1.0 - fx) + fetch(y1i, x1i) * fx

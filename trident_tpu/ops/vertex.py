@@ -21,6 +21,8 @@ Array = jax.Array
 
 class VertexStageOut(NamedTuple):
     clip: Array       # (TV,4) f32
+    attrs: Array      # (TV,12) f32 packed: world(3) normal(3) uv(2) color(3) pad
+    # convenience views (slices of attrs — same buffers after XLA CSE)
     world: Array      # (TV,3) f32
     normal: Array     # (TV,3) f32 — world-space, normalized
     uv: Array         # (TV,2) f32 — atlas-transformed
@@ -48,12 +50,23 @@ def _skin(positions: Array, normals: Array, bone_indices: Array,
     return skinned_pos, skinned_nrm
 
 
+def _cofactor3(m: Array) -> Array:
+    """Cofactor matrix of (...,3,3) — closed-form (rows are cross products),
+    so normals transform as cof(M)·n ∝ (M⁻¹)ᵀ·n without LU decomposition
+    (jnp.linalg.inv batched over 65k matrices is pathologically slow on TPU)."""
+    r0, r1, r2 = m[..., 0, :], m[..., 1, :], m[..., 2, :]
+    return jnp.stack([jnp.cross(r1, r2), jnp.cross(r2, r0), jnp.cross(r0, r1)],
+                     axis=-2)
+
+
 def vertex_stage(geometry: GeometryBuffers, plan: DrawPlan, params: DrawParams,
-                 camera: CameraParams, palette: Array) -> VertexStageOut:
+                 camera: CameraParams, palette: Array,
+                 skinned: bool = True) -> VertexStageOut:
     """Transform all expanded vertices: gather → skin → model → view-proj.
 
     `palette` is the global bone-matrix table (P,4,4); unskinned scenes pass
-    a (1,4,4) identity.
+    a (1,4,4) identity. `skinned=False` (static) compiles the rigid-only
+    path with no palette gathers.
     """
     src = plan.vtx_src
     draw = plan.vtx_draw
@@ -63,13 +76,16 @@ def vertex_stage(geometry: GeometryBuffers, plan: DrawPlan, params: DrawParams,
     colors = geometry.colors[src]
     uvs = geometry.uvs[src]
 
-    bone_offset = params.bone_offset[draw]
-    bone_count = params.bone_count[draw]
-    skinned_pos, skinned_nrm = _skin(
-        positions, normals,
-        geometry.bone_indices[src], geometry.bone_weights[src],
-        palette, bone_offset, bone_count,
-    )
+    if skinned:
+        bone_offset = params.bone_offset[draw]
+        bone_count = params.bone_count[draw]
+        skinned_pos, skinned_nrm = _skin(
+            positions, normals,
+            geometry.bone_indices[src], geometry.bone_weights[src],
+            palette, bone_offset, bone_count,
+        )
+    else:
+        skinned_pos, skinned_nrm = positions, normals
 
     model = params.model[draw]                                    # (TV,4,4)
     tv = skinned_pos.shape[0]
@@ -77,18 +93,21 @@ def vertex_stage(geometry: GeometryBuffers, plan: DrawPlan, params: DrawParams,
     world_h = jnp.einsum("vij,vj->vi", model, pos_h)
     world = world_h[:, :3]
 
-    # normal matrix = transpose(inverse(mat3(model))); batched 3x3 inverse
-    m3 = model[:, :3, :3]
-    inv = jnp.linalg.inv(m3)
-    nrm = jnp.einsum("vji,vj->vi", inv, skinned_nrm)  # inv^T @ n == n @ inv
-    nrm = nrm / jnp.maximum(jnp.linalg.norm(nrm, axis=-1, keepdims=True), 1e-8)
+    # normal matrix ∝ cofactor(mat3(model)) — direction preserved, renormalized
+    cof = _cofactor3(model[:, :3, :3])
+    nrm = jnp.einsum("vij,vj->vi", cof, skinned_nrm)
+    nrm = nrm * jax.lax.rsqrt(jnp.maximum(
+        jnp.sum(nrm * nrm, axis=-1, keepdims=True), 1e-16))
 
     vp = camera.proj @ camera.view                                # (4,4)
     clip = world_h @ vp.T                                          # (TV,4) — ONE matmul on the MXU
 
     uv = uvs * params.uv_scale[draw] * params.tiling[draw][:, None] + params.uv_offset[draw]
 
-    return VertexStageOut(clip=clip, world=world, normal=nrm, uv=uv, color=colors)
+    attrs = jnp.concatenate(
+        [world, nrm, uv, colors, jnp.zeros((tv, 1), world.dtype)], axis=-1)
+    return VertexStageOut(clip=clip, attrs=attrs, world=world, normal=nrm,
+                          uv=uv, color=colors)
 
 
 class TriangleSetup(NamedTuple):

@@ -162,10 +162,15 @@ def build_draw_plan(packed: PackedGeometry,
 
 
 def build_draw_params(records: List[DrawRecord], num_draws: int,
-                      max_bones: int = 128) -> Tuple[DrawParams, jnp.ndarray]:
-    """Pack per-draw state + the global bone palette.
+                      max_bones: int = 128,
+                      material_table: Optional[np.ndarray] = None,
+                      ) -> Tuple[DrawParams, jnp.ndarray, jnp.ndarray]:
+    """Pack per-draw state + the global bone palette + the shade table.
 
-    Returns (DrawParams, palette (P,4,4) f32). Palette rows bucket-padded."""
+    Returns (DrawParams, palette (P,4,4) f32, shade_table (D,8) f32).
+    shade_table row: color_factor rgba (= material base-color × tint),
+    metallic, roughness, ambient_strength, texture slot (f32) — the single
+    per-draw gather row the deferred pass needs. Palette bucket-padded."""
     d = num_draws
     model = np.tile(np.eye(4, dtype=np.float32), (d, 1, 1))
     tint = np.ones((d, 4), np.float32)
@@ -177,11 +182,25 @@ def build_draw_params(records: List[DrawRecord], num_draws: int,
     bone_offset = np.full(d, -1, np.int32)
     bone_count = np.zeros(d, np.int32)
 
+    shade = np.zeros((d, 8), np.float32)
+    shade[:, 0:4] = 1.0
+    shade[:, 5] = 1.0  # roughness
+    shade[:, 6] = 1.0  # ambient strength
+
     palette_parts: List[np.ndarray] = []
     p_cursor = 0
     for i, rec in enumerate(records[:d]):
         model[i] = rec.model
         tint[i] = rec.tint
+        if material_table is not None and 0 <= rec.material_index < material_table.shape[0]:
+            mat = material_table[rec.material_index]
+            shade[i, 0:4] = mat[0:4] * rec.tint
+            shade[i, 4] = mat[4]   # metallic
+            shade[i, 5] = mat[5]   # roughness
+            shade[i, 6] = mat[6]   # ambient strength
+        else:
+            shade[i, 0:4] = rec.tint
+        shade[i, 7] = float(rec.texture_slot)
         uv_scale[i] = rec.uv_scale
         uv_offset[i] = rec.uv_offset
         tiling[i] = rec.tiling
@@ -213,7 +232,7 @@ def build_draw_params(records: List[DrawRecord], num_draws: int,
         bone_offset=jnp.asarray(bone_offset),
         bone_count=jnp.asarray(bone_count),
     )
-    return params, jnp.asarray(palette_p)
+    return params, jnp.asarray(palette_p), jnp.asarray(shade)
 
 
 def geometry_to_device(packed: PackedGeometry) -> GeometryBuffers:

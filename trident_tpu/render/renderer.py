@@ -47,39 +47,38 @@ from trident_tpu.render.types import (
     AiBlend,
     CameraParams,
     FrameOutput,
-    MaterialTable,
     SkyboxCube,
 )
 
 logger = get_logger("renderer")
 
 
-def _render_frame_impl(geometry, plan, tri_draw, params, palette, camera,
-                       lights, materials, textures, skybox, ai,
+def _render_frame_impl(geometry, plan, tri_draw, params, palette, shade_table,
+                       camera, lights, textures, skybox, ai,
                        *, width: int, height: int, clear_color,
-                       raster: str, chunk: int) -> FrameOutput:
-    verts = vertex_stage(geometry, plan, params, camera, palette)
+                       raster: str, chunk: int, skinned: bool) -> FrameOutput:
+    verts = vertex_stage(geometry, plan, params, camera, palette, skinned=skinned)
     setup = triangle_setup(verts.clip, plan.tri_vtx, plan.tri_valid, width, height)
     if raster == "pallas":
         from trident_tpu.ops.raster_pallas import visibility_pallas
         gbuf = visibility_pallas(setup, width, height)
     else:
         gbuf = visibility_ref(setup, width, height, chunk=chunk)
-    frame = deferred_shade(gbuf, setup, verts, plan.tri_vtx, tri_draw, params,
-                           materials, textures, camera, lights, width, height,
+    frame = deferred_shade(gbuf, setup, verts, plan.tri_vtx, tri_draw,
+                           shade_table, textures, camera, lights, width, height,
                            clear_color=clear_color, skybox=skybox, ai=ai)
     return FrameOutput(color=pack_rgba8(frame), depth=gbuf.depth, tri_id=gbuf.tri_id)
 
 
 @functools.partial(jax.jit, static_argnames=("width", "height", "clear_color",
-                                             "raster", "chunk"))
-def render_frame(geometry, plan, tri_draw, params, palette, camera, lights,
-                 materials, textures, skybox, ai, *, width, height,
-                 clear_color, raster, chunk) -> FrameOutput:
+                                             "raster", "chunk", "skinned"))
+def render_frame(geometry, plan, tri_draw, params, palette, shade_table,
+                 camera, lights, textures, skybox, ai, *, width, height,
+                 clear_color, raster, chunk, skinned) -> FrameOutput:
     return _render_frame_impl(
-        geometry, plan, tri_draw, params, palette, camera, lights, materials,
-        textures, skybox, ai, width=width, height=height,
-        clear_color=clear_color, raster=raster, chunk=chunk)
+        geometry, plan, tri_draw, params, palette, shade_table, camera,
+        lights, textures, skybox, ai, width=width, height=height,
+        clear_color=clear_color, raster=raster, chunk=chunk, skinned=skinned)
 
 
 @dataclass
@@ -181,11 +180,7 @@ class Renderer:
         if self._device_geometry_version != self.geometry.version:
             self._device_geometry = geometry_to_device(packed)
             self._device_geometry_version = self.geometry.version
-        materials = MaterialTable(
-            params=jnp.asarray(self.geometry.material_table()),
-            texture_slot=jnp.asarray(self.geometry.texture_slot_table()),
-        )
-        return packed, self._device_geometry, materials
+        return packed, self._device_geometry
 
     def _raster_mode(self) -> str:
         use_pallas = self.config.render.use_pallas
@@ -206,14 +201,16 @@ class Renderer:
         ctx = self.viewports[viewport_id]
         cam = self._camera_for(ctx)
 
-        packed, device_geo, materials = self._device_state()
+        packed, device_geo = self._device_state()
         records = gather_mesh_draws(self.registry, self.geometry)
         self.stats_models = len(records)
         self.stats_triangles = sum(
             packed.draw_infos[r.mesh_index].index_count // 3 for r in records)
         plan, tri_draw = self._plan_cache.plan(packed, records, self.geometry.version)
-        params, palette = build_draw_params(records, plan.num_draws,
-                                            self.config.render.max_bones)
+        params, palette, shade_table = build_draw_params(
+            records, plan.num_draws, self.config.render.max_bones,
+            material_table=self.geometry.material_table())
+        skinned = any(r.bone_matrices is not None for r in records)
         lights = gather_lights(self.registry)
         textures = self.textures.device_arrays()
         skybox = self._skybox or SkyboxCube(
@@ -225,11 +222,11 @@ class Renderer:
                          blend=jnp.asarray(0.0, jnp.float32))
 
         out = render_frame(
-            device_geo, plan, tri_draw, params, palette, cam.params(), lights,
-            materials, textures, skybox, ai,
+            device_geo, plan, tri_draw, params, palette, shade_table,
+            cam.params(), lights, textures, skybox, ai,
             width=ctx.width, height=ctx.height,
             clear_color=tuple(self.config.render.clear_color),
-            raster=self._raster_mode(), chunk=64)
+            raster=self._raster_mode(), chunk=64, skinned=skinned)
         ctx.last_frame = out
         return out
 
@@ -254,10 +251,9 @@ class Renderer:
 
     def read_frame(self, out: Optional[FrameOutput] = None,
                    viewport_id: Optional[int] = None) -> np.ndarray:
-        """Host readback (H,W,4) uint8 — the GPU→CPU staging analogue."""
+        """Render (unless given a FrameOutput) and read back (H,W,4) uint8 —
+        the GPU→CPU staging analogue."""
         if out is None:
             vid = self.active_viewport if viewport_id is None else viewport_id
-            out = self.viewports[vid].last_frame
-            if out is None:
-                out = self.render_viewport(vid)
+            out = self.render_viewport(vid)
         return np.asarray(jax.block_until_ready(out.color))

@@ -131,7 +131,7 @@ class TextureSlots:
         total = int(offsets[-1] + level_edges[-1] ** 2)
 
         sizes = np.ones((s, 2), np.int32)
-        data = np.zeros((s, total, 4), np.uint8)
+        data = np.zeros((s, total), np.uint32)   # RGBA8 packed in one u32
         for i in range(s):
             img = self._images[i] if i < n else np.full((1, 1, 4), 255, np.uint8)
             if i < n:
@@ -141,7 +141,10 @@ class TextureSlots:
                 tile = np.zeros((e, e, 4), np.uint8)
                 ch, cw = min(cur.shape[0], e), min(cur.shape[1], e)
                 tile[:ch, :cw] = cur[:ch, :cw]
-                data[i, offsets[l]:offsets[l] + e * e] = tile.reshape(e * e, 4)
+                flat = tile.reshape(e * e, 4).astype(np.uint32)
+                data[i, offsets[l]:offsets[l] + e * e] = (
+                    flat[:, 0] | (flat[:, 1] << 8) | (flat[:, 2] << 16)
+                    | (flat[:, 3] << 24))
                 if l + 1 < self.mip_count:
                     cur = _box_downsample(cur)
 

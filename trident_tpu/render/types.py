@@ -92,7 +92,7 @@ class TextureArrays(NamedTuple):
     compile times explode). Slot 0 is the 1×1-white analogue; sizes[s] is
     the actual (w,h) footprint inside the padded tile for REPEAT wrap."""
 
-    data: Array               # (S, T, 4) uint8, T = Σ_l (edge>>l)²
+    data: Array               # (S, T) uint32 packed RGBA8, T = Σ_l (edge>>l)²
     sizes: Array              # (S,2) i32 actual (w,h) at mip 0
     offsets: Array            # (L,) i32 flat offset of each level
     edge: Array               # () i32 padded edge at mip 0
