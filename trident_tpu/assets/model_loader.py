@@ -44,9 +44,15 @@ class ModelData:
     instance_transforms: List[np.ndarray] = field(default_factory=list)
 
 
-def load_model(path: str) -> ModelData:
+def load_model(path: str, prefer_native: bool = True) -> ModelData:
     ext = os.path.splitext(path)[1].lower()
     if ext == ".obj":
+        if prefer_native:
+            from trident_tpu.assets.native import load_obj_native
+
+            data = load_obj_native(path)
+            if data is not None:
+                return data
         return load_obj(path)
     if ext in (".gltf", ".glb"):
         from trident_tpu.assets.gltf_loader import load_gltf

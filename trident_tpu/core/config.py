@@ -37,6 +37,7 @@ class RenderConfig:
     depth_clear: float = 1.0
     clear_color: Tuple[float, float, float, float] = (0.05, 0.05, 0.08, 1.0)
     use_pallas: Optional[bool] = None  # None = auto (TPU yes, CPU interpret)
+    sampling: str = "bilinear"       # texture quality: nearest|bilinear|trilinear
 
 
 @dataclass

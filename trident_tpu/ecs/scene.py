@@ -131,8 +131,12 @@ class Scene:
         for _e, (script,) in self.runtime_registry.view(ScriptComponent):
             script.running = script.autostart
         self.playing = True
+        from trident_tpu.anim.system import AnimationSystem
+
+        AnimationSystem.initialise_pose(self.runtime_registry)
         if self.renderer is not None:
             self.renderer.set_active_registry(self.runtime_registry)
+            self.renderer.bind_runtime_camera(self.runtime_registry)
 
     def stop(self) -> None:
         if not self.playing:
@@ -141,6 +145,7 @@ class Scene:
         self.runtime_registry = None
         if self.renderer is not None:
             self.renderer.set_active_registry(self.editor_registry)
+            self.renderer.runtime_camera_ready = False
 
     def update(self, dt: float) -> None:
         """Per-frame runtime logic: scripts + skeletal animation."""

@@ -1,0 +1,67 @@
+"""Per-triangle attribute interpolation planes.
+
+For homogeneous rasterization, any vertex attribute A interpolates as a
+rational screen function: A(p) = (gA·p)/(g1·p) with p=(px,py,1), where
+gA = Σ_k A_k·edge_k and g1 = Σ_k edge_k are per-TRIANGLE constants. Folding
+per-draw shading state (color factor, material, texture slot) in as plane
+constants lets the deferred pass fetch everything it needs about a pixel's
+winning triangle with TWO packed row gathers — per-pixel gathers are the
+dominant cost on TPU (~8ns each), so this replaces the naive
+edge-row + vertex-ids + 3 attribute rows + draw-row fetch chain.
+
+Plane table layout, split into two (T,16) tables:
+  A: g1(3) | gN.x(3) | gN.y(3) | gN.z(3) | gU(3) | pad
+  B: gV(3) | color_factor(4) | metallic | roughness | ambient | slot | pad(3)
+(vertex colors, when enabled, get a third table C: gR(3) gG(3) gB(3) pad)
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from trident_tpu.ops.vertex import TriangleSetup, VertexStageOut
+
+Array = jax.Array
+
+
+class AttributePlanes(NamedTuple):
+    table_a: Array            # (T,16) f32
+    table_b: Array            # (T,16) f32
+    table_c: Optional[Array]  # (T,16) f32 or None (no vertex colors)
+
+
+def build_planes(setup: TriangleSetup, verts: VertexStageOut, tri_vtx: Array,
+                 tri_draw: Array, shade_table: Array,
+                 vertex_colors: bool = False) -> AttributePlanes:
+    edge = setup.edge                              # (T,3,3)
+    t = edge.shape[0]
+
+    def plane(attr_per_vertex):                    # (T,3) values → (T,3) plane
+        return jnp.einsum("tk,tkc->tc", attr_per_vertex, edge)
+
+    g1 = jnp.sum(edge, axis=1)                     # (T,3)
+
+    nrm = verts.attrs[tri_vtx][..., 3:6]           # (T,3,3) per-vertex normals
+    uv = verts.attrs[tri_vtx][..., 6:8]            # (T,3,2)
+    g_nx = plane(nrm[..., 0])
+    g_ny = plane(nrm[..., 1])
+    g_nz = plane(nrm[..., 2])
+    g_u = plane(uv[..., 0])
+    g_v = plane(uv[..., 1])
+
+    draw = shade_table[tri_draw]                   # (T,8)
+
+    pad1 = jnp.zeros((t, 1), edge.dtype)
+    table_a = jnp.concatenate([g1, g_nx, g_ny, g_nz, g_u, pad1], axis=1)
+    table_b = jnp.concatenate([g_v, draw, jnp.zeros((t, 5), edge.dtype)], axis=1)
+
+    table_c = None
+    if vertex_colors:
+        col = verts.attrs[tri_vtx][..., 8:11]      # (T,3,3)
+        table_c = jnp.concatenate(
+            [plane(col[..., 0]), plane(col[..., 1]), plane(col[..., 2]),
+             jnp.zeros((t, 7), edge.dtype)], axis=1)
+    return AttributePlanes(table_a=table_a, table_b=table_b, table_c=table_c)

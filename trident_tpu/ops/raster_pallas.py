@@ -51,6 +51,9 @@ SPAN_Y = 8           # max tile rows (16px tiles) — chunks are ~square patches
 MAX_GLOBAL = 64      # wide-span chunks broadcast to all tiles
 CHUNK_BITS = 18      # chunk-slot bits in the packed pair
 CHUNK_MASK = (1 << CHUNK_BITS) - 1
+PAIR_BUDGET = 65536  # scalar-prefetch arrays live in SMEM (~1MB); cap them.
+                     # Real pairs are a sorted prefix, so overflow truncates
+                     # the farthest-sorted tiles rather than corrupting.
 DEPTH_SENTINEL = 4.0
 
 
@@ -58,7 +61,8 @@ class PallasBins(NamedTuple):
     records: Array      # ((NC+1)*C, 16) f32; chunk slot 0 = empty sentinel
     pair_tile: Array    # (NPAIR,) i32 tile per pair (sorted, tile-major)
     pair_chunk: Array   # (NPAIR,) i32 chunk slot per pair (0 = sentinel)
-    n_pairs: int        # static (== NPAIR)
+    n_real: Array       # () i32 — real pairs (sorted prefix; rest is padding)
+    n_pairs: int        # static capacity (== NPAIR)
 
 
 def _build_records(setup: TriangleSetup, tpad: int) -> Array:
@@ -155,16 +159,22 @@ def build_bins(setup: TriangleSetup, width: int, height: int) -> PallasBins:
     pairs = jnp.concatenate([sent_pairs, small_pairs.reshape(-1),
                              big_pairs.reshape(-1)])
     pairs = jnp.sort(pairs)
-    # overflow slots clamp to (last tile, sentinel chunk): harmless repeats
+    # real pairs form a sorted prefix; overflow slots clamp to
+    # (last tile, sentinel chunk) and sit beyond the dynamic grid bound
     overflow = pairs >= (n_tiles << CHUNK_BITS)
+    n_real = jnp.sum(~overflow).astype(jnp.int32)
     pairs = jnp.where(overflow, ((n_tiles - 1) << CHUNK_BITS), pairs)
+    if pairs.shape[0] > PAIR_BUDGET:
+        pairs = pairs[:PAIR_BUDGET]
+        n_real = jnp.minimum(n_real, PAIR_BUDGET)
     # unpack for the scalar-prefetch index maps (plain array reads lower
     # reliably in Mosaic index maps; bit ops there hung the compiler)
     pair_tile = pairs >> CHUNK_BITS
     pair_chunk = pairs & CHUNK_MASK
 
     return PallasBins(records=records, pair_tile=pair_tile,
-                      pair_chunk=pair_chunk, n_pairs=int(pairs.shape[0]))
+                      pair_chunk=pair_chunk, n_real=n_real,
+                      n_pairs=int(pairs.shape[0]))
 
 
 def _visibility_kernel(pair_tile_ref, pair_chunk_ref, rec_ref, depth_out,
@@ -230,7 +240,7 @@ def visibility_pallas(setup: TriangleSetup, width: int, height: int) -> GBuffer:
     kernel = functools.partial(_visibility_kernel, ntx=ntx)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(bins.n_pairs,),
+        grid=(bins.n_real,),  # dynamic: only real pairs execute
         in_specs=[
             pl.BlockSpec((CHUNK, 16),
                          lambda i, tiles, chunks: (chunks[i], 0),

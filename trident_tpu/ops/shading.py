@@ -177,6 +177,24 @@ def sample_bilinear(tex, slot: Array, uv: Array) -> Array:
     return _bilinear_flat(tex, slot, uv, jnp.zeros(uv.shape[:-1], jnp.int32))
 
 
+def _nearest_flat(tex, slot: Array, uv: Array, level: Array) -> Array:
+    """Nearest-texel sample at integer mip `level` — ONE gather."""
+    level = jnp.clip(level, 0, tex.offsets.shape[0] - 1)
+    lw = jnp.maximum(jnp.right_shift(tex.sizes[slot, 0], level), 1)
+    lh = jnp.maximum(jnp.right_shift(tex.sizes[slot, 1], level), 1)
+    stride = jnp.right_shift(tex.edge, level)
+    base = tex.offsets[level]
+    xi = jnp.mod(jnp.floor(uv[..., 0] * lw.astype(jnp.float32)).astype(jnp.int32), lw)
+    yi = jnp.mod(jnp.floor(uv[..., 1] * lh.astype(jnp.float32)).astype(jnp.int32), lh)
+    v = tex.data[slot, base + yi * stride + xi]
+    return jnp.stack([
+        (v & 0xFF).astype(jnp.float32),
+        ((v >> 8) & 0xFF).astype(jnp.float32),
+        ((v >> 16) & 0xFF).astype(jnp.float32),
+        ((v >> 24) & 0xFF).astype(jnp.float32),
+    ], axis=-1) * (1.0 / 255.0)
+
+
 def sample_texture_mip(tex, slot: Array, uv: Array, mip_level: Array) -> Array:
     """Trilinear sample: bilinear at floor/ceil mip, lerped. 8 gathers."""
     n_mips = tex.offsets.shape[0]
@@ -187,6 +205,20 @@ def sample_texture_mip(tex, slot: Array, uv: Array, mip_level: Array) -> Array:
     lo_samp = _bilinear_flat(tex, slot, uv, lo_i)
     hi_samp = _bilinear_flat(tex, slot, uv, jnp.minimum(lo_i + 1, n_mips - 1))
     return lo_samp * (1.0 - frac) + hi_samp * frac
+
+
+def sample_texture(tex, slot: Array, uv: Array, mip_level: Array,
+                   mode: str = "bilinear") -> Array:
+    """Sampling quality knob: per-pixel gathers are the TPU cost driver.
+    nearest = 1 gather, bilinear = 4 (at the rounded mip), trilinear = 8."""
+    n_mips = tex.offsets.shape[0]
+    mip = jnp.clip(mip_level, 0.0, float(n_mips - 1))
+    if mode == "trilinear":
+        return sample_texture_mip(tex, slot, uv, mip)
+    mip_i = jnp.round(mip).astype(jnp.int32)
+    if mode == "nearest":
+        return _nearest_flat(tex, slot, uv, mip_i)
+    return _bilinear_flat(tex, slot, uv, mip_i)
 
 
 def sample_skybox(faces: Array, direction: Array) -> Array:

@@ -21,6 +21,7 @@ import jax.numpy as jnp
 from trident_tpu.ecs.components import (
     AnimationComponent,
     MeshComponent,
+    SpriteComponent,
     TextureComponent,
     TransformComponent,
 )
@@ -73,6 +74,41 @@ def gather_mesh_draws(registry: Registry, cache: GeometryCache) -> List[DrawReco
             uv_scale=uv_scale, uv_offset=uv_offset, tiling=tiling,
             texture_slot=texture_slot, material_index=material_index,
             bone_matrices=bones,
+        ))
+    return records
+
+
+def gather_sprite_draws(registry: Registry, cache: GeometryCache,
+                        quad_mesh_index: int, time_s: float = 0.0,
+                        texture_lookup=None) -> List[DrawRecord]:
+    """Sprites → textured-quad draw records (reference: GatherSpriteDraws,
+    Renderer.cpp:2996). Atlas tiles select a UV window; animation_speed
+    cycles the atlas index with time; sort_offset biases Z via the model
+    matrix's translation (painter-style bias, not true blending)."""
+    records: List[DrawRecord] = []
+    for entity, (transform, sprite) in registry.view(TransformComponent, SpriteComponent):
+        if not sprite.visible:
+            continue
+        model = np.asarray(compose_trs(transform.position, transform.rotation,
+                                       transform.scale), np.float32)
+        if sprite.sort_offset:
+            model = model.copy()
+            model[2, 3] += sprite.sort_offset
+        tiles = max(int(sprite.atlas_tiles), 1)
+        index = int(sprite.atlas_index)
+        if sprite.animation_speed > 0.0:
+            index = (index + int(time_s * sprite.animation_speed)) % (tiles * tiles)
+        uv_scale = np.asarray(sprite.uv_scale, np.float32) / tiles
+        uv_offset = (np.asarray(sprite.uv_offset, np.float32)
+                     + np.array([index % tiles, index // tiles], np.float32) / tiles)
+        slot = sprite.texture_slot
+        if slot == 0 and sprite.texture_path and texture_lookup is not None:
+            slot = texture_lookup(sprite.texture_path)
+        records.append(DrawRecord(
+            entity=entity, mesh_index=quad_mesh_index, model=model,
+            tint=np.asarray(sprite.tint, np.float32),
+            uv_scale=uv_scale, uv_offset=uv_offset, tiling=float(sprite.tiling),
+            texture_slot=slot, material_index=0, bone_matrices=None,
         ))
     return records
 

@@ -32,6 +32,7 @@ from trident_tpu.ecs.registry import Registry
 from trident_tpu.geometry.mesh import GeometryCache, Material, Mesh
 from trident_tpu.geometry.primitives import PrimitiveType, build_primitive
 from trident_tpu.ops.deferred import deferred_shade, pack_rgba8
+from trident_tpu.ops.planes import build_planes
 from trident_tpu.ops.raster_ref import visibility_ref
 from trident_tpu.ops.vertex import triangle_setup, vertex_stage
 from trident_tpu.render.camera import Camera, EditorCamera, RuntimeCamera
@@ -39,6 +40,7 @@ from trident_tpu.render.frame import (
     DrawPlanCache,
     build_draw_params,
     gather_mesh_draws,
+    gather_sprite_draws,
     geometry_to_device,
 )
 from trident_tpu.render.lights import gather_lights
@@ -56,29 +58,36 @@ logger = get_logger("renderer")
 def _render_frame_impl(geometry, plan, tri_draw, params, palette, shade_table,
                        camera, lights, textures, skybox, ai,
                        *, width: int, height: int, clear_color,
-                       raster: str, chunk: int, skinned: bool) -> FrameOutput:
+                       raster: str, chunk: int, skinned: bool,
+                       sampling: str = "bilinear",
+                       vertex_colors: bool = False) -> FrameOutput:
     verts = vertex_stage(geometry, plan, params, camera, palette, skinned=skinned)
     setup = triangle_setup(verts.clip, plan.tri_vtx, plan.tri_valid, width, height)
+    planes = build_planes(setup, verts, plan.tri_vtx, tri_draw, shade_table,
+                          vertex_colors=vertex_colors)
     if raster == "pallas":
         from trident_tpu.ops.raster_pallas import visibility_pallas
         gbuf = visibility_pallas(setup, width, height)
     else:
         gbuf = visibility_ref(setup, width, height, chunk=chunk)
-    frame = deferred_shade(gbuf, setup, verts, plan.tri_vtx, tri_draw,
-                           shade_table, textures, camera, lights, width, height,
-                           clear_color=clear_color, skybox=skybox, ai=ai)
+    frame = deferred_shade(gbuf, planes, textures, camera, lights, width,
+                           height, clear_color=clear_color, skybox=skybox,
+                           ai=ai, sampling=sampling)
     return FrameOutput(color=pack_rgba8(frame), depth=gbuf.depth, tri_id=gbuf.tri_id)
 
 
 @functools.partial(jax.jit, static_argnames=("width", "height", "clear_color",
-                                             "raster", "chunk", "skinned"))
+                                             "raster", "chunk", "skinned",
+                                             "sampling", "vertex_colors"))
 def render_frame(geometry, plan, tri_draw, params, palette, shade_table,
                  camera, lights, textures, skybox, ai, *, width, height,
-                 clear_color, raster, chunk, skinned) -> FrameOutput:
+                 clear_color, raster, chunk, skinned, sampling="bilinear",
+                 vertex_colors=False) -> FrameOutput:
     return _render_frame_impl(
         geometry, plan, tri_draw, params, palette, shade_table, camera,
         lights, textures, skybox, ai, width=width, height=height,
-        clear_color=clear_color, raster=raster, chunk=chunk, skinned=skinned)
+        clear_color=clear_color, raster=raster, chunk=chunk, skinned=skinned,
+        sampling=sampling, vertex_colors=vertex_colors)
 
 
 @dataclass
@@ -121,6 +130,8 @@ class Renderer:
         self.ai_blend: float = 0.0
         self._inflight: List[FrameOutput] = []
         self.max_inflight = 3
+        self._vertex_colors = False
+        self._vertex_colors_version = -1
         self.stats_models = 0
         self.stats_triangles = 0
 
@@ -203,6 +214,14 @@ class Renderer:
 
         packed, device_geo = self._device_state()
         records = gather_mesh_draws(self.registry, self.geometry)
+        from trident_tpu.ecs.components import SpriteComponent
+
+        if any(True for _ in self.registry.view(SpriteComponent)):
+            quad_idx = self.ensure_primitive(PrimitiveType.QUAD)
+            packed, device_geo = self._device_state()  # quad may have been added
+            records.extend(gather_sprite_draws(
+                self.registry, self.geometry, quad_idx, self.time.elapsed,
+                texture_lookup=self.textures.lookup))
         self.stats_models = len(records)
         self.stats_triangles = sum(
             packed.draw_infos[r.mesh_index].index_count // 3 for r in records)
@@ -221,12 +240,17 @@ class Renderer:
             ai = AiBlend(image=jnp.zeros((1, 1, 3), jnp.float32),
                          blend=jnp.asarray(0.0, jnp.float32))
 
+        if self._vertex_colors_version != self.geometry.version:
+            self._vertex_colors = bool((packed.colors != 1.0).any())
+            self._vertex_colors_version = self.geometry.version
         out = render_frame(
             device_geo, plan, tri_draw, params, palette, shade_table,
             cam.params(), lights, textures, skybox, ai,
             width=ctx.width, height=ctx.height,
             clear_color=tuple(self.config.render.clear_color),
-            raster=self._raster_mode(), chunk=64, skinned=skinned)
+            raster=self._raster_mode(), chunk=64, skinned=skinned,
+            sampling=self.config.render.sampling,
+            vertex_colors=self._vertex_colors)
         ctx.last_frame = out
         return out
 
@@ -257,3 +281,54 @@ class Renderer:
             vid = self.active_viewport if viewport_id is None else viewport_id
             out = self.render_viewport(vid)
         return np.asarray(jax.block_until_ready(out.color))
+
+    # -- text overlay + presentation (TextRenderer analogue) --------------------
+    @property
+    def text(self):
+        if not hasattr(self, "_text_overlay"):
+            from trident_tpu.io.text_overlay import TextOverlay
+
+            self._text_overlay = TextOverlay()
+        return self._text_overlay
+
+    def queue_text(self, viewport_id: int, text: str, x: int, y: int,
+                   color=(1.0, 1.0, 1.0, 1.0), size: int = 16) -> None:
+        self.text.queue_text(viewport_id, text, x, y, color, size)
+
+    def present(self, viewport_id: Optional[int] = None) -> np.ndarray:
+        """Read back the viewport and composite its queued text — what a
+        frontend blits to the screen."""
+        vid = self.active_viewport if viewport_id is None else viewport_id
+        frame = self.read_frame(viewport_id=vid)
+        ctx = self.viewports[vid]
+        overlay = self.text.render_overlay(vid, ctx.width, ctx.height)
+        if overlay is not None:
+            from trident_tpu.io.text_overlay import composite_overlay
+
+            frame = composite_overlay(frame, overlay)
+        return frame
+
+    def bind_runtime_camera(self, registry: Registry) -> bool:
+        """Find the primary CameraComponent and drive the runtime camera
+        from it (RefreshRuntimeCameraBinding, Renderer.cpp:4545-4574)."""
+        from trident_tpu.ecs.components import CameraComponent, TransformComponent
+
+        primary = None
+        fallback = None
+        for entity, (cam,) in registry.view(CameraComponent):
+            if fallback is None:
+                fallback = (entity, cam)
+            if cam.primary:
+                primary = (entity, cam)  # last primary wins: user cameras
+                                         # override the seeded default
+        primary = primary or fallback
+        if primary is None:
+            self.runtime_camera_ready = False
+            return False
+        entity, cam = primary
+        transform = registry.try_get(entity, TransformComponent)
+        if transform is None:
+            transform = TransformComponent()
+        self.runtime_camera.bind(transform, cam)
+        self.runtime_camera_ready = True
+        return True
