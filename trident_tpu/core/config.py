@@ -38,6 +38,12 @@ class RenderConfig:
     clear_color: Tuple[float, float, float, float] = (0.05, 0.05, 0.08, 1.0)
     use_pallas: Optional[bool] = None  # None = auto (TPU yes, CPU interpret)
     sampling: str = "bilinear"       # texture quality: nearest|bilinear|trilinear
+    shadows: bool = False            # directional shadow-map pass
+    shadow_map_size: int = 1024
+    supersample: int = 1             # per-axis SSAA factor (MSAA analogue)
+    bloom: bool = False
+    bloom_threshold: float = 1.0     # linear HDR threshold
+    bloom_strength: float = 0.6
 
 
 @dataclass

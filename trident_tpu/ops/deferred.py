@@ -62,8 +62,12 @@ def deferred_shade(gbuffer: GBuffer, planes: AttributePlanes,
                    clear_color=(0.05, 0.05, 0.08, 1.0),
                    skybox: Optional[SkyboxCube] = None,
                    ai: Optional[AiBlend] = None,
-                   sampling: str = "bilinear") -> Array:
-    """Shade the frame. Returns (H,W,4) float32 in [0,1] (post-tonemap)."""
+                   sampling: str = "bilinear",
+                   shadow=None,
+                   tonemap: bool = True) -> Array:
+    """Shade the frame → (H,W,4) f32. tonemap=True gives display-space
+    [0,1] with the AI blend applied; tonemap=False gives linear HDR (for a
+    bloom pass; the caller tonemaps and AI-blends)."""
     tri = gbuffer.tri_id                                  # (H,W)
     covered = tri >= 0
     tri_safe = jnp.maximum(tri, 0)
@@ -129,22 +133,38 @@ def deferred_shade(gbuffer: GBuffer, planes: AttributePlanes,
         albedo = albedo * vcolor
     alpha = color_factor[..., 3:4] * sampled[..., 3:4]
 
+    dir_shadow = None
+    if shadow is not None:
+        from trident_tpu.ops.shadow import shadow_factor
+
+        dir_shadow = shadow_factor(shadow, world)
     lit = shading.shade_pbr(world, normal, albedo, metallic, roughness,
-                            ambient_strength, camera.position, lights)
-    shaded = shading.tonemap_reinhard_gamma(lit)
-
+                            ambient_strength, camera.position, lights,
+                            dir_shadow=dir_shadow)
     background = _background(camera, skybox, width, height, clear_color)
-    rgb = jnp.where(covered[..., None], shaded, background)
     a_out = jnp.where(covered[..., None], alpha, clear_color[3])
+
+    if not tonemap:
+        # linear HDR out; background treated as linear
+        rgb = jnp.where(covered[..., None], lit, background)
+        return jnp.concatenate([rgb, a_out], axis=-1)
+
+    shaded = shading.tonemap_reinhard_gamma(lit)
+    rgb = jnp.where(covered[..., None], shaded, background)
     out = jnp.concatenate([rgb, a_out], axis=-1)
-
-    if ai is not None:
-        blend = jnp.clip(ai.blend, 0.0, 1.0)
-        ai_rgba = jnp.concatenate(
-            [ai.image, jnp.ones((*ai.image.shape[:2], 1), jnp.float32)], axis=-1)
-        out = out * (1.0 - blend) + ai_rgba * blend
-
+    out = apply_ai_blend(out, ai)
     return jnp.clip(out, 0.0, 1.0)
+
+
+def apply_ai_blend(out: Array, ai: Optional[AiBlend]) -> Array:
+    """Final display-space mix with the interpolated AI frame
+    (Default.frag:182-191 semantics)."""
+    if ai is None:
+        return out
+    blend = jnp.clip(ai.blend, 0.0, 1.0)
+    ai_rgba = jnp.concatenate(
+        [ai.image, jnp.ones((*ai.image.shape[:2], 1), jnp.float32)], axis=-1)
+    return out * (1.0 - blend) + ai_rgba * blend
 
 
 def pack_rgba8(frame: Array) -> Array:

@@ -79,9 +79,10 @@ def evaluate_pbr_light(light_dir: Array, radiance: Array, normal: Array,
 
 def shade_pbr(world: Array, normal: Array, albedo: Array, metallic: Array,
               roughness: Array, ambient_strength: Array, camera_pos: Array,
-              lights: LightParams) -> Array:
+              lights: LightParams, dir_shadow: Array = None) -> Array:
     """Full lighting sum → linear HDR color. Shapes: world/normal/albedo
-    (...,3); metallic/roughness/ambient_strength (...,1)."""
+    (...,3); metallic/roughness/ambient_strength (...,1). `dir_shadow`
+    (...,1) multiplies the directional light (shadow mapping)."""
     metallic = jnp.clip(metallic, 0.0, 1.0)
     roughness = jnp.clip(roughness, 0.045, 1.0)
     ambient_strength = jnp.clip(ambient_strength, 0.0, 1.0)
@@ -96,8 +97,11 @@ def shade_pbr(world: Array, normal: Array, albedo: Array, metallic: Array,
     l_dir = _normalize(-lights.dir_direction)
     l_dir = jnp.broadcast_to(l_dir, world.shape)
     radiance = lights.dir_color[:3] * lights.dir_color[3]
-    direct += dir_on * evaluate_pbr_light(
+    dir_term = dir_on * evaluate_pbr_light(
         l_dir, radiance, normal, view_dir, albedo, metallic, roughness, f0)
+    if dir_shadow is not None:
+        dir_term = dir_term * dir_shadow
+    direct += dir_term
 
     # point lights — static loop over the 8 slots, masked by point_count
     max_points = lights.point_pos_range.shape[0]

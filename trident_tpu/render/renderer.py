@@ -60,34 +60,80 @@ def _render_frame_impl(geometry, plan, tri_draw, params, palette, shade_table,
                        *, width: int, height: int, clear_color,
                        raster: str, chunk: int, skinned: bool,
                        sampling: str = "bilinear",
-                       vertex_colors: bool = False) -> FrameOutput:
+                       vertex_colors: bool = False,
+                       light_camera=None, shadow_size: int = 0,
+                       shadow_bias: float = 2e-3,
+                       supersample: int = 1,
+                       bloom: bool = False,
+                       bloom_threshold: float = 1.0,
+                       bloom_strength: float = 0.6) -> FrameOutput:
+    from trident_tpu.ops import post
+    from trident_tpu.ops.deferred import apply_ai_blend
+
+    rw, rh = width * supersample, height * supersample
     verts = vertex_stage(geometry, plan, params, camera, palette, skinned=skinned)
-    setup = triangle_setup(verts.clip, plan.tri_vtx, plan.tri_valid, width, height)
+    setup = triangle_setup(verts.clip, plan.tri_vtx, plan.tri_valid, rw, rh)
     planes = build_planes(setup, verts, plan.tri_vtx, tri_draw, shade_table,
                           vertex_colors=vertex_colors)
     if raster == "pallas":
         from trident_tpu.ops.raster_pallas import visibility_pallas
-        gbuf = visibility_pallas(setup, width, height)
+        gbuf = visibility_pallas(setup, rw, rh)
     else:
-        gbuf = visibility_ref(setup, width, height, chunk=chunk)
-    frame = deferred_shade(gbuf, planes, textures, camera, lights, width,
-                           height, clear_color=clear_color, skybox=skybox,
-                           ai=ai, sampling=sampling)
-    return FrameOutput(color=pack_rgba8(frame), depth=gbuf.depth, tri_id=gbuf.tri_id)
+        gbuf = visibility_ref(setup, rw, rh, chunk=chunk)
+
+    shadow = None
+    if shadow_size and light_camera is not None:
+        from trident_tpu.ops.shadow import render_shadow_map
+        from trident_tpu.render.types import ShadowParams
+
+        depth_map = render_shadow_map(geometry, plan, params, light_camera,
+                                      palette, shadow_size, skinned, raster)
+        shadow = ShadowParams(
+            depth=depth_map,
+            light_vp=light_camera.proj @ light_camera.view,
+            enabled=jnp.asarray(True),
+            bias=jnp.asarray(shadow_bias, jnp.float32))
+
+    frame = deferred_shade(gbuf, planes, textures, camera, lights, rw, rh,
+                           clear_color=clear_color, skybox=skybox,
+                           ai=None, sampling=sampling, shadow=shadow,
+                           tonemap=not bloom)
+    if bloom:
+        from trident_tpu.ops.shading import tonemap_reinhard_gamma
+
+        hdr = post.bloom(frame[..., :3], bloom_threshold, bloom_strength)
+        frame = jnp.concatenate(
+            [tonemap_reinhard_gamma(hdr), frame[..., 3:4]], axis=-1)
+    frame = post.resolve_supersample(frame, supersample)
+    frame = jnp.clip(apply_ai_blend(frame, ai), 0.0, 1.0)
+
+    # depth/tri surfaced at render resolution's top-left sample for tooling
+    depth_out = gbuf.depth[::supersample, ::supersample]
+    tri_out = gbuf.tri_id[::supersample, ::supersample]
+    return FrameOutput(color=pack_rgba8(frame), depth=depth_out, tri_id=tri_out)
 
 
 @functools.partial(jax.jit, static_argnames=("width", "height", "clear_color",
                                              "raster", "chunk", "skinned",
-                                             "sampling", "vertex_colors"))
+                                             "sampling", "vertex_colors",
+                                             "shadow_size", "shadow_bias",
+                                             "supersample", "bloom",
+                                             "bloom_threshold",
+                                             "bloom_strength"))
 def render_frame(geometry, plan, tri_draw, params, palette, shade_table,
-                 camera, lights, textures, skybox, ai, *, width, height,
-                 clear_color, raster, chunk, skinned, sampling="bilinear",
-                 vertex_colors=False) -> FrameOutput:
+                 camera, lights, textures, skybox, ai, light_camera=None,
+                 *, width, height, clear_color, raster, chunk, skinned,
+                 sampling="bilinear", vertex_colors=False, shadow_size=0,
+                 shadow_bias=2e-3, supersample=1, bloom=False,
+                 bloom_threshold=1.0, bloom_strength=0.6) -> FrameOutput:
     return _render_frame_impl(
         geometry, plan, tri_draw, params, palette, shade_table, camera,
         lights, textures, skybox, ai, width=width, height=height,
         clear_color=clear_color, raster=raster, chunk=chunk, skinned=skinned,
-        sampling=sampling, vertex_colors=vertex_colors)
+        sampling=sampling, vertex_colors=vertex_colors,
+        light_camera=light_camera, shadow_size=shadow_size,
+        shadow_bias=shadow_bias, supersample=supersample, bloom=bloom,
+        bloom_threshold=bloom_threshold, bloom_strength=bloom_strength)
 
 
 @dataclass
@@ -243,14 +289,35 @@ class Renderer:
         if self._vertex_colors_version != self.geometry.version:
             self._vertex_colors = bool((packed.colors != 1.0).any())
             self._vertex_colors_version = self.geometry.version
+
+        # directional shadow pass (two-pass render graph)
+        light_cam = None
+        shadow_size = 0
+        if self.config.render.shadows:
+            from trident_tpu.ecs.components import LightComponent, LightType
+
+            for _e, (lc,) in self.registry.view(LightComponent):
+                if (lc.enabled and lc.light_type == LightType.DIRECTIONAL
+                        and lc.cast_shadows):
+                    from trident_tpu.ops.shadow import light_camera, scene_bounds
+
+                    center, radius = scene_bounds(records, packed)
+                    light_cam = light_camera(lc.direction, center, radius)
+                    shadow_size = self.config.render.shadow_map_size
+                    break
+
         out = render_frame(
             device_geo, plan, tri_draw, params, palette, shade_table,
-            cam.params(), lights, textures, skybox, ai,
+            cam.params(), lights, textures, skybox, ai, light_cam,
             width=ctx.width, height=ctx.height,
             clear_color=tuple(self.config.render.clear_color),
             raster=self._raster_mode(), chunk=64, skinned=skinned,
             sampling=self.config.render.sampling,
-            vertex_colors=self._vertex_colors)
+            vertex_colors=self._vertex_colors, shadow_size=shadow_size,
+            supersample=max(int(self.config.render.supersample), 1),
+            bloom=self.config.render.bloom,
+            bloom_threshold=self.config.render.bloom_threshold,
+            bloom_strength=self.config.render.bloom_strength)
         ctx.last_frame = out
         return out
 

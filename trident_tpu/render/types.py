@@ -108,6 +108,16 @@ class AiBlend(NamedTuple):
     blend: Array          # () f32 — 0 disables
 
 
+class ShadowParams(NamedTuple):
+    """Directional-light shadow map (two-pass render graph). The reference
+    only reserves a shadow-caster flag (LightComponent); this implements it."""
+
+    depth: Array          # (S,S) f32 light-space depth map
+    light_vp: Array       # (4,4) f32 light view-projection
+    enabled: Array        # () bool
+    bias: Array           # () f32 depth bias
+
+
 class FramebufferConfig(NamedTuple):
     """Static config (hashable; passed as static argnum)."""
 
