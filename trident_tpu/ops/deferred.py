@@ -48,8 +48,10 @@ def _background(camera: CameraParams, skybox: Optional[SkyboxCube],
     ys = (jnp.arange(height, dtype=jnp.float32) + 0.5) / height * 2.0 - 1.0
     xs = (jnp.arange(width, dtype=jnp.float32) + 0.5) / width * 2.0 - 1.0
     ny, nx = jnp.meshgrid(ys, xs, indexing="ij")
-    x_v = nx / camera.proj[0, 0]
-    y_v = ny / camera.proj[1, 1]
+    # invert the projective xy map at z_view = -1; the proj[i,2] terms
+    # support cropped sub-viewport projections (multi-chip band rendering)
+    x_v = (nx + camera.proj[0, 2]) / camera.proj[0, 0]
+    y_v = (ny + camera.proj[1, 2]) / camera.proj[1, 1]
     dir_view = jnp.stack([x_v, y_v, -jnp.ones_like(x_v)], axis=-1)
     dir_world = dir_view @ camera.view[:3, :3]
     sky = shading.sample_skybox(skybox.faces, dir_world)

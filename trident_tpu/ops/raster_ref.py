@@ -67,9 +67,12 @@ def visibility_ref(setup: TriangleSetup, width: int, height: int,
         best_tri = jnp.where(better, chunk_tri.astype(jnp.int32), best_tri)
         return (best_depth, best_tri), None
 
+    # tie the carry init to the inputs so its sharding/varying-axes match
+    # the body output under shard_map (mesh-banded rendering)
+    tie_f = edge[0, 0, 0] * 0.0
     init = (
-        jnp.full((height, width), depth_clear, jnp.float32),
-        jnp.full((height, width), -1, jnp.int32),
+        jnp.full((height, width), depth_clear, jnp.float32) + tie_f,
+        jnp.full((height, width), -1, jnp.int32) + tie_f.astype(jnp.int32),
     )
     chunks = (
         edge.reshape(n_chunks, chunk, 3, 3),
