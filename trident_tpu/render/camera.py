@@ -36,6 +36,7 @@ class Camera:
         self.near_clip = 0.1
         self.far_clip = 1000.0
         self.viewport = (1920, 1080)
+        self._look_target = None
         self._view = np.eye(4, dtype=np.float32)
         self._proj = np.eye(4, dtype=np.float32)
         self._dirty = True
@@ -47,6 +48,7 @@ class Camera:
 
     def set_rotation(self, euler_deg) -> None:
         self.rotation = np.asarray(euler_deg, dtype=np.float32)
+        self._look_target = None
         self._dirty = True
 
     def set_viewport_size(self, width: int, height: int) -> None:
@@ -69,15 +71,14 @@ class Camera:
         self._dirty = True
 
     def look_at_target(self, target, up=(0.0, 1.0, 0.0)) -> None:
-        """Aim the camera at `target` by deriving euler angles."""
-        fwd = np.asarray(target, np.float32) - self.position
-        n = np.linalg.norm(fwd)
-        if n < 1e-8:
+        """Aim the camera at `target`. Stored as an explicit look-at (exact
+        for every direction — deriving Euler angles under the Rx·Ry·Rz
+        convention breaks when facing backward); cleared by set_rotation."""
+        target = np.asarray(target, np.float32)
+        if np.linalg.norm(target - self.position) < 1e-8:
             return
-        fwd = fwd / n
-        pitch = np.degrees(np.arcsin(np.clip(fwd[1], -1.0, 1.0)))
-        yaw = np.degrees(np.arctan2(-fwd[0], -fwd[2]))
-        self.set_rotation([pitch, yaw, 0.0])
+        self._look_target = (target, np.asarray(up, np.float32))
+        self._dirty = True
 
     # -- matrices --------------------------------------------------------------
     def _rebuild(self) -> None:
@@ -91,11 +92,15 @@ class Camera:
             self._proj = np.asarray(
                 ortho_rh_zo(-half_w, half_w, -half_h, half_h, self.near_clip, self.far_clip))
 
-        # orientation: forward = R @ (0,0,-1), up = R @ (0,1,0)
-        rot = np.asarray(euler_deg_to_mat3(self.rotation))
-        forward = rot @ np.array([0.0, 0.0, -1.0], np.float32)
-        up = rot @ np.array([0.0, 1.0, 0.0], np.float32)
-        self._view = np.asarray(look_at(self.position, self.position + forward, up))
+        if self._look_target is not None:
+            target, up = self._look_target
+            self._view = np.asarray(look_at(self.position, target, up))
+        else:
+            # orientation: forward = R @ (0,0,-1), up = R @ (0,1,0)
+            rot = np.asarray(euler_deg_to_mat3(self.rotation))
+            forward = rot @ np.array([0.0, 0.0, -1.0], np.float32)
+            up = rot @ np.array([0.0, 1.0, 0.0], np.float32)
+            self._view = np.asarray(look_at(self.position, self.position + forward, up))
         self._dirty = False
 
     @property
@@ -139,15 +144,18 @@ class EditorCamera(Camera):
         self.set_position(pivot + offset)
         self.look_at_target(pivot)
 
+    def _basis(self):
+        """(right, up, forward) from the current view matrix — correct in
+        both euler and look-at modes."""
+        v = self.view
+        return v[0, :3], v[1, :3], -v[2, :3]
+
     def dolly(self, amount: float) -> None:
-        rot = np.asarray(euler_deg_to_mat3(self.rotation))
-        forward = rot @ np.array([0.0, 0.0, -1.0], np.float32)
+        _right, _up, forward = self._basis()
         self.set_position(self.position + forward * amount)
 
     def pan(self, dx: float, dy: float) -> None:
-        rot = np.asarray(euler_deg_to_mat3(self.rotation))
-        right = rot @ np.array([1.0, 0.0, 0.0], np.float32)
-        up = rot @ np.array([0.0, 1.0, 0.0], np.float32)
+        right, up, _forward = self._basis()
         self.set_position(self.position + right * dx + up * dy)
 
 
