@@ -22,6 +22,8 @@ Array = jax.Array
 class VertexStageOut(NamedTuple):
     clip: Array       # (TV,4) f32
     attrs: Array      # (TV,12) f32 packed: world(3) normal(3) uv(2) color(3) pad
+    packed: Array     # (TV,16) f32: clip(4) normal(3) uv(2) color(3) pad —
+                      # the ONE row later stages gather per triangle corner
     # convenience views (slices of attrs — same buffers after XLA CSE)
     world: Array      # (TV,3) f32
     normal: Array     # (TV,3) f32 — world-space, normalized
@@ -71,10 +73,19 @@ def vertex_stage(geometry: GeometryBuffers, plan: DrawPlan, params: DrawParams,
     src = plan.vtx_src
     draw = plan.vtx_draw
 
-    positions = geometry.positions[src]
-    normals = geometry.normals[src]
-    colors = geometry.colors[src]
-    uvs = geometry.uvs[src]
+    # ONE gather row per vertex for geometry, TWO for the draw transform
+    # (row-gathers cost ~8ns regardless of width — minimize their count)
+    row = geometry.attr_table[src]                                # (TV,12)
+    positions = row[:, 0:3]
+    normals = row[:, 3:6]
+    uvs = row[:, 6:8]
+    colors = row[:, 8:11]
+    xa = params.xform_a[draw]                                     # (TV,12)
+    xb = params.xform_b[draw]                                     # (TV,12)
+    model = jnp.concatenate([xa, xb[:, 0:4]], axis=-1).reshape(-1, 4, 4)
+    uv_scale = xb[:, 4:6]
+    uv_offset = xb[:, 6:8]
+    tiling = xb[:, 8:9]
 
     if skinned:
         bone_offset = params.bone_offset[draw]
@@ -87,7 +98,6 @@ def vertex_stage(geometry: GeometryBuffers, plan: DrawPlan, params: DrawParams,
     else:
         skinned_pos, skinned_nrm = positions, normals
 
-    model = params.model[draw]                                    # (TV,4,4)
     tv = skinned_pos.shape[0]
     pos_h = jnp.concatenate([skinned_pos, jnp.ones((tv, 1), skinned_pos.dtype)], axis=-1)
     world_h = jnp.einsum("vij,vj->vi", model, pos_h)
@@ -102,12 +112,14 @@ def vertex_stage(geometry: GeometryBuffers, plan: DrawPlan, params: DrawParams,
     vp = camera.proj @ camera.view                                # (4,4)
     clip = world_h @ vp.T                                          # (TV,4) — ONE matmul on the MXU
 
-    uv = uvs * params.uv_scale[draw] * params.tiling[draw][:, None] + params.uv_offset[draw]
+    uv = uvs * uv_scale * tiling + uv_offset
 
     attrs = jnp.concatenate(
         [world, nrm, uv, colors, jnp.zeros((tv, 1), world.dtype)], axis=-1)
-    return VertexStageOut(clip=clip, attrs=attrs, world=world, normal=nrm,
-                          uv=uv, color=colors)
+    packed = jnp.concatenate(
+        [clip, nrm, uv, colors, jnp.zeros((tv, 4), world.dtype)], axis=-1)
+    return VertexStageOut(clip=clip, attrs=attrs, packed=packed, world=world,
+                          normal=nrm, uv=uv, color=colors)
 
 
 class TriangleSetup(NamedTuple):
@@ -138,8 +150,11 @@ def triangle_setup(clip: Array, tri_vtx: Array, tri_valid: Array,
     Vulkan's y-down framebuffer with the projection Y-flip baked in). We fold
     that viewport transform into the homogeneous coords so edge functions are
     evaluated directly at pixel centers.
+
+    `clip` is (V,4) with `tri_vtx` (T,3) indices, or pre-gathered (T,3,4)
+    corner clip coords with tri_vtx=None (shared-gather fast path).
     """
-    c = clip[tri_vtx]                    # (T,3,4)
+    c = clip if tri_vtx is None else clip[tri_vtx]   # (T,3,4)
     x, y, z, w = c[..., 0], c[..., 1], c[..., 2], c[..., 3]
 
     # viewport-scaled homogeneous coords: sx = (x + w)*W/2, sy = (y + w)*H/2

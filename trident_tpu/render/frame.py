@@ -257,8 +257,15 @@ def build_draw_params(records: List[DrawRecord], num_draws: int,
     palette_p = np.tile(np.eye(4, dtype=np.float32), (p, 1, 1))
     palette_p[: palette.shape[0]] = palette
 
+    model_flat = model.reshape(d, 16)
+    xform_a = model_flat[:, :12].copy()
+    xform_b = np.concatenate(
+        [model_flat[:, 12:16], uv_scale, uv_offset, tiling[:, None],
+         np.zeros((d, 3), np.float32)], axis=1)
     params = DrawParams(
         model=jnp.asarray(model),
+        xform_a=jnp.asarray(xform_a),
+        xform_b=jnp.asarray(xform_b),
         tint=jnp.asarray(tint),
         uv_scale=jnp.asarray(uv_scale),
         uv_offset=jnp.asarray(uv_offset),
@@ -272,6 +279,10 @@ def build_draw_params(records: List[DrawRecord], num_draws: int,
 
 
 def geometry_to_device(packed: PackedGeometry) -> GeometryBuffers:
+    v = packed.positions.shape[0]
+    attr_table = np.concatenate(
+        [packed.positions, packed.normals, packed.uvs, packed.colors,
+         np.zeros((v, 1), np.float32)], axis=1)
     return GeometryBuffers(
         positions=jnp.asarray(packed.positions),
         normals=jnp.asarray(packed.normals),
@@ -281,4 +292,5 @@ def geometry_to_device(packed: PackedGeometry) -> GeometryBuffers:
         uvs=jnp.asarray(packed.uvs),
         bone_indices=jnp.asarray(packed.bone_indices),
         bone_weights=jnp.asarray(packed.bone_weights),
+        attr_table=jnp.asarray(attr_table),
     )

@@ -72,8 +72,9 @@ def _render_frame_impl(geometry, plan, tri_draw, params, palette, shade_table,
 
     rw, rh = width * supersample, height * supersample
     verts = vertex_stage(geometry, plan, params, camera, palette, skinned=skinned)
-    setup = triangle_setup(verts.clip, plan.tri_vtx, plan.tri_valid, rw, rh)
-    planes = build_planes(setup, verts, plan.tri_vtx, tri_draw, shade_table,
+    corners = verts.packed[plan.tri_vtx]           # (T,3,16) — ONE corner gather
+    setup = triangle_setup(corners[..., 0:4], None, plan.tri_valid, rw, rh)
+    planes = build_planes(setup, corners, tri_draw, shade_table,
                           vertex_colors=vertex_colors)
     if raster == "pallas":
         from trident_tpu.ops.raster_pallas import visibility_pallas

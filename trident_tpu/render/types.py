@@ -33,6 +33,9 @@ class GeometryBuffers(NamedTuple):
     uvs: Array            # (V,2) f32
     bone_indices: Array   # (V,4) i32 (-1 = none)
     bone_weights: Array   # (V,4) f32
+    attr_table: Array     # (V,12) f32 packed pos(3) nrm(3) uv(2) col(3) pad —
+                          # ONE gather row for the vertex stage (per-row
+                          # gathers cost ~8ns regardless of width ≤48B)
 
 
 class DrawPlan(NamedTuple):
@@ -49,9 +52,13 @@ class DrawPlan(NamedTuple):
 
 
 class DrawParams(NamedTuple):
-    """Per-draw state, batched over D draws (push-constant analogue)."""
+    """Per-draw state, batched over D draws (push-constant analogue).
+    xform_a/xform_b pack the model matrix + UV transform into two gather
+    rows (flat model[0:12] | model[12:16], uv_scale, uv_offset, tiling...)."""
 
     model: Array          # (D,4,4) f32
+    xform_a: Array        # (D,12) f32 — model rows 0..2 flattened
+    xform_b: Array        # (D,12) f32 — model row 3, uv_scale, uv_offset, tiling, pad
     tint: Array           # (D,4) f32
     uv_scale: Array       # (D,2) f32
     uv_offset: Array      # (D,2) f32
