@@ -1,0 +1,90 @@
+"""Texture sampling modes, mip selection, Morton ordering properties."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from trident_tpu.geometry.mesh import morton_order
+from trident_tpu.ops.shading import sample_texture
+from trident_tpu.render.textures import TextureSlots
+
+
+def make_tex(edge=64):
+    slots = TextureSlots(max_slots=8, edge=edge)
+    # red/blue vertical split texture
+    img = np.zeros((edge, edge, 4), np.uint8)
+    img[:, : edge // 2] = [255, 0, 0, 255]
+    img[:, edge // 2:] = [0, 0, 255, 255]
+    slot = slots.acquire("split", img)
+    return slots.device_arrays(), slot
+
+
+def test_nearest_vs_bilinear_at_mip0():
+    tex, slot = make_tex()
+    uv = jnp.asarray([[0.25, 0.5], [0.75, 0.5]], jnp.float32)
+    slots = jnp.full(2, slot, jnp.int32)
+    mip = jnp.zeros(2, jnp.float32)
+    for mode in ("nearest", "bilinear", "trilinear"):
+        out = np.asarray(sample_texture(tex, slots, uv, mip, mode=mode))
+        assert out[0, 0] > 0.9 and out[0, 2] < 0.1   # left = red
+        assert out[1, 2] > 0.9 and out[1, 0] < 0.1   # right = blue
+
+
+def test_bilinear_blends_at_boundary():
+    tex, slot = make_tex()
+    # exactly on the red/blue seam: bilinear mixes, nearest snaps
+    uv = jnp.asarray([[0.5, 0.5]], jnp.float32)
+    slots = jnp.full(1, slot, jnp.int32)
+    mip = jnp.zeros(1, jnp.float32)
+    bil = np.asarray(sample_texture(tex, slots, uv, mip, mode="bilinear"))[0]
+    assert 0.2 < bil[0] < 0.8 and 0.2 < bil[2] < 0.8
+    near = np.asarray(sample_texture(tex, slots, uv, mip, mode="nearest"))[0]
+    assert near[0] > 0.9 or near[2] > 0.9
+
+
+def test_high_mip_averages():
+    tex, slot = make_tex()
+    uv = jnp.asarray([[0.25, 0.5]], jnp.float32)
+    slots = jnp.full(1, slot, jnp.int32)
+    # the top mip is the average of red and blue → purple-ish
+    top = float(np.log2(64))
+    out = np.asarray(sample_texture(tex, slots, uv,
+                                    jnp.full(1, top, jnp.float32),
+                                    mode="bilinear"))[0]
+    assert 0.2 < out[0] < 0.8 and 0.2 < out[2] < 0.8
+
+
+def test_repeat_wrap():
+    tex, slot = make_tex()
+    slots = jnp.full(1, slot, jnp.int32)
+    mip = jnp.zeros(1, jnp.float32)
+    a = np.asarray(sample_texture(tex, slots, jnp.asarray([[0.25, 0.5]]), mip))
+    b = np.asarray(sample_texture(tex, slots, jnp.asarray([[1.25, 0.5]]), mip))
+    c = np.asarray(sample_texture(tex, slots, jnp.asarray([[-0.75, 0.5]]), mip))
+    np.testing.assert_allclose(a, b, atol=1e-5)
+    np.testing.assert_allclose(a, c, atol=1e-5)
+
+
+def test_morton_order_locality(rng):
+    """Consecutive triangles after Morton sort are spatially closer than in
+    a scrambled order (what the raster binner's chunk bboxes depend on)."""
+    n = 4096
+    centers = rng.random((n, 3)).astype(np.float32)
+    tri = np.arange(n * 3, dtype=np.int32)
+    positions = np.repeat(centers, 3, axis=0) \
+        + rng.normal(0, 1e-3, (n * 3, 3)).astype(np.float32)
+    scrambled = tri.reshape(-1, 3)[rng.permutation(n)].reshape(-1)
+    sorted_idx = morton_order(scrambled, positions)
+
+    def chunk_extent(indices, chunk=64):
+        t = indices.reshape(-1, 3)
+        cent = positions[t].mean(axis=1)
+        nc = len(cent) // chunk
+        cent = cent[: nc * chunk].reshape(nc, chunk, 3)
+        return (cent.max(axis=1) - cent.min(axis=1)).mean()
+
+    assert chunk_extent(sorted_idx) < chunk_extent(scrambled) * 0.5
+    # same multiset of triangles
+    assert sorted({tuple(sorted(t)) for t in sorted_idx.reshape(-1, 3)}) == \
+        sorted({tuple(sorted(t)) for t in scrambled.reshape(-1, 3)})

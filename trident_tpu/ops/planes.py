@@ -14,9 +14,11 @@ Plane table layout, split into two (T,16) tables:
   B: gV(3) | color_factor(4) | metallic | roughness | ambient | slot | pad(3)
 (vertex colors, when enabled, get a third table C: gR(3) gG(3) gB(3) pad)
 
-Inputs come pre-gathered: `corners` is the (T,3,16) packed per-corner rows
-(VertexStageOut.packed[tri_vtx]) shared with triangle setup — corner
-gathers are done ONCE per frame.
+Structure note (measured on v5e): per-attribute `einsum("tk,tkc->tc")`
+plane builds fuse into cheap elementwise+reduce chains; a combined batched
+matmul over an attribute stack (`einsum("tka,tkc->tac")`) lowers 3× slower,
+and materializing a shared (T,3,16) corner gather breaks cross-stage fusion
+entirely. XLA CSEs the repeated attrs[tri_vtx] gathers by itself.
 """
 
 from __future__ import annotations
@@ -26,14 +28,9 @@ from typing import NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
-from trident_tpu.ops.vertex import TriangleSetup
+from trident_tpu.ops.vertex import TriangleSetup, VertexStageOut
 
 Array = jax.Array
-
-# packed corner row layout (VertexStageOut.packed)
-_NRM = slice(4, 7)
-_UV = slice(7, 9)
-_COL = slice(9, 12)
 
 
 class AttributePlanes(NamedTuple):
@@ -42,30 +39,35 @@ class AttributePlanes(NamedTuple):
     table_c: Optional[Array]  # (T,16) f32 or None (no vertex colors)
 
 
-def build_planes(setup: TriangleSetup, corners: Array, tri_draw: Array,
-                 shade_table: Array, vertex_colors: bool = False) -> AttributePlanes:
+def build_planes(setup: TriangleSetup, verts: VertexStageOut, tri_vtx: Array,
+                 tri_draw: Array, shade_table: Array,
+                 vertex_colors: bool = False) -> AttributePlanes:
     edge = setup.edge                              # (T,3,3)
     t = edge.shape[0]
 
-    # plane of a per-corner attribute stack (T,3,A): Σ_k attr[:,k,:]·edge[:,k,c]
-    def planes_of(attr):                           # (T,3,A) → (T,A,3)
-        return jnp.einsum("tka,tkc->tac", attr, edge)
+    def plane(attr_per_vertex):                    # (T,3) values → (T,3) plane
+        return jnp.einsum("tk,tkc->tc", attr_per_vertex, edge)
 
     g1 = jnp.sum(edge, axis=1)                     # (T,3)
 
-    nrm_uv = planes_of(corners[..., 4:9])          # normals(3)+uv(2) → (T,5,3)
-    g_n = nrm_uv[:, 0:3].reshape(t, 9)
-    g_u = nrm_uv[:, 3]
-    g_v = nrm_uv[:, 4]
+    nrm = verts.attrs[tri_vtx][..., 3:6]           # (T,3,3) — gather CSE'd
+    uv = verts.attrs[tri_vtx][..., 6:8]            # (T,3,2)
+    g_nx = plane(nrm[..., 0])
+    g_ny = plane(nrm[..., 1])
+    g_nz = plane(nrm[..., 2])
+    g_u = plane(uv[..., 0])
+    g_v = plane(uv[..., 1])
 
     draw = shade_table[tri_draw]                   # (T,8)
 
     pad1 = jnp.zeros((t, 1), edge.dtype)
-    table_a = jnp.concatenate([g1, g_n, g_u, pad1], axis=1)
+    table_a = jnp.concatenate([g1, g_nx, g_ny, g_nz, g_u, pad1], axis=1)
     table_b = jnp.concatenate([g_v, draw, jnp.zeros((t, 5), edge.dtype)], axis=1)
 
     table_c = None
     if vertex_colors:
-        g_c = planes_of(corners[..., _COL]).reshape(t, 9)
-        table_c = jnp.concatenate([g_c, jnp.zeros((t, 7), edge.dtype)], axis=1)
+        col = verts.attrs[tri_vtx][..., 8:11]
+        table_c = jnp.concatenate(
+            [plane(col[..., 0]), plane(col[..., 1]), plane(col[..., 2]),
+             jnp.zeros((t, 7), edge.dtype)], axis=1)
     return AttributePlanes(table_a=table_a, table_b=table_b, table_c=table_c)

@@ -103,7 +103,9 @@ def shade_pbr(world: Array, normal: Array, albedo: Array, metallic: Array,
         dir_term = dir_term * dir_shadow
     direct += dir_term
 
-    # point lights — static loop over the 8 slots, masked by point_count
+    # point lights — static loop over the (bucketed) slots present in the
+    # LightParams arrays, masked by point_count; scenes without point
+    # lights pass zero-row arrays and skip all of this at trace time
     max_points = lights.point_pos_range.shape[0]
     for i in range(max_points):
         on = (i < lights.point_count).astype(albedo.dtype)

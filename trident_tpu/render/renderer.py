@@ -72,9 +72,8 @@ def _render_frame_impl(geometry, plan, tri_draw, params, palette, shade_table,
 
     rw, rh = width * supersample, height * supersample
     verts = vertex_stage(geometry, plan, params, camera, palette, skinned=skinned)
-    corners = verts.packed[plan.tri_vtx]           # (T,3,16) — ONE corner gather
-    setup = triangle_setup(corners[..., 0:4], None, plan.tri_valid, rw, rh)
-    planes = build_planes(setup, corners, tri_draw, shade_table,
+    setup = triangle_setup(verts.clip, plan.tri_vtx, plan.tri_valid, rw, rh)
+    planes = build_planes(setup, verts, plan.tri_vtx, tri_draw, shade_table,
                           vertex_colors=vertex_colors)
     if raster == "pallas":
         from trident_tpu.ops.raster_pallas import visibility_pallas
@@ -279,8 +278,7 @@ class Renderer:
         skinned = any(r.bone_matrices is not None for r in records)
         lights = gather_lights(self.registry)
         textures = self.textures.device_arrays()
-        skybox = self._skybox or SkyboxCube(
-            faces=jnp.zeros((6, 1, 1, 3), jnp.float32), valid=jnp.asarray(False))
+        skybox = self._skybox  # None compiles the clear-color-only background
         if self._ai_image is not None and self.ai_blend > 0.0:
             ai = AiBlend(image=self._ai_image, blend=jnp.asarray(self.ai_blend, jnp.float32))
         else:
