@@ -104,6 +104,7 @@ class Scene:
         self.runtime_registry: Optional[Registry] = None
         self.renderer = renderer
         self.playing = False
+        self.paused = False
         self.script_runner: Optional[Callable] = None
         self._seed_default_camera()
 
@@ -133,15 +134,34 @@ class Scene:
         self.playing = True
         from trident_tpu.anim.system import AnimationSystem
 
+        self.paused = False
         AnimationSystem.initialise_pose(self.runtime_registry)
         if self.renderer is not None:
             self.renderer.set_active_registry(self.runtime_registry)
             self.renderer.bind_runtime_camera(self.runtime_registry)
 
+    def pause(self, paused: bool = True) -> None:
+        """Freeze runtime updates without destroying the sandbox (the
+        toolbar pause button)."""
+        self.paused = paused
+
+    def find_by_tag(self, tag: str) -> List[Entity]:
+        """Hierarchy-panel style lookup in the ACTIVE registry."""
+        return [e for e, (t,) in self.registry.view(TagComponent) if t.tag == tag]
+
+    def entity_names(self) -> List[tuple]:
+        """(entity, tag) list — what the hierarchy panel shows."""
+        out = []
+        for e in self.registry.alive():
+            t = self.registry.try_get(e, TagComponent)
+            out.append((e, t.tag if t else f"Entity {e}"))
+        return out
+
     def stop(self) -> None:
         if not self.playing:
             return
         self.playing = False
+        self.paused = False
         self.runtime_registry = None
         if self.renderer is not None:
             self.renderer.set_active_registry(self.editor_registry)
@@ -149,7 +169,7 @@ class Scene:
 
     def update(self, dt: float) -> None:
         """Per-frame runtime logic: scripts + skeletal animation."""
-        if not self.playing:
+        if not self.playing or self.paused:
             return
         registry = self.runtime_registry
         for entity, (script,) in registry.view(ScriptComponent):
