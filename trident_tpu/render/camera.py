@@ -159,6 +159,23 @@ class EditorCamera(Camera):
         self.set_position(self.position + right * dx + up * dy)
 
 
+def frame_entity(camera: Camera, registry, entity, distance_factor: float = 3.0) -> None:
+    """Frame-selection (the editor's F key): aim at the entity and back off
+    proportionally to its scale."""
+    from trident_tpu.ecs.components import TransformComponent
+
+    t = registry.try_get(entity, TransformComponent)
+    if t is None:
+        return
+    radius = max(float(np.max(np.abs(t.scale))), 0.5)
+    target = np.asarray(t.position, np.float32)
+    direction = camera.position - target
+    n = np.linalg.norm(direction)
+    direction = direction / n if n > 1e-6 else np.array([0.0, 0.3, 1.0], np.float32)
+    camera.set_position(target + direction * radius * distance_factor)
+    camera.look_at_target(target)
+
+
 class RuntimeCamera(Camera):
     """Bound to the primary CameraComponent during play mode."""
 
