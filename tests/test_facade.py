@@ -76,3 +76,31 @@ def test_checkpoint_validation(tmp_path):
     # wrong architecture must fail loudly
     mismatch = validate_checkpoint(cfg.checkpoint_dir, (16, 16), 8)
     assert not mismatch.ok
+
+
+def test_entity_picking():
+    import numpy as np
+    from trident_tpu.ecs.components import MeshComponent, TransformComponent
+    from trident_tpu.ecs.registry import Registry
+    from trident_tpu.geometry.primitives import PrimitiveType
+    from trident_tpu.render.renderer import Renderer
+
+    r = Renderer(EngineConfig(render=RenderConfig(width=96, height=96,
+                                                  use_pallas=False)))
+    reg = Registry()
+    r.set_active_registry(reg)
+    left = reg.create()
+    tl = reg.add(left, TransformComponent())
+    tl.position = np.array([-0.8, 0, 0], np.float32)
+    reg.add(left, MeshComponent(mesh_index=r.ensure_primitive(PrimitiveType.CUBE)))
+    right = reg.create()
+    tr_ = reg.add(right, TransformComponent())
+    tr_.position = np.array([0.8, 0, 0], np.float32)
+    reg.add(right, MeshComponent(mesh_index=r.ensure_primitive(PrimitiveType.CUBE)))
+    r.editor_camera.set_position([0, 0, 4])
+    r.editor_camera.look_at_target([0, 0, 0])
+    r.render_viewport(0)
+    assert r.pick(24, 48) == left      # left third of the screen
+    assert r.pick(72, 48) == right
+    assert r.pick(48, 4) == -1         # sky
+    assert r.pick(-5, 10) == -1        # out of bounds

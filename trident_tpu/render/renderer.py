@@ -178,6 +178,8 @@ class Renderer:
         self.max_inflight = 3
         self._vertex_colors = False
         self._vertex_colors_version = -1
+        self._last_records: List = []
+        self._last_tri_draw = None
         self.stats_models = 0
         self.stats_triangles = 0
 
@@ -272,6 +274,8 @@ class Renderer:
         self.stats_triangles = sum(
             packed.draw_infos[r.mesh_index].index_count // 3 for r in records)
         plan, tri_draw = self._plan_cache.plan(packed, records, self.geometry.version)
+        self._last_records = records
+        self._last_tri_draw = tri_draw
         params, palette, shade_table = build_draw_params(
             records, plan.num_draws, self.config.render.max_bones,
             material_table=self.geometry.material_table())
@@ -373,6 +377,25 @@ class Renderer:
 
             frame = composite_overlay(frame, overlay)
         return frame
+
+    def pick(self, x: int, y: int, viewport_id: Optional[int] = None) -> int:
+        """Entity under pixel (x,y) of the last rendered frame, or -1 —
+        the viewport click-select (ImGuizmo/SceneViewport analogue). Uses
+        the winner-triangle GBuffer, so it is exact per pixel."""
+        vid = self.active_viewport if viewport_id is None else viewport_id
+        ctx = self.viewports.get(vid)
+        if ctx is None or ctx.last_frame is None or not self._last_records:
+            return -1
+        tri_map = np.asarray(ctx.last_frame.tri_id)
+        if not (0 <= y < tri_map.shape[0] and 0 <= x < tri_map.shape[1]):
+            return -1
+        tri = int(tri_map[y, x])
+        if tri < 0:
+            return -1
+        draw = int(np.asarray(self._last_tri_draw)[tri])
+        if draw >= len(self._last_records):
+            return -1
+        return self._last_records[draw].entity
 
     def bind_runtime_camera(self, registry: Registry) -> bool:
         """Find the primary CameraComponent and drive the runtime camera
