@@ -211,9 +211,11 @@ def _visibility_kernel(pair_tile_ref, pair_chunk_ref, rec_ref, depth_out,
     e2 = col(6) * pxf + col(7) * pyf + col(8)
     zi = e0 * col(9) + e1 * col(10) + e2 * col(11)
     wi = e0 * col(12) + e1 * col(13) + e2 * col(14)
-    cover = (e0 >= 0.0) & (e1 >= 0.0) & (e2 >= 0.0) & (wi > 1e-12)
-    d = zi / jnp.where(cover, wi, 1.0)
-    cover &= (d >= 0.0) & (d <= 1.0)
+    # depth range test in cross-multiplied form (no divide): with wi>0,
+    # 0 ≤ zi/wi ≤ 1 ⇔ zi ≥ 0 and zi ≤ wi
+    cover = ((e0 >= 0.0) & (e1 >= 0.0) & (e2 >= 0.0) & (wi > 1e-12)
+             & (zi >= 0.0) & (zi <= wi))
+    d = zi * pl.reciprocal(jnp.where(cover, wi, 1.0), approx=False)
     dm = jnp.where(cover, d, DEPTH_SENTINEL)
 
     cmin = jnp.min(dm, axis=0, keepdims=True)      # (1, npx)

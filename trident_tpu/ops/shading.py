@@ -138,17 +138,34 @@ def tonemap_reinhard_gamma(color: Array) -> Array:
 # data[s, offsets[l] + y*(edge>>l) + x]. Sampling any level is 4 gathers;
 # trilinear is exactly 8 regardless of level count.
 
+def _unpack_rgba8(v: Array) -> Array:
+    return jnp.stack([
+        (v & 0xFF).astype(jnp.float32),
+        ((v >> 8) & 0xFF).astype(jnp.float32),
+        ((v >> 16) & 0xFF).astype(jnp.float32),
+        ((v >> 24) & 0xFF).astype(jnp.float32),
+    ], axis=-1)
+
+
+def _level_geom(tex, slot: Array, level: Array):
+    """(lw, lh, stride, base) for per-pixel integer mip levels. Rows carry a
+    wrap-gutter column, so stride = (edge>>l) + 1."""
+    level = jnp.clip(level, 0, tex.offsets.shape[0] - 1)
+    lw = jnp.maximum(jnp.right_shift(tex.sizes[slot, 0], level), 1)
+    lh = jnp.maximum(jnp.right_shift(tex.sizes[slot, 1], level), 1)
+    stride = jnp.maximum(jnp.right_shift(tex.edge, level), 1) + 1
+    base = tex.offsets[level]
+    return lw, lh, stride, base
+
+
 def _bilinear_flat(tex, slot: Array, uv: Array, level: Array) -> Array:
     """Bilinear sample with REPEAT wrap at integer mip `level` (per-pixel).
 
-    tex: TextureArrays; slot (...,) i32; uv (...,2); level (...,) i32.
+    TWO 8-byte pair-gathers (one per y row): pairs[i] = (texel_i,
+    texel_{i+1}) and the gutter column makes (x0, x0+1) always valid.
     Returns (...,4) f32 in [0,1].
     """
-    level = jnp.clip(level, 0, tex.offsets.shape[0] - 1)
-    lw = jnp.maximum(jnp.right_shift(tex.sizes[slot, 0], level), 1)  # (...)
-    lh = jnp.maximum(jnp.right_shift(tex.sizes[slot, 1], level), 1)
-    stride = jnp.right_shift(tex.edge, level)                        # (...)
-    base = tex.offsets[level]                                        # (...)
+    lw, lh, stride, base = _level_geom(tex, slot, level)
 
     x = uv[..., 0] * lw.astype(jnp.float32) - 0.5
     y = uv[..., 1] * lh.astype(jnp.float32) - 0.5
@@ -160,21 +177,17 @@ def _bilinear_flat(tex, slot: Array, uv: Array, level: Array) -> Array:
     def wrap(v, n):
         return jnp.mod(v.astype(jnp.int32), n)
 
-    x0i, x1i = wrap(x0, lw), wrap(x0 + 1, lw)
+    x0i = wrap(x0, lw)
     y0i, y1i = wrap(y0, lh), wrap(y0 + 1, lh)
 
-    def fetch(yi, xi):
-        # one u32 gather per texel; unpack RGBA8 with vector shifts
-        v = tex.data[slot, base + yi * stride + xi]
-        return jnp.stack([
-            (v & 0xFF).astype(jnp.float32),
-            ((v >> 8) & 0xFF).astype(jnp.float32),
-            ((v >> 16) & 0xFF).astype(jnp.float32),
-            ((v >> 24) & 0xFF).astype(jnp.float32),
-        ], axis=-1)
+    def fetch_pair(yi):
+        p = tex.pairs[slot, base + yi * stride + x0i]   # (...,2) u32
+        return _unpack_rgba8(p[..., 0]), _unpack_rgba8(p[..., 1])
 
-    top = fetch(y0i, x0i) * (1.0 - fx) + fetch(y0i, x1i) * fx
-    bot = fetch(y1i, x0i) * (1.0 - fx) + fetch(y1i, x1i) * fx
+    t00, t10 = fetch_pair(y0i)
+    t01, t11 = fetch_pair(y1i)
+    top = t00 * (1.0 - fx) + t10 * fx
+    bot = t01 * (1.0 - fx) + t11 * fx
     return (top * (1.0 - fy) + bot * fy) * (1.0 / 255.0)
 
 
@@ -185,20 +198,11 @@ def sample_bilinear(tex, slot: Array, uv: Array) -> Array:
 
 def _nearest_flat(tex, slot: Array, uv: Array, level: Array) -> Array:
     """Nearest-texel sample at integer mip `level` — ONE gather."""
-    level = jnp.clip(level, 0, tex.offsets.shape[0] - 1)
-    lw = jnp.maximum(jnp.right_shift(tex.sizes[slot, 0], level), 1)
-    lh = jnp.maximum(jnp.right_shift(tex.sizes[slot, 1], level), 1)
-    stride = jnp.right_shift(tex.edge, level)
-    base = tex.offsets[level]
+    lw, lh, stride, base = _level_geom(tex, slot, level)
     xi = jnp.mod(jnp.floor(uv[..., 0] * lw.astype(jnp.float32)).astype(jnp.int32), lw)
     yi = jnp.mod(jnp.floor(uv[..., 1] * lh.astype(jnp.float32)).astype(jnp.int32), lh)
-    v = tex.data[slot, base + yi * stride + xi]
-    return jnp.stack([
-        (v & 0xFF).astype(jnp.float32),
-        ((v >> 8) & 0xFF).astype(jnp.float32),
-        ((v >> 16) & 0xFF).astype(jnp.float32),
-        ((v >> 24) & 0xFF).astype(jnp.float32),
-    ], axis=-1) * (1.0 / 255.0)
+    v = tex.pairs[slot, base + yi * stride + xi, 0]
+    return _unpack_rgba8(v) * (1.0 / 255.0)
 
 
 def sample_texture_mip(tex, slot: Array, uv: Array, mip_level: Array) -> Array:

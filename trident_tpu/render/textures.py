@@ -124,11 +124,13 @@ class TextureSlots:
         s = min(((n + bucket - 1) // bucket) * bucket, self.max_slots)
         s = max(s, n)
 
+        # rows carry a wrap-gutter column: stride = e+1, column w = column 0
         level_edges = [max(self.edge >> l, 1) for l in range(self.mip_count)]
+        level_sizes = [(e + 1) * e for e in level_edges]
         offsets = np.zeros(self.mip_count, np.int64)
         for l in range(1, self.mip_count):
-            offsets[l] = offsets[l - 1] + level_edges[l - 1] ** 2
-        total = int(offsets[-1] + level_edges[-1] ** 2)
+            offsets[l] = offsets[l - 1] + level_sizes[l - 1]
+        total = int(offsets[-1] + level_sizes[-1])
 
         sizes = np.ones((s, 2), np.int32)
         data = np.zeros((s, total), np.uint32)   # RGBA8 packed in one u32
@@ -136,20 +138,28 @@ class TextureSlots:
             img = self._images[i] if i < n else np.full((1, 1, 4), 255, np.uint8)
             if i < n:
                 sizes[i] = self._sizes[i]
+            w0, h0 = (sizes[i] if i < n else (1, 1))
             cur = img
             for l, e in enumerate(level_edges):
-                tile = np.zeros((e, e, 4), np.uint8)
+                tile = np.zeros((e, e + 1, 4), np.uint8)
                 ch, cw = min(cur.shape[0], e), min(cur.shape[1], e)
                 tile[:ch, :cw] = cur[:ch, :cw]
-                flat = tile.reshape(e * e, 4).astype(np.uint32)
-                data[i, offsets[l]:offsets[l] + e * e] = (
+                lw = max(int(w0) >> l, 1) if i < n else 1
+                lw = min(lw, e)
+                tile[:ch, lw] = tile[:ch, 0]     # REPEAT gutter at actual width
+                flat = tile.reshape(level_sizes[l], 4).astype(np.uint32)
+                data[i, offsets[l]:offsets[l] + level_sizes[l]] = (
                     flat[:, 0] | (flat[:, 1] << 8) | (flat[:, 2] << 16)
                     | (flat[:, 3] << 24))
                 if l + 1 < self.mip_count:
                     cur = _box_downsample(cur)
 
+        # sliding texel pairs: pairs[i] = (data[i], data[i+1])
+        pairs = np.stack([data, np.concatenate(
+            [data[:, 1:], data[:, -1:]], axis=1)], axis=-1)
+
         self._device = TextureArrays(
-            data=jnp.asarray(data),
+            pairs=jnp.asarray(pairs),
             sizes=jnp.asarray(sizes),
             offsets=jnp.asarray(offsets.astype(np.int32)),
             edge=jnp.asarray(self.edge, jnp.int32),

@@ -91,15 +91,19 @@ class MaterialTable(NamedTuple):
 
 
 class TextureArrays(NamedTuple):
-    """Slot-indexed texture storage: a FLAT packed mip pyramid.
+    """Slot-indexed texture storage: a FLAT packed mip pyramid of TEXEL
+    PAIRS.
 
-    All mip levels of a slot live in one row: data[s, offsets[l] + y*(edge>>l)
-    + x] is texel (x,y) of level l. This keeps trilinear sampling at a fixed
-    8 gathers for ANY level count (an unrolled per-level cascade made XLA
-    compile times explode). Slot 0 is the 1×1-white analogue; sizes[s] is
-    the actual (w,h) footprint inside the padded tile for REPEAT wrap."""
+    Rows have a wrap-gutter column (stride = (edge>>l)+1, column w copies
+    column 0), and pairs[s, i] = (texel_i, texel_{i+1}) — so a bilinear tap
+    needs TWO 8-byte gathers (one per y row) instead of four, and nearest
+    needs one (lane 0). Per-pixel gathers (~8ns each) dominate shading cost
+    on TPU; rows up to 48B gather at the same rate as 4B, so the 2× memory
+    is free speed. Trilinear stays a fixed 4 gathers for ANY mip count.
+    Slot 0 is the 1×1-white analogue; sizes[s] is the actual (w,h) footprint
+    for REPEAT wrap."""
 
-    data: Array               # (S, T) uint32 packed RGBA8, T = Σ_l (edge>>l)²
+    pairs: Array              # (S, T, 2) uint32 RGBA8, T = Σ_l ((edge>>l)+1)·(edge>>l)
     sizes: Array              # (S,2) i32 actual (w,h) at mip 0
     offsets: Array            # (L,) i32 flat offset of each level
     edge: Array               # () i32 padded edge at mip 0
