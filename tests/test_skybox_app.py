@@ -92,3 +92,18 @@ def test_application_headless_loop(tmp_path):
     app.post_event(WindowCloseEvent())
     assert not app.running
     app.shutdown()
+
+
+import pytest as _pytest
+
+
+@_pytest.mark.skipif(not __import__("os").path.isdir(
+    "/root/reference/Trident-Forge/Assets/Skyboxes"),
+    reason="reference assets not mounted")
+def test_reference_skybox_assets_load():
+    """The reference's shipped cubemap faces load through our discovery."""
+    faces = load_skybox("/root/reference/Trident-Forge/Assets/Skyboxes")
+    assert faces.shape == (6, 512, 512, 3)
+    assert 0.0 <= float(faces.min()) and float(faces.max()) <= 1.0
+    # real sky: faces differ from each other
+    assert abs(faces[2].mean() - faces[3].mean()) > 0.01
