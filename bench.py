@@ -12,7 +12,8 @@ evaluating backends, per-frame host readbacks measure tunnel latency and
 un-consumed frames may never execute.
 
 Config via BENCH_CONFIG env: "cube512" (default; BASELINE.json config 1),
-"spheres1080" (~110k tris), "spheres1080_1m" (~1M tris, config 5 shape).
+"spheres1080" (~110k tris, config 2 shape), "spheres1080_1m" (~1M tris),
+"ultra4k" (1M tris @ 3840×2160 with bloom — config 5).
 """
 
 from __future__ import annotations
@@ -34,10 +35,14 @@ def build_scene(config: str):
     from trident_tpu.io.image import checkerboard
     from trident_tpu.render.renderer import Renderer
 
-    grid = {"spheres1080": 12, "spheres1080_1m": 36}.get(config, 0)
-    w, h = (1920, 1080) if grid else (512, 512)
+    grid = {"spheres1080": 12, "spheres1080_1m": 36, "ultra4k": 36}.get(config, 0)
+    if config == "ultra4k":
+        w, h = 3840, 2160
+    else:
+        w, h = (1920, 1080) if grid else (512, 512)
 
-    cfg = EngineConfig(render=RenderConfig(width=w, height=h))
+    cfg = EngineConfig(render=RenderConfig(width=w, height=h,
+                                           bloom=(config == "ultra4k")))
     r = Renderer(cfg)
     reg = Registry()
     r.set_active_registry(reg)
@@ -116,7 +121,8 @@ def main() -> None:
             CameraParams(cam.view, cam.proj, cam.position + token * 0),
             lights, tex, sky, ai, width=w, height=h,
             clear_color=tuple(renderer.config.render.clear_color),
-            raster=raster, chunk=64, skinned=False)
+            raster=raster, chunk=64, skinned=False,
+            bloom=renderer.config.render.bloom)
 
     # warmup/compile
     token = jnp.zeros((), jnp.float32)
@@ -145,7 +151,8 @@ def main() -> None:
                 CameraParams(cam.view, cam.proj, cam.position + token * 0),
                 lights, tex, sky, ai, width=w, height=h,
                 clear_color=tuple(renderer.config.render.clear_color),
-                raster=raster, chunk=64, skinned=False)
+                raster=raster, chunk=64, skinned=False,
+                bloom=renderer.config.render.bloom)
             return o.depth[0, 0] * 0.0, o.color[0, 0, 0]
         token, samples = jax.lax.scan(body, jnp.zeros((), jnp.float32), params_seq)
         return samples
