@@ -200,3 +200,66 @@ def test_skinned_render_end_to_end(tmp_path):
     img1 = r.read_frame()
     # the animation must visibly change the image
     assert np.abs(img0.astype(int) - img1.astype(int)).max() > 30
+
+
+def test_gltf_embedded_texture(tmp_path):
+    """Data-URI image → textured material without external files."""
+    import io
+    from PIL import Image
+
+    img = np.zeros((8, 8, 3), np.uint8)
+    img[:, :4] = [255, 0, 0]
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, format="PNG")
+    png_b64 = base64.b64encode(buf.getvalue()).decode()
+
+    positions = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float32)
+    uvs = np.array([[0, 0], [1, 0], [0, 1]], np.float32)
+    indices = np.array([0, 1, 2], np.uint16)
+    blob = positions.tobytes() + uvs.tobytes() + indices.tobytes()
+    doc = {
+        "asset": {"version": "2.0"},
+        "scenes": [{"nodes": [0]}],
+        "nodes": [{"mesh": 0}],
+        "meshes": [{"primitives": [{
+            "attributes": {"POSITION": 0, "TEXCOORD_0": 1},
+            "indices": 2, "material": 0}]}],
+        "materials": [{"pbrMetallicRoughness": {
+            "baseColorTexture": {"index": 0}}}],
+        "textures": [{"source": 0}],
+        "images": [{"uri": "data:image/png;base64," + png_b64}],
+        "buffers": [{"byteLength": len(blob),
+                     "uri": "data:application/octet-stream;base64,"
+                            + base64.b64encode(blob).decode()}],
+        "bufferViews": [
+            {"buffer": 0, "byteOffset": 0, "byteLength": positions.nbytes},
+            {"buffer": 0, "byteOffset": positions.nbytes, "byteLength": uvs.nbytes},
+            {"buffer": 0, "byteOffset": positions.nbytes + uvs.nbytes,
+             "byteLength": indices.nbytes},
+        ],
+        "accessors": [
+            {"bufferView": 0, "componentType": 5126, "count": 3, "type": "VEC3"},
+            {"bufferView": 1, "componentType": 5126, "count": 3, "type": "VEC2"},
+            {"bufferView": 2, "componentType": 5123, "count": 3, "type": "SCALAR"},
+        ],
+    }
+    p = tmp_path / "embedded.gltf"
+    p.write_text(json.dumps(doc))
+    data = load_model(str(p))
+    assert len(data.textures) == 1
+    assert data.textures[0].rgba is not None
+    assert data.textures[0].rgba.shape == (8, 8, 4)
+    assert data.materials[0].base_color_texture == 0
+
+    # end-to-end: import resolves a texture slot
+    from trident_tpu.core.config import EngineConfig, RenderConfig
+    from trident_tpu.ecs.registry import Registry
+    from trident_tpu.render.renderer import Renderer
+    from trident_tpu.assets.scene_loader import import_model_entities
+
+    r = Renderer(EngineConfig(render=RenderConfig(width=32, height=32,
+                                                  use_pallas=False)))
+    reg = Registry()
+    r.set_active_registry(reg)
+    import_model_entities(str(p), reg, r)
+    assert r.geometry.materials[-1].texture_slot == 1

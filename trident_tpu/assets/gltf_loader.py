@@ -140,23 +140,46 @@ def load_gltf(path: str) -> ModelData:
     buffers = _load_buffers(doc, base_dir, glb_bin)
     data = ModelData()
 
-    # -- textures ---------------------------------------------------------------
-    image_paths: List[str] = []
-    for img in doc.get("images", []):
+    # -- textures (file, data-URI, or GLB bufferView images) --------------------
+    def _decode_image_bytes(blob: bytes) -> Optional[np.ndarray]:
+        import io
+
+        try:
+            from PIL import Image
+
+            with Image.open(io.BytesIO(blob)) as im:
+                return np.asarray(im.convert("RGBA"), dtype=np.uint8)
+        except Exception as exc:
+            logger.warning("embedded image decode failed: %s", exc)
+            return None
+
+    image_refs: List[Optional[TextureRef]] = []
+    for ii, img in enumerate(doc.get("images", [])):
         uri = img.get("uri")
         if uri and not uri.startswith("data:"):
             from urllib.parse import unquote
 
-            image_paths.append(os.path.normpath(os.path.join(base_dir, unquote(uri))))
+            p = os.path.normpath(os.path.join(base_dir, unquote(uri)))
+            image_refs.append(TextureRef(path=p, name=os.path.basename(p)))
+        elif uri:  # data URI
+            rgba = _decode_image_bytes(base64.b64decode(uri.split(",", 1)[1]))
+            image_refs.append(None if rgba is None else TextureRef(
+                path=f"{path}#image{ii}", name=f"image{ii}", rgba=rgba))
+        elif "bufferView" in img:  # GLB embedded
+            view = doc["bufferViews"][img["bufferView"]]
+            off = view.get("byteOffset", 0)
+            blob = buffers[view["buffer"]][off:off + view["byteLength"]]
+            rgba = _decode_image_bytes(bytes(blob))
+            image_refs.append(None if rgba is None else TextureRef(
+                path=f"{path}#image{ii}", name=f"image{ii}", rgba=rgba))
         else:
-            image_paths.append("")  # embedded images resolved lazily below
+            image_refs.append(None)
     tex_to_ref: Dict[int, int] = {}
     for ti, tex in enumerate(doc.get("textures", [])):
         src = tex.get("source", -1)
-        if 0 <= src < len(image_paths) and image_paths[src]:
+        if 0 <= src < len(image_refs) and image_refs[src] is not None:
             tex_to_ref[ti] = len(data.textures)
-            data.textures.append(TextureRef(path=image_paths[src],
-                                            name=os.path.basename(image_paths[src])))
+            data.textures.append(image_refs[src])
 
     # -- materials ----------------------------------------------------------------
     for mat in doc.get("materials", []):

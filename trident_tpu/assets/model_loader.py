@@ -29,8 +29,9 @@ logger = get_logger("assets")
 
 @dataclass
 class TextureRef:
-    path: str                       # resolved absolute path
+    path: str                       # resolved path, or a cache key for embedded data
     name: str
+    rgba: Optional[np.ndarray] = None  # decoded pixels for embedded images
 
 
 @dataclass

@@ -43,12 +43,15 @@ def import_model_entities(path: str, registry: Registry, renderer,
     data = load_model(path)
     import numpy as np
 
-    # resolve textures into renderer slots
+    # resolve textures into renderer slots (file-backed or embedded pixels)
     for tex in data.textures:
         try:
-            from trident_tpu.io.image import load_rgba8
+            if tex.rgba is not None:
+                renderer.acquire_texture(tex.path, tex.rgba)
+            else:
+                from trident_tpu.io.image import load_rgba8
 
-            renderer.acquire_texture(tex.path, load_rgba8(tex.path))
+                renderer.acquire_texture(tex.path, load_rgba8(tex.path))
         except Exception as exc:
             logger.warning("texture %s failed: %s", tex.path, exc)
     for mat in data.materials:
