@@ -41,8 +41,10 @@ class AiDebugStats:
 class FrameGenerator:
     def __init__(self, model=None, variables=None,
                  resolution: Tuple[int, int] = (256, 256),
+                 base_channels: int = 32,
                  queue_limit: int = 2) -> None:
         self.resolution = resolution
+        self.base_channels = base_channels
         self._model = model
         self._variables = variables
         self._apply = None
@@ -71,7 +73,8 @@ class FrameGenerator:
             try:
                 self._model, self._variables = load_checkpoint(
                     checkpoint_dir,
-                    TrainConfig(resolution=self.resolution))
+                    TrainConfig(resolution=self.resolution,
+                                base_channels=self.base_channels))
             except Exception as exc:
                 logger.warning("AI model load failed (%s): %s — AI disabled",
                                checkpoint_dir, exc)

@@ -58,7 +58,8 @@ class Application:
             self.config.capture.dataset_dir, self.config.capture.dataset_interval_s)
         self.video_encoder = VideoEncoder()
         self.frame_generator = FrameGenerator(
-            resolution=self.config.ai.net_resolution)
+            resolution=self.config.ai.net_resolution,
+            base_channels=self.config.ai.base_channels)
         self._ai_last_submit = 0.0
         if self.config.capture.dataset_enabled:
             self.dataset_recorder.start()

@@ -43,11 +43,11 @@ from trident_tpu.render.types import GBuffer
 
 Array = jax.Array
 
-TILE_H = 16
+TILE_H = 8           # short tiles measured fastest (43.6 vs 55 ms @1M/1080p)
 TILE_W = 128
 CHUNK = 64           # triangles per record block
 SPAN_X = 2           # max tile cols a binned chunk may cover (128px tiles)
-SPAN_Y = 8           # max tile rows (16px tiles) — chunks are ~square patches
+SPAN_Y = 16          # max tile rows (8px tiles) — chunks are ~square patches
 MAX_GLOBAL = 64      # wide-span chunks broadcast to all tiles
 CHUNK_BITS = 18      # chunk-slot bits in the packed pair
 CHUNK_MASK = (1 << CHUNK_BITS) - 1
