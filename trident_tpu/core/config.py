@@ -30,11 +30,6 @@ class RenderConfig:
     max_bones: int = 128             # per skeleton
     bone_influences: int = 4         # per vertex
     texture_size: int = 256          # padded texture-array edge (pow2)
-    tile_h: int = 32                 # Pallas framebuffer tile (sublane dim)
-    tile_w: int = 128                # lane dim — keep 128 for the VPU
-    bin_capacity: int = 512          # max triangles binned per tile pass
-    msaa: int = 1                    # 1 or 4 (supersample-resolve)
-    depth_clear: float = 1.0
     clear_color: Tuple[float, float, float, float] = (0.05, 0.05, 0.08, 1.0)
     use_pallas: Optional[bool] = None  # None = auto (TPU yes, CPU interpret)
     sampling: str = "bilinear"       # texture quality: nearest|bilinear|trilinear

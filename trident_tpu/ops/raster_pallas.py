@@ -96,8 +96,15 @@ def build_bins(setup: TriangleSetup, width: int, height: int) -> PallasBins:
     ntx = -(-width // TILE_W)
     nty = -(-height // TILE_H)
     n_tiles = ntx * nty
-    assert n_tiles < (1 << (31 - CHUNK_BITS)), "framebuffer too large for packed pairs"
-    assert n_chunks + 1 <= CHUNK_MASK, "too many triangle chunks"
+    if n_tiles >= (1 << (31 - CHUNK_BITS)):
+        raise ValueError(
+            f"framebuffer {width}x{height} needs {n_tiles} raster tiles, over "
+            f"the packed-pair limit ({1 << (31 - CHUNK_BITS)}). Render in "
+            "bands (parallel.framebuffer) or lower supersample/resolution.")
+    if n_chunks + 1 > CHUNK_MASK:
+        raise ValueError(
+            f"{t} triangles exceed the chunk-slot limit "
+            f"({(CHUNK_MASK - 1) * CHUNK}). Split the scene across draws.")
 
     records = _build_records(setup, tpad)
 
