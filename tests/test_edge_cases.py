@@ -101,3 +101,14 @@ def test_bone_cap_respected():
     params, palette, _shade = build_draw_params([rec], 4, max_bones=128)
     assert int(params.bone_count[0]) == 128   # clamped like the reference
     assert palette.shape[0] >= 128
+
+
+def test_pallas_empty_scene():
+    """Zero valid triangles: every tile must still initialize (sentinels)."""
+    w, h = 128, 64
+    clip = np.zeros((3, 4), np.float32)
+    tri = np.array([[0, 1, 2]], np.int32)
+    ref, pal = _vis_both(clip, tri, np.zeros(1, bool), w, h)
+    assert (np.asarray(pal.tri_id) == -1).all()
+    assert (np.asarray(pal.depth) == 1.0).all()
+    assert (np.asarray(ref.tri_id) == -1).all()
