@@ -31,6 +31,8 @@ def main(argv=None) -> int:
     parser.add_argument("--height", type=int, default=480)
     parser.add_argument("--orbit-degrees", type=float, default=360.0)
     parser.add_argument("--shadows", action="store_true")
+    parser.add_argument("--pcf", action="store_true",
+                        help="soft shadow edges (2x2 bilinear PCF)")
     parser.add_argument("--bloom", action="store_true")
     parser.add_argument("--supersample", type=int, default=1)
     parser.add_argument("--sampling", default="bilinear",
@@ -53,7 +55,7 @@ def main(argv=None) -> int:
 
     cfg = EngineConfig(
         render=RenderConfig(width=args.width, height=args.height,
-                            shadows=args.shadows, bloom=args.bloom,
+                            shadows=args.shadows, shadow_pcf=args.pcf, bloom=args.bloom,
                             supersample=args.supersample,
                             sampling=args.sampling),
         ai=AiConfig(model_path=args.ai_checkpoint,

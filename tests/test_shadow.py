@@ -57,6 +57,46 @@ def test_shadow_darkens_ground():
     assert abs(corner_lit - corner_shadowed) < 8.0
 
 
+def test_pcf_fractional_penumbra():
+    """pcf=True must yield fractional lit values across a shadow boundary
+    (comparison-before-blend), while pcf=False is strictly binary."""
+    import jax.numpy as jnp
+
+    from trident_tpu.ops.shadow import shadow_factor
+    from trident_tpu.render.types import ShadowParams
+
+    s = 16
+    depth = np.ones((s, s), np.float32)
+    depth[:, :s // 2] = 0.2              # left half: occluder at 0.2
+    sp = ShadowParams(depth=jnp.asarray(depth),
+                      light_vp=jnp.eye(4, dtype=jnp.float32),
+                      enabled=jnp.asarray(True),
+                      bias=jnp.asarray(1e-3, jnp.float32))
+    # identity light_vp: ndc == world; receiver at z=0.5 crossing x=0
+    xs = np.linspace(-0.9, 0.9, 64, dtype=np.float32)
+    world = jnp.asarray(np.stack(
+        [xs, np.zeros_like(xs), np.full_like(xs, 0.5)], axis=-1))
+    hard = np.asarray(shadow_factor(sp, world, pcf=False))[..., 0]
+    soft = np.asarray(shadow_factor(sp, world, pcf=True))[..., 0]
+    assert set(np.unique(hard)) <= {0.0, 1.0}
+    assert ((soft > 0.05) & (soft < 0.95)).any()     # penumbra band exists
+    assert soft[0] == 0.0 and soft[-1] == 1.0        # extremes unchanged
+
+
+def test_pcf_render_touches_only_shadow_edges():
+    r = build(shadows=True)
+    r.config.render.shadow_pcf = True
+    soft = r.read_frame().astype(np.float32)[..., :3]
+    hard = build(shadows=True).read_frame().astype(np.float32)[..., :3]
+    diff = np.abs(soft - hard).max(axis=-1)
+    changed = diff > 3.0
+    assert changed.any()                  # PCF actually softened something
+    assert changed.mean() < 0.08          # ...but only a thin penumbra ring
+    # every changed pixel sits next to an unchanged one (it's a 1-texel
+    # filter: changes form edges, not areas)
+    assert np.abs(soft - hard).mean() < 3.0
+
+
 def test_no_shadow_without_caster_flag():
     r = build(shadows=True)
     for _e, (lc,) in r.registry.view(LightComponent):

@@ -35,6 +35,7 @@ class RenderConfig:
     sampling: str = "bilinear"       # texture quality: nearest|bilinear|trilinear
     shadows: bool = False            # directional shadow-map pass
     shadow_map_size: int = 1024
+    shadow_pcf: bool = False         # 2x2 bilinear PCF soft edges (4 gathers/px)
     supersample: int = 1             # per-axis SSAA factor (MSAA analogue)
     bloom: bool = False
     bloom_threshold: float = 1.0     # linear HDR threshold

@@ -65,7 +65,7 @@ def deferred_shade(gbuffer: GBuffer, planes: AttributePlanes,
                    skybox: Optional[SkyboxCube] = None,
                    ai: Optional[AiBlend] = None,
                    sampling: str = "bilinear",
-                   shadow=None,
+                   shadow=None, shadow_pcf: bool = False,
                    tonemap: bool = True) -> Array:
     """Shade the frame → (H,W,4) f32. tonemap=True gives display-space
     [0,1] with the AI blend applied; tonemap=False gives linear HDR (for a
@@ -139,7 +139,7 @@ def deferred_shade(gbuffer: GBuffer, planes: AttributePlanes,
     if shadow is not None:
         from trident_tpu.ops.shadow import shadow_factor
 
-        dir_shadow = shadow_factor(shadow, world)
+        dir_shadow = shadow_factor(shadow, world, pcf=shadow_pcf)
     lit = shading.shade_pbr(world, normal, albedo, metallic, roughness,
                             ambient_strength, camera.position, lights,
                             dir_shadow=dir_shadow)

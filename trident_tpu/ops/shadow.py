@@ -89,8 +89,14 @@ def render_shadow_map(geometry: GeometryBuffers, plan: DrawPlan,
     return gbuf.depth
 
 
-def shadow_factor(shadow: ShadowParams, world: Array) -> Array:
-    """Per-pixel directional shadow term in [0,1]: 1 = lit. ONE gather."""
+def shadow_factor(shadow: ShadowParams, world: Array, pcf: bool = False) -> Array:
+    """Per-pixel directional shadow term in [0,1]: 1 = lit.
+
+    pcf=False: ONE gather, hard edges. pcf=True: 2×2 bilinear percentage-
+    closer filtering (4 gathers) — each tap's depth comparison happens
+    BEFORE the blend, so the penumbra is a fractional lit value rather
+    than a blurred depth (which would be meaningless to compare against).
+    """
     s = shadow.depth.shape[0]
     pos_h = jnp.concatenate(
         [world, jnp.ones((*world.shape[:-1], 1), world.dtype)], axis=-1)
@@ -100,11 +106,30 @@ def shadow_factor(shadow: ShadowParams, world: Array) -> Array:
     u = (ndc[..., 0] + 1.0) * 0.5
     v = (ndc[..., 1] + 1.0) * 0.5
     depth = ndc[..., 2]
-    xi = jnp.clip((u * s).astype(jnp.int32), 0, s - 1)
-    yi = jnp.clip((v * s).astype(jnp.int32), 0, s - 1)
-    occluder = shadow.depth[yi, xi]
     inside = (u >= 0) & (u <= 1) & (v >= 0) & (v <= 1) & (depth <= 1.0)
-    lit = jnp.where(inside & (depth - shadow.bias > occluder), 0.0, 1.0)
+    test_depth = depth - shadow.bias
+
+    if not pcf:
+        xi = jnp.clip((u * s).astype(jnp.int32), 0, s - 1)
+        yi = jnp.clip((v * s).astype(jnp.int32), 0, s - 1)
+        lit = jnp.where(test_depth > shadow.depth[yi, xi], 0.0, 1.0)
+    else:
+        fx = u * s - 0.5
+        fy = v * s - 0.5
+        x0 = jnp.floor(fx).astype(jnp.int32)
+        y0 = jnp.floor(fy).astype(jnp.int32)
+        wx = fx - x0.astype(jnp.float32)
+        wy = fy - y0.astype(jnp.float32)
+        x0c, x1c = jnp.clip(x0, 0, s - 1), jnp.clip(x0 + 1, 0, s - 1)
+        y0c, y1c = jnp.clip(y0, 0, s - 1), jnp.clip(y0 + 1, 0, s - 1)
+
+        def tap(yi, xi):
+            return jnp.where(test_depth > shadow.depth[yi, xi], 0.0, 1.0)
+
+        lit = ((tap(y0c, x0c) * (1 - wx) + tap(y0c, x1c) * wx) * (1 - wy)
+               + (tap(y1c, x0c) * (1 - wx) + tap(y1c, x1c) * wx) * wy)
+
+    lit = jnp.where(inside, lit, 1.0)
     return jnp.where(shadow.enabled, lit, 1.0)[..., None]
 
 

@@ -63,6 +63,7 @@ def _render_frame_impl(geometry, plan, tri_draw, params, palette, shade_table,
                        vertex_colors: bool = False,
                        light_camera=None, shadow_size: int = 0,
                        shadow_bias: float = 2e-3,
+                       shadow_pcf: bool = False,
                        supersample: int = 1,
                        bloom: bool = False,
                        bloom_threshold: float = 1.0,
@@ -97,7 +98,7 @@ def _render_frame_impl(geometry, plan, tri_draw, params, palette, shade_table,
     frame = deferred_shade(gbuf, planes, textures, camera, lights, rw, rh,
                            clear_color=clear_color, skybox=skybox,
                            ai=None, sampling=sampling, shadow=shadow,
-                           tonemap=not bloom)
+                           shadow_pcf=shadow_pcf, tonemap=not bloom)
     if bloom:
         from trident_tpu.ops.shading import tonemap_reinhard_gamma
 
@@ -117,6 +118,7 @@ def _render_frame_impl(geometry, plan, tri_draw, params, palette, shade_table,
                                              "raster", "chunk", "skinned",
                                              "sampling", "vertex_colors",
                                              "shadow_size", "shadow_bias",
+                                             "shadow_pcf",
                                              "supersample", "bloom",
                                              "bloom_threshold",
                                              "bloom_strength"))
@@ -124,15 +126,17 @@ def render_frame(geometry, plan, tri_draw, params, palette, shade_table,
                  camera, lights, textures, skybox, ai, light_camera=None,
                  *, width, height, clear_color, raster, chunk, skinned,
                  sampling="bilinear", vertex_colors=False, shadow_size=0,
-                 shadow_bias=2e-3, supersample=1, bloom=False,
-                 bloom_threshold=1.0, bloom_strength=0.6) -> FrameOutput:
+                 shadow_bias=2e-3, shadow_pcf=False, supersample=1,
+                 bloom=False, bloom_threshold=1.0,
+                 bloom_strength=0.6) -> FrameOutput:
     return _render_frame_impl(
         geometry, plan, tri_draw, params, palette, shade_table, camera,
         lights, textures, skybox, ai, width=width, height=height,
         clear_color=clear_color, raster=raster, chunk=chunk, skinned=skinned,
         sampling=sampling, vertex_colors=vertex_colors,
         light_camera=light_camera, shadow_size=shadow_size,
-        shadow_bias=shadow_bias, supersample=supersample, bloom=bloom,
+        shadow_bias=shadow_bias, shadow_pcf=shadow_pcf,
+        supersample=supersample, bloom=bloom,
         bloom_threshold=bloom_threshold, bloom_strength=bloom_strength)
 
 
@@ -317,6 +321,7 @@ class Renderer:
             raster=self._raster_mode(), chunk=64, skinned=skinned,
             sampling=self.config.render.sampling,
             vertex_colors=self._vertex_colors, shadow_size=shadow_size,
+            shadow_pcf=self.config.render.shadow_pcf,
             supersample=max(int(self.config.render.supersample), 1),
             bloom=self.config.render.bloom,
             bloom_threshold=self.config.render.bloom_threshold,
