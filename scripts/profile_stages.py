@@ -1,0 +1,155 @@
+"""Per-stage pipeline profiler for the tunneled TPU.
+
+Timing methodology: the axon backend evaluates lazily and each host
+readback costs a ~25 ms tunnel RTT, so neither `block_until_ready` nor
+per-iteration forcing measures compute. Stages are therefore CHAINED on
+device (iteration i's input depends on iteration i-1's output token) and
+forced ONCE at the end. See PERF.md for the numbers this produced.
+
+    PYTHONPATH=.:$PYTHONPATH python scripts/profile_stages.py [--grid N]
+"""
+from __future__ import annotations
+
+import argparse
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def timeit_chain(name, f, token_out, *args, n=10):
+    tok = jnp.zeros((), jnp.float32)
+    np.asarray(token_out(f(tok, *args)))          # compile + run once
+    t0 = time.perf_counter()
+    tok = jnp.zeros((), jnp.float32)
+    for _ in range(n):
+        tok = token_out(f(tok, *args))
+    np.asarray(tok)
+    ms = (time.perf_counter() - t0) / n * 1000
+    print(f"  {name}: {ms:.2f} ms/iter (chained x{n})", flush=True)
+
+
+def build_scene(width, height, grid):
+    from trident_tpu.core.config import EngineConfig, RenderConfig
+    from trident_tpu.ecs import (
+        MeshComponent, Registry, TextureComponent, TransformComponent,
+    )
+    from trident_tpu.geometry.primitives import PrimitiveType
+    from trident_tpu.io.image import checkerboard
+    from trident_tpu.render.renderer import Renderer
+
+    r = Renderer(EngineConfig(render=RenderConfig(
+        width=width, height=height, texture_size=128)))
+    reg = Registry()
+    r.set_active_registry(reg)
+    slot = r.acquire_texture("checker", checkerboard(128, 8))
+    mesh_idx = r.ensure_primitive(PrimitiveType.SPHERE)
+    for i in range(grid):
+        for j in range(grid):
+            e = reg.create()
+            t = reg.add(e, TransformComponent())
+            t.position = np.array(
+                [(i - grid / 2) * 1.4, (j - grid / 2) * 1.4, 0], np.float32)
+            reg.add(e, MeshComponent(mesh_index=mesh_idx))
+            reg.add(e, TextureComponent(path="checker", slot=slot))
+    r.editor_camera.set_position([0, 0, grid * 1.1 + 2])
+    r.editor_camera.look_at_target([0, 0, 0])
+    return r, reg
+
+
+def profile(width, height, grid, label, n=10):
+    from trident_tpu.ops.deferred import deferred_shade
+    from trident_tpu.ops.planes import build_planes
+    from trident_tpu.ops.raster_pallas import build_bins, visibility_pallas
+    from trident_tpu.ops.vertex import triangle_setup, vertex_stage
+    from trident_tpu.render.frame import (
+        build_draw_params, build_draw_plan, gather_mesh_draws, geometry_to_device,
+    )
+    from trident_tpu.render.lights import gather_lights
+    from trident_tpu.render.renderer import render_frame
+    from trident_tpu.render.types import AiBlend, CameraParams, SkyboxCube
+
+    r, reg = build_scene(width, height, grid)
+    packed = r.geometry.packed()
+    geo = geometry_to_device(packed)
+    records = gather_mesh_draws(reg, r.geometry)
+    plan, tri_draw = build_draw_plan(packed, records)
+    params, palette, shade = build_draw_params(
+        records, plan.num_draws, material_table=r.geometry.material_table())
+    lights = gather_lights(reg)
+    tex = r.textures.device_arrays()
+    cam = r.editor_camera.params()
+    sky = SkyboxCube(faces=jnp.zeros((6, 1, 1, 3), jnp.float32),
+                     valid=jnp.asarray(False))
+    ai = AiBlend(image=jnp.zeros((1, 1, 3), jnp.float32),
+                 blend=jnp.asarray(0.0, jnp.float32))
+    print(f"--- {label}: tris(pad)={plan.tri_vtx.shape[0]} "
+          f"TV={plan.vtx_src.shape[0]} ---", flush=True)
+
+    f1 = jax.jit(lambda tok, g, p, pr, c, pa: vertex_stage(
+        g, p, pr, CameraParams(c.view, c.proj, c.position + tok * 0), pa,
+        skinned=False))
+    timeit_chain("vertex", f1, lambda o: o.clip[0, 0] * 0,
+                 geo, plan, params, cam, palette, n=n)
+    verts = f1(jnp.zeros(()), geo, plan, params, cam, palette)
+
+    f2 = jax.jit(lambda tok, c, tv, va: triangle_setup(
+        c + tok * 0, tv, va, width, height))
+    timeit_chain("setup", f2, lambda o: o.edge[0, 0, 0] * 0,
+                 verts.clip, plan.tri_vtx, plan.tri_valid, n=n)
+    setup = f2(jnp.zeros(()), verts.clip, plan.tri_vtx, plan.tri_valid)
+
+    f3 = jax.jit(lambda tok, s: build_bins(
+        s._replace(edge=s.edge + tok * 0), width, height))
+    timeit_chain("bins", f3, lambda o: o.pair_tile[0].astype(jnp.float32) * 0,
+                 setup, n=n)
+    print(f"  pairs={f3(jnp.zeros(()), setup).n_pairs}", flush=True)
+
+    f4 = jax.jit(lambda tok, s: visibility_pallas(
+        s._replace(edge=s.edge + tok * 0), width, height))
+    timeit_chain("visibility(incl bins)", f4, lambda o: o.depth[0, 0] * 0,
+                 setup, n=n)
+    gbuf = f4(jnp.zeros(()), setup)
+
+    fpl = jax.jit(lambda tok, s: build_planes(
+        s._replace(edge=s.edge + tok * 0), verts, plan.tri_vtx, tri_draw, shade))
+    timeit_chain("planes", fpl, lambda o: o.table_a[0, 0] * 0, setup, n=n)
+    planes = fpl(jnp.zeros(()), setup)
+
+    for mode in ("bilinear", "nearest"):
+        f5 = jax.jit(lambda tok, g, p, _m=mode: deferred_shade(
+            g._replace(depth=g.depth + tok * 0), p, tex, cam, lights,
+            width, height, skybox=sky, ai=ai, sampling=_m))
+        timeit_chain(f"deferred[{mode}]", f5, lambda o: o[0, 0, 0] * 0,
+                     gbuf, planes, n=n)
+
+    f_full = jax.jit(lambda tok: render_frame(
+        geo, plan, tri_draw, params, palette, shade,
+        CameraParams(cam.view, cam.proj, cam.position + tok * 0),
+        lights, tex, sky, ai, width=width, height=height,
+        clear_color=(0.05, 0.05, 0.08, 1.0), raster="pallas", chunk=64,
+        skinned=False, sampling="bilinear", vertex_colors=False))
+    timeit_chain("FULL", f_full, lambda o: o.depth[0, 0] * 0, n=n)
+    out = f_full(jnp.zeros(()))
+    print(f"  covered={(np.asarray(out.tri_id) >= 0).sum()}", flush=True)
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--scale", choices=["small", "mid", "large", "all"],
+                        default="all")
+    args = parser.parse_args()
+    np.asarray(jax.jit(lambda x: x * 2)(jnp.ones(8)))   # warm the backend
+    print("warm", flush=True)
+    if args.scale in ("small", "all"):
+        profile(512, 512, 2, "512p 4 spheres 3k tris")
+    if args.scale in ("mid", "all"):
+        profile(1920, 1080, 12, "1080p 144 spheres 110k tris")
+    if args.scale in ("large", "all"):
+        profile(1920, 1080, 36, "1080p 1296 spheres 1M tris", n=5)
+    print("DONE", flush=True)
+
+
+if __name__ == "__main__":
+    main()
