@@ -52,6 +52,10 @@ def test_banded_render_matches_single(eight_devices):
 
     w, h = 128, 128
     r = build_scene(w, h)
+    # pin exact f32 planes on the single-frame side: the banded path builds
+    # planes per band (f32 default), and this test checks the SPMD
+    # decomposition, not plane quantization (covered by test_texturing)
+    r.config.render.plane_f16 = False
     single = r.read_frame()
 
     packed = r.geometry.packed()

@@ -88,3 +88,24 @@ def test_morton_order_locality(rng):
     # same multiset of triangles
     assert sorted({tuple(sorted(t)) for t in sorted_idx.reshape(-1, 3)}) == \
         sorted({tuple(sorted(t)) for t in scrambled.reshape(-1, 3)})
+
+
+def test_plane_f16_quality():
+    """f16 plane tables (anchored + rescaled) must be visually identical to
+    f32: sub-LSB on most pixels, no structural drift."""
+    import sys
+    sys.path.insert(0, __file__.rsplit("/", 1)[0])
+    from test_golden import build_golden_scene
+
+    r32 = build_golden_scene()
+    r32.config.render.plane_f16 = False
+    img32 = r32.read_frame().astype(np.float32)
+    r16 = build_golden_scene()
+    r16.config.render.plane_f16 = True
+    img16 = r16.read_frame().astype(np.float32)
+    diff = np.abs(img16 - img32)
+    assert float(diff.mean()) < 0.6
+    assert (diff > 8).mean() < 0.003, f"{int((diff > 8).sum())} px drifted"
+    mse = float(np.square(diff / 255.0).mean())
+    psnr = 10 * np.log10(1.0 / max(mse, 1e-12))
+    assert psnr > 35.0, f"PSNR {psnr:.1f} dB"

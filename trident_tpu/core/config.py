@@ -33,6 +33,10 @@ class RenderConfig:
     clear_color: Tuple[float, float, float, float] = (0.05, 0.05, 0.08, 1.0)
     use_pallas: Optional[bool] = None  # None = auto (TPU yes, CPU interpret)
     sampling: str = "bilinear"       # texture quality: nearest|bilinear|trilinear
+    plane_f16: bool = True           # f16 attribute-plane tables (32B gather
+                                     # rows, ~36% faster deferred at 1M tris;
+                                     # 66dB PSNR vs f32 on hardware — see
+                                     # ops/planes.py). False = exact f32.
     shadows: bool = False            # directional shadow-map pass
     shadow_map_size: int = 1024
     shadow_pcf: bool = False         # 2x2 bilinear PCF soft edges (4 gathers/px)

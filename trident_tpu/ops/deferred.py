@@ -74,15 +74,20 @@ def deferred_shade(gbuffer: GBuffer, planes: AttributePlanes,
     covered = tri >= 0
     tri_safe = jnp.maximum(tri, 0)
 
-    a = planes.table_a[tri_safe]                          # (H,W,16)
-    b = planes.table_b[tri_safe]                          # (H,W,16)
+    # gather f16 rows (32B — below the ~48B gather knee), compute in f32;
+    # .astype is a no-op for f32 tables
+    a = planes.table_a[tri_safe].astype(jnp.float32)      # (H,W,16)
+    b = planes.table_b[tri_safe].astype(jnp.float32)      # (H,W,16)
 
     ys = jnp.arange(height, dtype=jnp.float32) + 0.5
     xs = jnp.arange(width, dtype=jnp.float32) + 0.5
     py, px = jnp.meshgrid(ys, xs, indexing="ij")
+    # per-triangle anchored pixel coords (anchors are 0 for f32 tables)
+    px_l = px - b[..., 11]
+    py_l = py - b[..., 12]
 
     def dot_plane(g):                                     # (H,W,3) → (H,W)
-        return g[..., 0] * px + g[..., 1] * py + g[..., 2]
+        return g[..., 0] * px_l + g[..., 1] * py_l + g[..., 2]
 
     denom = dot_plane(a[..., 0:3])
     inv = 1.0 / jnp.where(jnp.abs(denom) < 1e-20, 1e-20, denom)
@@ -101,7 +106,7 @@ def deferred_shade(gbuffer: GBuffer, planes: AttributePlanes,
     slot = b[..., 10].astype(jnp.int32)
 
     if planes.table_c is not None:
-        c = planes.table_c[tri_safe]
+        c = planes.table_c[tri_safe].astype(jnp.float32)
         vcolor = jnp.stack([dot_plane(c[..., 0:3]), dot_plane(c[..., 3:6]),
                             dot_plane(c[..., 6:9])], axis=-1) * inv[..., None]
     else:

@@ -11,8 +11,18 @@ edge-row + vertex-ids + 3 attribute rows + draw-row fetch chain.
 
 Plane table layout, split into two (T,16) tables:
   A: g1(3) | gN.x(3) | gN.y(3) | gN.z(3) | gU(3) | pad
-  B: gV(3) | color_factor(4) | metallic | roughness | ambient | slot | pad(3)
+  B: gV(3) | color_factor(4) | metallic | roughness | ambient | slot |
+     anchor_x | anchor_y | pad(3)
 (vertex colors, when enabled, get a third table C: gR(3) gG(3) gB(3) pad)
+
+The deferred pass evaluates every plane at p' = (px−anchor, py−anchor, 1).
+In f32 mode the anchors are 0 (absolute pixels). f16 mode (measured 36%
+faster deferred at 1M tris on v5e — 64B→32B gather rows) re-anchors each
+triangle at its bbox corner snapped to 16px (exact in f16) and rescales all
+six g-vectors by a shared per-triangle 1/max|component| — the rational
+forms A(p)=gA·p/g1·p and the UV screen derivatives are invariant to a
+common scale, and anchoring bounds the |p'| lever arm so f16's 10-bit
+mantissa cancellation error stays at the sub-LSB level.
 
 Structure note (measured on v5e): per-attribute `einsum("tk,tkc->tc")`
 plane builds fuse into cheap elementwise+reduce chains; a combined batched
@@ -41,7 +51,8 @@ class AttributePlanes(NamedTuple):
 
 def build_planes(setup: TriangleSetup, verts: VertexStageOut, tri_vtx: Array,
                  tri_draw: Array, shade_table: Array,
-                 vertex_colors: bool = False) -> AttributePlanes:
+                 vertex_colors: bool = False,
+                 f16: bool = False) -> AttributePlanes:
     edge = setup.edge                              # (T,3,3)
     t = edge.shape[0]
 
@@ -52,22 +63,42 @@ def build_planes(setup: TriangleSetup, verts: VertexStageOut, tri_vtx: Array,
 
     nrm = verts.attrs[tri_vtx][..., 3:6]           # (T,3,3) — gather CSE'd
     uv = verts.attrs[tri_vtx][..., 6:8]            # (T,3,2)
-    g_nx = plane(nrm[..., 0])
-    g_ny = plane(nrm[..., 1])
-    g_nz = plane(nrm[..., 2])
-    g_u = plane(uv[..., 0])
-    g_v = plane(uv[..., 1])
+    gs = [g1, plane(nrm[..., 0]), plane(nrm[..., 1]), plane(nrm[..., 2]),
+          plane(uv[..., 0]), plane(uv[..., 1])]
+    if vertex_colors:
+        col = verts.attrs[tri_vtx][..., 8:11]
+        gs += [plane(col[..., 0]), plane(col[..., 1]), plane(col[..., 2])]
 
+    if f16:
+        # re-anchor at the bbox corner (16px-snapped: exact in f16) and
+        # rescale by a SHARED per-triangle factor — ratios are invariant
+        ax = (setup.bbox[:, 0] // 16 * 16).astype(edge.dtype)   # (T,)
+        ay = (setup.bbox[:, 1] // 16 * 16).astype(edge.dtype)
+        stack = jnp.stack(gs, axis=1)                           # (T,K,3)
+        shifted_c = stack[..., 2] + stack[..., 0] * ax[:, None] \
+            + stack[..., 1] * ay[:, None]
+        stack = jnp.concatenate([stack[..., 0:2], shifted_c[..., None]], axis=-1)
+        m = jnp.max(jnp.abs(stack), axis=(1, 2), keepdims=True)
+        stack = stack / jnp.maximum(m, 1e-30)
+        gs = [stack[:, k] for k in range(stack.shape[1])]
+        store = jnp.float16
+    else:
+        ax = ay = jnp.zeros((t,), edge.dtype)
+        store = edge.dtype
+
+    g1, g_nx, g_ny, g_nz, g_u, g_v = gs[:6]
     draw = shade_table[tri_draw]                   # (T,8)
 
     pad1 = jnp.zeros((t, 1), edge.dtype)
     table_a = jnp.concatenate([g1, g_nx, g_ny, g_nz, g_u, pad1], axis=1)
-    table_b = jnp.concatenate([g_v, draw, jnp.zeros((t, 5), edge.dtype)], axis=1)
+    table_b = jnp.concatenate(
+        [g_v, draw, ax[:, None], ay[:, None],
+         jnp.zeros((t, 3), edge.dtype)], axis=1)
 
     table_c = None
     if vertex_colors:
-        col = verts.attrs[tri_vtx][..., 8:11]
         table_c = jnp.concatenate(
-            [plane(col[..., 0]), plane(col[..., 1]), plane(col[..., 2]),
-             jnp.zeros((t, 7), edge.dtype)], axis=1)
-    return AttributePlanes(table_a=table_a, table_b=table_b, table_c=table_c)
+            [gs[6], gs[7], gs[8], jnp.zeros((t, 7), edge.dtype)], axis=1)
+        table_c = table_c.astype(store)
+    return AttributePlanes(table_a=table_a.astype(store),
+                           table_b=table_b.astype(store), table_c=table_c)

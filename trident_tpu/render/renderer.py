@@ -61,6 +61,7 @@ def _render_frame_impl(geometry, plan, tri_draw, params, palette, shade_table,
                        raster: str, chunk: int, skinned: bool,
                        sampling: str = "bilinear",
                        vertex_colors: bool = False,
+                       plane_f16: bool = False,
                        light_camera=None, shadow_size: int = 0,
                        shadow_bias: float = 2e-3,
                        shadow_pcf: bool = False,
@@ -75,7 +76,7 @@ def _render_frame_impl(geometry, plan, tri_draw, params, palette, shade_table,
     verts = vertex_stage(geometry, plan, params, camera, palette, skinned=skinned)
     setup = triangle_setup(verts.clip, plan.tri_vtx, plan.tri_valid, rw, rh)
     planes = build_planes(setup, verts, plan.tri_vtx, tri_draw, shade_table,
-                          vertex_colors=vertex_colors)
+                          vertex_colors=vertex_colors, f16=plane_f16)
     if raster == "pallas":
         from trident_tpu.ops.raster_pallas import visibility_pallas
         gbuf = visibility_pallas(setup, rw, rh)
@@ -117,6 +118,7 @@ def _render_frame_impl(geometry, plan, tri_draw, params, palette, shade_table,
 @functools.partial(jax.jit, static_argnames=("width", "height", "clear_color",
                                              "raster", "chunk", "skinned",
                                              "sampling", "vertex_colors",
+                                             "plane_f16",
                                              "shadow_size", "shadow_bias",
                                              "shadow_pcf",
                                              "supersample", "bloom",
@@ -125,7 +127,8 @@ def _render_frame_impl(geometry, plan, tri_draw, params, palette, shade_table,
 def render_frame(geometry, plan, tri_draw, params, palette, shade_table,
                  camera, lights, textures, skybox, ai, light_camera=None,
                  *, width, height, clear_color, raster, chunk, skinned,
-                 sampling="bilinear", vertex_colors=False, shadow_size=0,
+                 sampling="bilinear", vertex_colors=False, plane_f16=True,
+                 shadow_size=0,
                  shadow_bias=2e-3, shadow_pcf=False, supersample=1,
                  bloom=False, bloom_threshold=1.0,
                  bloom_strength=0.6) -> FrameOutput:
@@ -133,7 +136,7 @@ def render_frame(geometry, plan, tri_draw, params, palette, shade_table,
         geometry, plan, tri_draw, params, palette, shade_table, camera,
         lights, textures, skybox, ai, width=width, height=height,
         clear_color=clear_color, raster=raster, chunk=chunk, skinned=skinned,
-        sampling=sampling, vertex_colors=vertex_colors,
+        sampling=sampling, vertex_colors=vertex_colors, plane_f16=plane_f16,
         light_camera=light_camera, shadow_size=shadow_size,
         shadow_bias=shadow_bias, shadow_pcf=shadow_pcf,
         supersample=supersample, bloom=bloom,
@@ -320,7 +323,9 @@ class Renderer:
             clear_color=tuple(self.config.render.clear_color),
             raster=self._raster_mode(), chunk=64, skinned=skinned,
             sampling=self.config.render.sampling,
-            vertex_colors=self._vertex_colors, shadow_size=shadow_size,
+            vertex_colors=self._vertex_colors,
+            plane_f16=self.config.render.plane_f16,
+            shadow_size=shadow_size,
             shadow_pcf=self.config.render.shadow_pcf,
             supersample=max(int(self.config.render.supersample), 1),
             bloom=self.config.render.bloom,
