@@ -71,16 +71,21 @@ def build_planes(setup: TriangleSetup, verts: VertexStageOut, tri_vtx: Array,
 
     if f16:
         # re-anchor at the bbox corner (16px-snapped: exact in f16) and
-        # rescale by a SHARED per-triangle factor — ratios are invariant
+        # rescale by a SHARED per-triangle factor — ratios are invariant.
+        # Kept as per-vector elementwise chains (no (T,K,3) stack) so XLA
+        # fuses the shift/abs/max/scale into the plane einsums instead of
+        # round-tripping a materialized stack through HBM.
         ax = (setup.bbox[:, 0] // 16 * 16).astype(edge.dtype)   # (T,)
         ay = (setup.bbox[:, 1] // 16 * 16).astype(edge.dtype)
-        stack = jnp.stack(gs, axis=1)                           # (T,K,3)
-        shifted_c = stack[..., 2] + stack[..., 0] * ax[:, None] \
-            + stack[..., 1] * ay[:, None]
-        stack = jnp.concatenate([stack[..., 0:2], shifted_c[..., None]], axis=-1)
-        m = jnp.max(jnp.abs(stack), axis=(1, 2), keepdims=True)
-        stack = stack / jnp.maximum(m, 1e-30)
-        gs = [stack[:, k] for k in range(stack.shape[1])]
+        gs = [jnp.concatenate(
+            [g[:, 0:2],
+             (g[:, 2] + g[:, 0] * ax + g[:, 1] * ay)[:, None]], axis=1)
+            for g in gs]
+        m = gs[0][:, 0] * 0.0
+        for g in gs:
+            m = jnp.maximum(m, jnp.max(jnp.abs(g), axis=1))
+        s = 1.0 / jnp.maximum(m, 1e-30)                         # (T,)
+        gs = [g * s[:, None] for g in gs]
         store = jnp.float16
     else:
         ax = ay = jnp.zeros((t,), edge.dtype)
