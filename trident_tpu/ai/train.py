@@ -103,7 +103,9 @@ def save_checkpoint(state: TrainState, directory: str, step: int) -> str:
                force=True)
     ckptr.wait_until_finished()
     with open(os.path.join(directory, "latest.json"), "w") as f:
-        json.dump({"step": step, "path": path}, f)
+        # store the step dir NAME, not an absolute path — the checkpoint
+        # directory must stay relocatable (loaders join it with `directory`)
+        json.dump({"step": step, "path": os.path.basename(path)}, f)
     return path
 
 
@@ -116,6 +118,12 @@ def load_checkpoint(directory: str, config: Optional[TrainConfig] = None,
     if path is None:
         with open(os.path.join(directory, "latest.json")) as f:
             path = json.load(f)["path"]
+        # legacy records stored absolute paths; new ones store the step dir
+        # name relative to `directory` (relocatable checkouts)
+        if not os.path.isabs(path):
+            path = os.path.join(directory, path)
+        elif not os.path.exists(path):
+            path = os.path.join(directory, os.path.basename(path))
     rng = jax.random.PRNGKey(0)
     model, template = init_model(rng, config.resolution, config.base_channels)
     ckptr = ocp.StandardCheckpointer()

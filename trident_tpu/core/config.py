@@ -41,6 +41,10 @@ class RenderConfig:
     shadow_map_size: int = 1024
     shadow_pcf: bool = False         # 2x2 bilinear PCF soft edges (4 gathers/px)
     supersample: int = 1             # per-axis SSAA factor (MSAA analogue)
+    bands: int = 1                   # >1: split the frame into row bands over
+                                     # the device mesh (parallel.framebuffer)
+    raster_drop_checks: bool = True  # warn on readback when the binned
+                                     # raster dropped geometry (capacity)
     bloom: bool = False
     bloom_threshold: float = 1.0     # linear HDR threshold
     bloom_strength: float = 0.6

@@ -391,7 +391,12 @@ TTModel* tt_load_obj(const char* path) {
             if (it == welded.end()) {
                 idx = (int32_t)(mesh.positions.size() / 3);
                 welded.emplace(k, idx);
-                const Vec3& pv = positions[(size_t)k.v];
+                // malformed files can reference positions that don't exist
+                // (index 0, past-the-end, or deep negatives) — zero them
+                // instead of reading out of bounds
+                static const Vec3 zero{};
+                const Vec3& pv = (k.v >= 0 && (size_t)k.v < positions.size())
+                                     ? positions[(size_t)k.v] : zero;
                 mesh.positions.insert(mesh.positions.end(), {pv.x, pv.y, pv.z});
                 if (k.t >= 0 && (size_t)k.t < uvs.size()) {
                     // flip V to match the engine's image-row convention

@@ -9,20 +9,26 @@ Replaces the O(T×pixels) reference path with a sort-middle design:
      Records chunk 0 is an empty sentinel.
   2. (XLA) Each chunk is binned to the framebuffer tiles its bbox overlaps
      (≤ SPAN_X×SPAN_Y slots); chunks spanning more tiles are emitted for EVERY
-     tile (rare: huge triangles), and every tile gets one sentinel pair so
-     the kernel initializes all output blocks. Pairs pack as
+     tile (rare: huge triangles). Pairs pack as
      tile << CHUNK_BITS | chunk_slot in ONE i32 — a single sort yields the
-     tile-major pair list AND the per-tile ordering (sentinel chunk 0
-     first, then chunks ascending = draw order).
+     tile-major pair list AND the per-tile ordering (chunks ascending =
+     draw order). Tiles nothing touches are masked to background AFTER the
+     kernel from the pair list itself (one cheap scatter), so no per-tile
+     sentinel pairs are needed and output blocks are always well-defined
+     even if the pair list saturates PAIR_BUDGET.
   3. (Pallas) Grid over PAIRS: the scalar-prefetched pair array drives the
      index maps, so each pair's record block streams in with Pallas's own
      double-buffered pipeline — no manual DMA. All pairs of a tile are
      consecutive, so the flat (1, TILE_H·TILE_W) depth/tri output blocks
-     accumulate across revisits: per pair, all C triangles are evaluated
-     against all tile pixels as (C, npx) vector work — edge functions,
-     perspective depth z·e / w·e, early-Z merge with later-triangle-wins
-     ties (the LESS_OR_EQUAL depth state of the reference pipeline,
-     Pipeline.cpp:549-725).
+     accumulate across revisits (a tile's first pair resets them): per
+     pair, all C triangles are evaluated against all tile pixels as
+     (C, npx) vector work — edge functions, perspective depth z·e / w·e,
+     early-Z merge with later-triangle-wins ties (the LESS_OR_EQUAL depth
+     state of the reference pipeline, Pipeline.cpp:549-725).
+
+Capacity overflow (pairs beyond PAIR_BUDGET, big chunks beyond MAX_GLOBAL)
+degrades to MISSING geometry, never to garbage; the per-frame drop counts
+ride out in GBuffer.aux → FrameOutput.aux so the renderer can warn.
 
 The per-pixel winner-triangle GBuffer feeds the same deferred shading pass
 as the reference rasterizer, so goldens compare the two directly.
@@ -52,8 +58,8 @@ MAX_GLOBAL = 64      # wide-span chunks broadcast to all tiles
 CHUNK_BITS = 18      # chunk-slot bits in the packed pair
 CHUNK_MASK = (1 << CHUNK_BITS) - 1
 PAIR_BUDGET = 65536  # scalar-prefetch arrays live in SMEM (~1MB); cap them.
-                     # Real pairs are a sorted prefix, so overflow truncates
-                     # the farthest-sorted tiles rather than corrupting.
+                     # Real pairs are a sorted prefix; overflow truncates the
+                     # farthest-sorted tiles' geometry (counted in `aux`).
 DEPTH_SENTINEL = 4.0
 
 
@@ -63,6 +69,7 @@ class PallasBins(NamedTuple):
     pair_chunk: Array   # (NPAIR,) i32 chunk slot per pair (0 = sentinel)
     n_real: Array       # () i32 — real pairs (sorted prefix; rest is padding)
     n_pairs: int        # static capacity (== NPAIR)
+    aux: Array          # (2,) i32 — [truncated real pairs, dropped big chunks]
 
 
 def _build_records(setup: TriangleSetup, tpad: int) -> Array:
@@ -148,32 +155,31 @@ def build_bins(setup: TriangleSetup, width: int, height: int) -> PallasBins:
         n_tiles << CHUNK_BITS).astype(jnp.int32)
 
     # big chunks (rare, huge triangles): compact to ≤ MAX_GLOBAL via stable
-    # argsort, then broadcast to every tile
+    # argsort, then broadcast to every tile. Chunks past the cap are DROPPED
+    # (missing geometry) and counted in aux[1] so callers can warn/fallback.
     gmask = nonempty & ~small
     order = jnp.argsort(~gmask, stable=True).astype(jnp.int32)
     g = min(MAX_GLOBAL, n_chunks)
     gsel = order[:g]
     gvalid = gmask[gsel]
+    n_big_dropped = (jnp.sum(gmask) - jnp.sum(gvalid)).astype(jnp.int32)
     tile_ids = jnp.arange(n_tiles, dtype=jnp.int32)
     big_pairs = jnp.where(
         gvalid[:, None],
         (tile_ids[None, :] << CHUNK_BITS) | (gsel[:, None] + 1),
         n_tiles << CHUNK_BITS).astype(jnp.int32)
 
-    # sentinel pair (chunk slot 0) per tile: sorts FIRST within its tile
-    sent_pairs = (tile_ids << CHUNK_BITS).astype(jnp.int32)
-
-    pairs = jnp.concatenate([sent_pairs, small_pairs.reshape(-1),
-                             big_pairs.reshape(-1)])
+    pairs = jnp.concatenate([small_pairs.reshape(-1), big_pairs.reshape(-1)])
     pairs = jnp.sort(pairs)
-    # real pairs form a sorted prefix; overflow slots clamp to
-    # (last tile, sentinel chunk) and sit beyond the dynamic grid bound
+    # real pairs form a sorted prefix; padding slots clamp to
+    # (last tile, sentinel chunk 0) and sit beyond the dynamic grid bound
     overflow = pairs >= (n_tiles << CHUNK_BITS)
-    n_real = jnp.sum(~overflow).astype(jnp.int32)
+    n_real_total = jnp.sum(~overflow).astype(jnp.int32)
     pairs = jnp.where(overflow, ((n_tiles - 1) << CHUNK_BITS), pairs)
     if pairs.shape[0] > PAIR_BUDGET:
         pairs = pairs[:PAIR_BUDGET]
-        n_real = jnp.minimum(n_real, PAIR_BUDGET)
+    n_real = jnp.minimum(n_real_total, pairs.shape[0])
+    n_truncated = n_real_total - n_real
     # unpack for the scalar-prefetch index maps (plain array reads lower
     # reliably in Mosaic index maps; bit ops there hung the compiler)
     pair_tile = pairs >> CHUNK_BITS
@@ -181,7 +187,8 @@ def build_bins(setup: TriangleSetup, width: int, height: int) -> PallasBins:
 
     return PallasBins(records=records, pair_tile=pair_tile,
                       pair_chunk=pair_chunk, n_real=n_real,
-                      n_pairs=int(pairs.shape[0]))
+                      n_pairs=int(pairs.shape[0]),
+                      aux=jnp.stack([n_truncated, n_big_dropped]))
 
 
 def _visibility_kernel(pair_tile_ref, pair_chunk_ref, rec_ref, depth_out,
@@ -236,8 +243,12 @@ def _visibility_kernel(pair_tile_ref, pair_chunk_ref, rec_ref, depth_out,
     tri_out[0] = jnp.where(better, win, acc_t)
 
 
-def visibility_pallas(setup: TriangleSetup, width: int, height: int) -> GBuffer:
-    """Tile-binned Pallas visibility: per-pixel winner triangle + depth."""
+def visibility_pallas(setup: TriangleSetup, width: int, height: int,
+                      interpret: bool = False) -> GBuffer:
+    """Tile-binned Pallas visibility: per-pixel winner triangle + depth.
+
+    `interpret=True` runs the kernel with the Pallas interpreter (pure XLA)
+    so the production binning + kernel logic is testable on CPU."""
     ntx = -(-width // TILE_W)
     nty = -(-height // TILE_H)
     wpad, hpad = ntx * TILE_W, nty * TILE_H
@@ -249,7 +260,9 @@ def visibility_pallas(setup: TriangleSetup, width: int, height: int) -> GBuffer:
     kernel = functools.partial(_visibility_kernel, ntx=ntx)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(bins.n_real,),  # dynamic: only real pairs execute
+        # dynamic: only real pairs execute (≥1 — pair 0 degenerates to the
+        # empty sentinel chunk when the frame has no pairs at all)
+        grid=(jnp.maximum(bins.n_real, 1),),
         in_specs=[
             pl.BlockSpec((CHUNK, 16),
                          lambda i, tiles, chunks: (chunks[i], 0),
@@ -273,7 +286,18 @@ def visibility_pallas(setup: TriangleSetup, width: int, height: int) -> GBuffer:
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
+        interpret=interpret,
     )(bins.pair_tile, bins.pair_chunk, bins.records)
+
+    # tiles no executed pair touched keep uninitialized VMEM garbage —
+    # mask them to background from the pair list itself (one tiny scatter)
+    touched_idx = jnp.where(
+        jnp.arange(bins.n_pairs, dtype=jnp.int32) < bins.n_real,
+        bins.pair_tile, n_tiles)
+    written = jnp.zeros((n_tiles + 1,), jnp.bool_).at[touched_idx].set(
+        True, mode="drop")[:n_tiles]
+    depth = jnp.where(written[:, None, None], depth, 1.0)
+    tri = jnp.where(written[:, None, None], tri, -1)
 
     # (n_tiles, 1, TH·TW) → (H, W)
     def untile(flat):
@@ -281,4 +305,5 @@ def visibility_pallas(setup: TriangleSetup, width: int, height: int) -> GBuffer:
                 .transpose(0, 2, 1, 3).reshape(hpad, wpad))
 
     return GBuffer(tri_id=untile(tri)[:height, :width],
-                   depth=untile(depth)[:height, :width])
+                   depth=untile(depth)[:height, :width],
+                   aux=bins.aux)

@@ -73,7 +73,11 @@ def render_frame_banded(mesh: Mesh, axis: str, geometry, plan, tri_draw,
         return out
 
     in_specs = tuple(P() for _ in range(11))
-    out_specs = FrameOutput(color=P(axis), depth=P(axis), tri_id=P(axis))
+    out_specs = FrameOutput(
+        color=P(axis), depth=P(axis), tri_id=P(axis),
+        # per-band drop counters stack along the band axis ((2n,) total);
+        # the ref raster emits no aux (None = empty subtree)
+        aux=P(axis) if raster == "pallas" else None)
     fn = shard_map(band_render, mesh=mesh, in_specs=in_specs,
                    out_specs=out_specs)
     return fn(geometry, plan, tri_draw, params, palette, shade_table,

@@ -79,7 +79,10 @@ def _render_frame_impl(geometry, plan, tri_draw, params, palette, shade_table,
                           vertex_colors=vertex_colors, f16=plane_f16)
     if raster == "pallas":
         from trident_tpu.ops.raster_pallas import visibility_pallas
-        gbuf = visibility_pallas(setup, rw, rh)
+        # on CPU (tests, banded dryruns) the production kernel runs under
+        # the Pallas interpreter — same binning, same kernel logic
+        gbuf = visibility_pallas(setup, rw, rh,
+                                 interpret=jax.default_backend() == "cpu")
     else:
         gbuf = visibility_ref(setup, rw, rh, chunk=chunk)
 
@@ -112,7 +115,8 @@ def _render_frame_impl(geometry, plan, tri_draw, params, palette, shade_table,
     # depth/tri surfaced at render resolution's top-left sample for tooling
     depth_out = gbuf.depth[::supersample, ::supersample]
     tri_out = gbuf.tri_id[::supersample, ::supersample]
-    return FrameOutput(color=pack_rgba8(frame), depth=depth_out, tri_id=tri_out)
+    return FrameOutput(color=pack_rgba8(frame), depth=depth_out,
+                       tri_id=tri_out, aux=gbuf.aux)
 
 
 @functools.partial(jax.jit, static_argnames=("width", "height", "clear_color",
@@ -360,7 +364,16 @@ class Renderer:
         if out is None:
             vid = self.active_viewport if viewport_id is None else viewport_id
             out = self.render_viewport(vid)
-        return np.asarray(jax.block_until_ready(out.color))
+        frame = np.asarray(jax.block_until_ready(out.color))
+        if out.aux is not None and self.config.render.raster_drop_checks:
+            aux = np.asarray(out.aux).reshape(-1, 2).sum(axis=0)
+            if aux[0] or aux[1]:
+                logger.warning(
+                    "raster capacity overflow: %d pairs truncated, %d big "
+                    "chunks dropped — geometry is missing; render in bands "
+                    "(RenderConfig.bands) or reduce resolution/triangles",
+                    int(aux[0]), int(aux[1]))
+        return frame
 
     # -- text overlay + presentation (TextRenderer analogue) --------------------
     @property

@@ -143,12 +143,16 @@ class GBuffer(NamedTuple):
 
     tri_id: Array         # (H,W) i32 — -1 = background
     depth: Array          # (H,W) f32 — ndc z in [0,1]
+    aux: Optional[Array] = None  # (2,) i32 raster drop counters
+                                 # [truncated pairs, dropped big chunks]
 
 
 class FrameOutput(NamedTuple):
     color: Array          # (H,W,4) uint8
     depth: Array          # (H,W) f32
     tri_id: Array         # (H,W) i32
+    aux: Optional[Array] = None  # (2,) i32 raster drop counters (None on
+                                 # the ref-raster path, which cannot drop)
 
 
 def zero_light_params() -> LightParams:
