@@ -124,15 +124,50 @@ def profile(width, height, grid, label, n=10):
         timeit_chain(f"deferred[{mode}]", f5, lambda o: o[0, 0, 0] * 0,
                      gbuf, planes, n=n)
 
-    f_full = jax.jit(lambda tok: render_frame(
-        geo, plan, tri_draw, params, palette, shade,
-        CameraParams(cam.view, cam.proj, cam.position + tok * 0),
-        lights, tex, sky, ai, width=width, height=height,
-        clear_color=(0.05, 0.05, 0.08, 1.0), raster="pallas", chunk=64,
-        skinned=False, sampling="bilinear", vertex_colors=False))
-    timeit_chain("FULL", f_full, lambda o: o.depth[0, 0] * 0, n=n)
-    out = f_full(jnp.zeros(()))
-    print(f"  covered={(np.asarray(out.tri_id) >= 0).sum()}", flush=True)
+    # -- forward (in-kernel resolve) path stages --------------------------------
+    from trident_tpu.ops.deferred import deferred_shade_attrs
+    from trident_tpu.ops.planes import build_resolve_records
+    from trident_tpu.ops.raster_pallas import visibility_pallas_tiled
+    from trident_tpu.ops.resolve_pallas import resolve_attrs_pallas
+
+    tex_wh = tex.sizes[params.texture_slot].astype(jnp.float32)
+    draw_consts = jnp.concatenate([shade, tex_wh], axis=1)
+
+    frr = jax.jit(lambda tok, s: build_resolve_records(
+        s._replace(edge=s.edge + tok * 0), verts, plan.tri_vtx, tri_draw,
+        draw_consts, 64))
+    timeit_chain("resolve records", frr, lambda o: o[0, 0, 0] * 0, setup, n=n)
+
+    def vis_resolve(tok, s):
+        s = s._replace(edge=s.edge + tok * 0)
+        bins, _dep, tri_tiles, _ = visibility_pallas_tiled(s, width, height)
+        rec = build_resolve_records(s, verts, plan.tri_vtx, tri_draw,
+                                    draw_consts, 64)
+        return resolve_attrs_pallas(bins, tri_tiles, rec, width, height)
+
+    f6 = jax.jit(vis_resolve)
+    timeit_chain("vis+records+resolve", f6, lambda o: o[0, 0, 0] * 0,
+                 setup, n=n)
+    attrs = f6(jnp.zeros(()), setup)
+
+    f7 = jax.jit(lambda tok, g, a: deferred_shade_attrs(
+        g._replace(depth=g.depth + tok * 0), a, tex, cam, lights,
+        width, height, skybox=sky, ai=ai, sampling="bilinear"))
+    timeit_chain("deferred_attrs[bilinear]", f7, lambda o: o[0, 0, 0] * 0,
+                 gbuf, attrs, n=n)
+
+    for fwd in (False, True):
+        f_full = jax.jit(lambda tok, _f=fwd: render_frame(
+            geo, plan, tri_draw, params, palette, shade,
+            CameraParams(cam.view, cam.proj, cam.position + tok * 0),
+            lights, tex, sky, ai, width=width, height=height,
+            clear_color=(0.05, 0.05, 0.08, 1.0), raster="pallas", chunk=64,
+            skinned=False, sampling="bilinear", vertex_colors=False,
+            forward_shading=_f))
+        timeit_chain(f"FULL[{'forward' if fwd else 'gather'}]", f_full,
+                     lambda o: o.depth[0, 0] * 0, n=n)
+        out = f_full(jnp.zeros(()))
+        print(f"  covered={(np.asarray(out.tri_id) >= 0).sum()}", flush=True)
 
 
 def main():

@@ -37,6 +37,11 @@ class RenderConfig:
                                      # rows, ~36% faster deferred at 1M tris;
                                      # 66dB PSNR vs f32 on hardware — see
                                      # ops/planes.py). False = exact f32.
+                                     # Only used when forward_shading is off.
+    forward_shading: bool = True     # resolve attributes in-kernel (one-hot
+                                     # MXU select, ops/resolve_pallas.py)
+                                     # instead of per-pixel plane gathers;
+                                     # applies to the pallas raster only
     shadows: bool = False            # directional shadow-map pass
     shadow_map_size: int = 1024
     shadow_pcf: bool = False         # 2x2 bilinear PCF soft edges (4 gathers/px)

@@ -112,15 +112,6 @@ def deferred_shade(gbuffer: GBuffer, planes: AttributePlanes,
     else:
         vcolor = None
 
-    # world position from depth: world_h = (P·V)⁻¹ · (ndc, 1)
-    vp_inv = jnp.linalg.inv(camera.proj @ camera.view)
-    ndc_x = px * (2.0 / width) - 1.0
-    ndc_y = py * (2.0 / height) - 1.0
-    ndc = jnp.stack([ndc_x, ndc_y, gbuffer.depth, jnp.ones_like(ndc_x)], axis=-1)
-    world_h = ndc @ vp_inv.T
-    world = world_h[..., :3] / jnp.where(
-        jnp.abs(world_h[..., 3:4]) < 1e-20, 1e-20, world_h[..., 3:4])
-
     # analytic UV derivatives for the mip level: d(u)/dx = (gU_x − u·g1_x)·inv
     g1x, g1y = a[..., 0], a[..., 1]
     du_dx = (a[..., 12] - uv[..., 0] * g1x) * inv
@@ -133,12 +124,69 @@ def deferred_shade(gbuffer: GBuffer, planes: AttributePlanes,
         jnp.square(du_dy * tex_size[..., 0]) + jnp.square(dv_dy * tex_size[..., 1]),
     )
     mip = 0.5 * jnp.log2(jnp.maximum(rho, 1e-12))
+    if vcolor is not None:
+        color_factor = jnp.concatenate(
+            [color_factor[..., :3] * vcolor, color_factor[..., 3:4]], axis=-1)
+
+    return _shade_common(
+        gbuffer, covered, normal, uv, mip, color_factor, metallic, roughness,
+        ambient_strength, slot, textures, camera, lights, width, height,
+        clear_color, skybox, ai, sampling, shadow, shadow_pcf, tonemap)
+
+
+def deferred_shade_attrs(gbuffer: GBuffer, attrs: Array,
+                         textures: TextureArrays, camera: CameraParams,
+                         lights: LightParams, width: int, height: int,
+                         clear_color=(0.05, 0.05, 0.08, 1.0),
+                         skybox: Optional[SkyboxCube] = None,
+                         ai: Optional[AiBlend] = None,
+                         sampling: str = "bilinear",
+                         shadow=None, shadow_pcf: bool = False,
+                         tonemap: bool = True) -> Array:
+    """Shade from the kernel-resolved attribute image
+    (ops/resolve_pallas.py channel layout) — the per-pixel plane-table
+    gathers of `deferred_shade` are already done in the rasterizer; only
+    texel fetches remain."""
+    from trident_tpu.ops import resolve_pallas as rp
+
+    covered = gbuffer.tri_id >= 0
+    normal = shading._normalize(attrs[..., rp.CH_NX:rp.CH_NZ + 1])
+    uv = attrs[..., rp.CH_U:rp.CH_V + 1]
+    mip = attrs[..., rp.CH_MIP]
+    color_factor = attrs[..., rp.CH_CF:rp.CH_CF + 4]
+    metallic = attrs[..., rp.CH_MET:rp.CH_MET + 1]
+    roughness = attrs[..., rp.CH_ROUGH:rp.CH_ROUGH + 1]
+    ambient_strength = attrs[..., rp.CH_AMB:rp.CH_AMB + 1]
+    slot = attrs[..., rp.CH_SLOT].astype(jnp.int32)
+
+    return _shade_common(
+        gbuffer, covered, normal, uv, mip, color_factor, metallic, roughness,
+        ambient_strength, slot, textures, camera, lights, width, height,
+        clear_color, skybox, ai, sampling, shadow, shadow_pcf, tonemap)
+
+
+def _shade_common(gbuffer, covered, normal, uv, mip, color_factor, metallic,
+                  roughness, ambient_strength, slot, textures, camera,
+                  lights, width, height, clear_color, skybox, ai, sampling,
+                  shadow, shadow_pcf, tonemap) -> Array:
+    """Texture sample + PBR + background/tonemap/AI — shared by the
+    plane-gather path and the kernel-resolved path."""
     sampled = shading.sample_texture(textures, slot, uv, mip, mode=sampling)
 
     albedo = sampled[..., :3] * color_factor[..., :3]
-    if vcolor is not None:
-        albedo = albedo * vcolor
     alpha = color_factor[..., 3:4] * sampled[..., 3:4]
+
+    # world position from depth: world_h = (P·V)⁻¹ · (ndc, 1)
+    ys = jnp.arange(height, dtype=jnp.float32) + 0.5
+    xs = jnp.arange(width, dtype=jnp.float32) + 0.5
+    py, px = jnp.meshgrid(ys, xs, indexing="ij")
+    vp_inv = jnp.linalg.inv(camera.proj @ camera.view)
+    ndc_x = px * (2.0 / width) - 1.0
+    ndc_y = py * (2.0 / height) - 1.0
+    ndc = jnp.stack([ndc_x, ndc_y, gbuffer.depth, jnp.ones_like(ndc_x)], axis=-1)
+    world_h = ndc @ vp_inv.T
+    world = world_h[..., :3] / jnp.where(
+        jnp.abs(world_h[..., 3:4]) < 1e-20, 1e-20, world_h[..., 3:4])
 
     dir_shadow = None
     if shadow is not None:

@@ -107,3 +107,54 @@ def build_planes(setup: TriangleSetup, verts: VertexStageOut, tri_vtx: Array,
         table_c = table_c.astype(store)
     return AttributePlanes(table_a=table_a.astype(store),
                            table_b=table_b.astype(store), table_c=table_c)
+
+
+# resolve-record row layout (see build_resolve_records): plane g-vectors
+# first (3 rows each), then per-draw shading constants, then optional
+# vertex-color planes. Indices are shared with ops/resolve_pallas.py.
+RR_G1, RR_NX, RR_NY, RR_NZ, RR_U, RR_V = 0, 3, 6, 9, 12, 15
+RR_CF, RR_MET, RR_ROUGH, RR_AMB, RR_SLOT, RR_TSX, RR_TSY = 18, 22, 23, 24, 25, 26, 27
+RR_COL = 28
+RR_WIDTH, RR_WIDTH_VCOLOR = 32, 40
+
+
+def build_resolve_records(setup: TriangleSetup, verts: VertexStageOut,
+                          tri_vtx: Array, tri_draw: Array,
+                          draw_consts: Array, chunk: int,
+                          vertex_colors: bool = False) -> Array:
+    """Chunked per-triangle records for the in-kernel resolve pass
+    (ops/resolve_pallas.py): all interpolation planes + shading constants,
+    TRANSPOSED so each chunk's block is (RW, C) — the exact lhs layout the
+    kernel's one-hot MXU select wants, with pixels staying on lanes.
+
+    draw_consts: (D, 10) f32 — color_factor rgba, metallic, roughness,
+    ambient_strength, texture slot, tex width, tex height (shade_table plus
+    the texture footprint, so the kernel computes mip levels with zero
+    per-pixel gathers).
+
+    Returns (NC+1, RW, C) f32; chunk block 0 is the empty sentinel.
+    """
+    edge = setup.edge
+    t = edge.shape[0]
+    n_chunks = max(1, -(-t // chunk))
+
+    def plane(attr_per_vertex):
+        return jnp.einsum("tk,tkc->tc", attr_per_vertex, edge)
+
+    g1 = jnp.sum(edge, axis=1)
+    nrm = verts.attrs[tri_vtx][..., 3:6]
+    uv = verts.attrs[tri_vtx][..., 6:8]
+    consts = draw_consts[tri_draw]                 # (T,10)
+    cols = [g1, plane(nrm[..., 0]), plane(nrm[..., 1]), plane(nrm[..., 2]),
+            plane(uv[..., 0]), plane(uv[..., 1]), consts]
+    rw = RR_WIDTH
+    if vertex_colors:
+        col = verts.attrs[tri_vtx][..., 8:11]
+        cols += [plane(col[..., 0]), plane(col[..., 1]), plane(col[..., 2])]
+        rw = RR_WIDTH_VCOLOR
+    rows = jnp.concatenate(cols, axis=1)           # (T, 28|37)
+    rows = jnp.pad(rows, ((0, n_chunks * chunk - t), (0, rw - rows.shape[1])))
+    # (T, RW) → (NC, RW, C): triangles of a chunk land on the lane dim
+    rec = rows.reshape(n_chunks, chunk, rw).transpose(0, 2, 1)
+    sentinel = jnp.zeros((1, rw, chunk), rows.dtype)
+    return jnp.concatenate([sentinel, rec], axis=0)

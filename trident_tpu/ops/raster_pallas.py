@@ -243,9 +243,23 @@ def _visibility_kernel(pair_tile_ref, pair_chunk_ref, rec_ref, depth_out,
     tri_out[0] = jnp.where(better, win, acc_t)
 
 
-def visibility_pallas(setup: TriangleSetup, width: int, height: int,
-                      interpret: bool = False) -> GBuffer:
-    """Tile-binned Pallas visibility: per-pixel winner triangle + depth.
+def untile_frame(flat: Array, ntx: int, nty: int) -> Array:
+    """(n_tiles, 1, TH·TW) or (n_tiles, CH, TH·TW) → (H, W[, CH])."""
+    if flat.shape[1] == 1:
+        return (flat.reshape(nty, ntx, TILE_H, TILE_W)
+                .transpose(0, 2, 1, 3).reshape(nty * TILE_H, ntx * TILE_W))
+    ch = flat.shape[1]
+    return (flat.reshape(nty, ntx, ch, TILE_H, TILE_W)
+            .transpose(0, 3, 1, 4, 2)
+            .reshape(nty * TILE_H, ntx * TILE_W, ch))
+
+
+def visibility_pallas_tiled(setup: TriangleSetup, width: int, height: int,
+                            interpret: bool = False):
+    """Tile-binned Pallas visibility, keeping the kernel-native tiled
+    layout: returns (bins, depth_tiles, tri_tiles, written) with
+    depth/tri (n_tiles, 1, TH·TW) and written (n_tiles,) bool — the resolve
+    pass (ops/resolve_pallas.py) consumes tri_tiles directly.
 
     `interpret=True` runs the kernel with the Pallas interpreter (pure XLA)
     so the production binning + kernel logic is testable on CPU."""
@@ -298,12 +312,16 @@ def visibility_pallas(setup: TriangleSetup, width: int, height: int,
         True, mode="drop")[:n_tiles]
     depth = jnp.where(written[:, None, None], depth, 1.0)
     tri = jnp.where(written[:, None, None], tri, -1)
+    return bins, depth, tri, written
 
-    # (n_tiles, 1, TH·TW) → (H, W)
-    def untile(flat):
-        return (flat.reshape(nty, ntx, TILE_H, TILE_W)
-                .transpose(0, 2, 1, 3).reshape(hpad, wpad))
 
-    return GBuffer(tri_id=untile(tri)[:height, :width],
-                   depth=untile(depth)[:height, :width],
+def visibility_pallas(setup: TriangleSetup, width: int, height: int,
+                      interpret: bool = False) -> GBuffer:
+    """Tile-binned Pallas visibility: per-pixel winner triangle + depth."""
+    ntx = -(-width // TILE_W)
+    nty = -(-height // TILE_H)
+    bins, depth, tri, _ = visibility_pallas_tiled(setup, width, height,
+                                                  interpret=interpret)
+    return GBuffer(tri_id=untile_frame(tri, ntx, nty)[:height, :width],
+                   depth=untile_frame(depth, ntx, nty)[:height, :width],
                    aux=bins.aux)

@@ -1,0 +1,186 @@
+"""In-kernel attribute resolve: winner ids → dense per-pixel shading inputs.
+
+Round-1's deferred pass fetched TWO packed plane-table rows per pixel; at
+1M triangles those gathers hit a (T,16) table far outside any cache tier
+and dominated the frame (PERF.md: deferred grows 76→140 ms with triangle
+count at FIXED pixel count). This pass removes per-pixel table gathers
+entirely: a second Pallas sweep over the SAME tile/chunk pair list the
+visibility kernel used (ops/raster_pallas.py) selects each pixel's winner
+plane row with a one-hot MXU matmul against the chunk's (RW, C) record
+block — VMEM-streamed, never gathered — then evaluates every interpolant
+in-kernel on the VPU:
+
+  * normal / UV as rational screen functions (gA·p)/(g1·p)
+  * the trilinear mip level from the analytic UV screen derivatives
+    (texture footprint constants ride in the records: zero size lookups)
+  * material constants (color factor, metallic/roughness/ambient, slot);
+    vertex colors fold straight into the color factor
+
+The output is a dense (H, W, CH) attribute image — the only per-pixel
+random access left in the frame is actual texel fetches. Shading math and
+semantics are unchanged (reference: Default.frag:69-178); this is the
+TPU-native split of the reference's single fragment shader into
+"interpolate in the rasterizer, sample+light in a fused XLA pass".
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from trident_tpu.ops import planes as planes_mod
+from trident_tpu.ops.raster_pallas import (
+    CHUNK,
+    TILE_H,
+    TILE_W,
+    PallasBins,
+    untile_frame,
+)
+
+Array = jax.Array
+
+# attribute-image channel layout (CH = 16): everything deferred shading
+# needs per pixel except the texels themselves
+CH_NX, CH_NY, CH_NZ = 0, 1, 2    # world normal (unnormalized)
+CH_U, CH_V = 3, 4                # atlas-transformed UV
+CH_MIP = 5                       # trilinear mip level
+CH_CF = 6                        # color factor rgba → 6..9
+CH_MET, CH_ROUGH, CH_AMB = 10, 11, 12
+CH_SLOT = 13                     # texture slot (exact small float)
+CHANNELS = 16
+
+
+def _resolve_kernel(pair_tile_ref, pair_chunk_ref, rec_ref, tri_ref, out_ref,
+                    *, ntx: int, vertex_colors: bool):
+    i = pl.program_id(0)
+    tile = pair_tile_ref[i]
+    prev = pair_tile_ref[jnp.maximum(i - 1, 0)]
+    first = jnp.logical_or(i == 0, tile != prev)
+    cid = pair_chunk_ref[i]
+    ty = tile // ntx
+    tx = jax.lax.rem(tile, ntx)
+    npx = TILE_H * TILE_W
+
+    @pl.when(first)
+    def _():
+        out_ref[0] = jnp.zeros((CHANNELS, npx), jnp.float32)
+
+    win = tri_ref[0]                               # (1, npx) i32 winner ids
+    base = (cid - 1) * CHUNK
+    rel = win - base
+    mine = (win >= 0) & (rel >= 0) & (rel < CHUNK)  # (1, npx)
+
+    # one-hot select of the winner's record row: (RW, C) @ (C, npx) on MXU
+    oh = (jax.lax.broadcasted_iota(jnp.int32, (CHUNK, npx), 0)
+          == rel).astype(jnp.float32)
+    rec = rec_ref[0]                               # (RW, C)
+    sel = jax.lax.dot_general(rec, oh, (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)  # (RW,npx)
+
+    r = jax.lax.broadcasted_iota(jnp.int32, (1, npx), 1)
+    pxf = (tx * TILE_W + jax.lax.rem(r, TILE_W)).astype(jnp.float32) + 0.5
+    pyf = (ty * TILE_H + r // TILE_W).astype(jnp.float32) + 0.5
+
+    def row(j):
+        return sel[j:j + 1]                        # (1, npx)
+
+    def plane(j):                                  # g·(px,py,1)
+        return row(j) * pxf + row(j + 1) * pyf + row(j + 2)
+
+    P = planes_mod
+    denom = plane(P.RR_G1)
+    inv = pl.reciprocal(
+        jnp.where(jnp.abs(denom) < 1e-20, 1e-20, denom), approx=False)
+
+    nx = plane(P.RR_NX) * inv
+    ny = plane(P.RR_NY) * inv
+    nz = plane(P.RR_NZ) * inv
+    u_num = plane(P.RR_U)
+    v_num = plane(P.RR_V)
+    u = u_num * inv
+    v = v_num * inv
+
+    # analytic UV screen derivatives → mip (matches ops/deferred.py)
+    g1x, g1y = row(P.RR_G1), row(P.RR_G1 + 1)
+    du_dx = (row(P.RR_U) - u * g1x) * inv
+    du_dy = (row(P.RR_U + 1) - u * g1y) * inv
+    dv_dx = (row(P.RR_V) - v * g1x) * inv
+    dv_dy = (row(P.RR_V + 1) - v * g1y) * inv
+    tsx, tsy = row(P.RR_TSX), row(P.RR_TSY)
+    rho = jnp.maximum(
+        jnp.square(du_dx * tsx) + jnp.square(dv_dx * tsy),
+        jnp.square(du_dy * tsx) + jnp.square(dv_dy * tsy))
+    mip = 0.5 * jnp.log2(jnp.maximum(rho, 1e-12))
+
+    cf_r, cf_g, cf_b = row(P.RR_CF), row(P.RR_CF + 1), row(P.RR_CF + 2)
+    if vertex_colors:
+        cf_r = cf_r * plane(P.RR_COL) * inv
+        cf_g = cf_g * plane(P.RR_COL + 3) * inv
+        cf_b = cf_b * plane(P.RR_COL + 6) * inv
+
+    new = jnp.concatenate([
+        nx, ny, nz, u, v, mip,
+        cf_r, cf_g, cf_b, row(P.RR_CF + 3),
+        row(P.RR_MET), row(P.RR_ROUGH), row(P.RR_AMB), row(P.RR_SLOT),
+        jnp.zeros((2, npx), jnp.float32),
+    ], axis=0)                                     # (CHANNELS, npx)
+
+    acc = out_ref[0]
+    out_ref[0] = jnp.where(mine, new, acc)
+
+
+def resolve_attrs_pallas(bins: PallasBins, tri_tiles: Array, records: Array,
+                         width: int, height: int,
+                         vertex_colors: bool = False,
+                         interpret: bool = False) -> Array:
+    """Run the resolve sweep → (height, width, CHANNELS) f32 attribute
+    image. `tri_tiles` is the visibility kernel's tiled winner map
+    ((n_tiles, 1, TH·TW), from visibility_pallas_tiled); `records` comes
+    from planes.build_resolve_records."""
+    ntx = -(-width // TILE_W)
+    nty = -(-height // TILE_H)
+    n_tiles = ntx * nty
+    npx = TILE_H * TILE_W
+    rw = records.shape[1]
+
+    kernel = functools.partial(_resolve_kernel, ntx=ntx,
+                               vertex_colors=vertex_colors)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(jnp.maximum(bins.n_real, 1),),
+        in_specs=[
+            pl.BlockSpec((1, rw, CHUNK),
+                         lambda i, tiles, chunks: (chunks[i], 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, npx),
+                         lambda i, tiles, chunks: (tiles[i], 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, CHANNELS, npx),
+                         lambda i, tiles, chunks: (tiles[i], 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+    )
+    (attrs,) = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((n_tiles, CHANNELS, npx), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(bins.pair_tile, bins.pair_chunk, records, tri_tiles)
+
+    # untouched tiles hold garbage; deferred masks them via tri_id == -1,
+    # but zero them anyway so NaNs can't leak through masked selects
+    touched_idx = jnp.where(
+        jnp.arange(bins.n_pairs, dtype=jnp.int32) < bins.n_real,
+        bins.pair_tile, n_tiles)
+    written = jnp.zeros((n_tiles + 1,), jnp.bool_).at[touched_idx].set(
+        True, mode="drop")[:n_tiles]
+    attrs = jnp.where(written[:, None, None], attrs, 0.0)
+    return untile_frame(attrs, ntx, nty)[:height, :width]

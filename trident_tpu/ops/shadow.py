@@ -79,9 +79,12 @@ def render_shadow_map(geometry: GeometryBuffers, plan: DrawPlan,
                          skinned=skinned)
     setup = triangle_setup(verts.clip, plan.tri_vtx, plan.tri_valid, size, size)
     if raster == "pallas":
+        import jax
+
         from trident_tpu.ops.raster_pallas import visibility_pallas
 
-        gbuf = visibility_pallas(setup, size, size)
+        gbuf = visibility_pallas(setup, size, size,
+                                 interpret=jax.default_backend() == "cpu")
     else:
         from trident_tpu.ops.raster_ref import visibility_ref
 

@@ -62,6 +62,7 @@ def _render_frame_impl(geometry, plan, tri_draw, params, palette, shade_table,
                        sampling: str = "bilinear",
                        vertex_colors: bool = False,
                        plane_f16: bool = False,
+                       forward_shading: bool = True,
                        light_camera=None, shadow_size: int = 0,
                        shadow_bias: float = 2e-3,
                        shadow_pcf: bool = False,
@@ -75,14 +76,26 @@ def _render_frame_impl(geometry, plan, tri_draw, params, palette, shade_table,
     rw, rh = width * supersample, height * supersample
     verts = vertex_stage(geometry, plan, params, camera, palette, skinned=skinned)
     setup = triangle_setup(verts.clip, plan.tri_vtx, plan.tri_valid, rw, rh)
-    planes = build_planes(setup, verts, plan.tri_vtx, tri_draw, shade_table,
-                          vertex_colors=vertex_colors, f16=plane_f16)
-    if raster == "pallas":
+    # on CPU (tests, banded dryruns) the production kernels run under the
+    # Pallas interpreter — same binning, same kernel logic
+    interpret = jax.default_backend() == "cpu"
+    use_kernel_shading = raster == "pallas" and forward_shading
+    bins = tri_tiles = None
+    if use_kernel_shading:
+        from trident_tpu.ops.raster_pallas import (
+            TILE_H, TILE_W, untile_frame, visibility_pallas_tiled)
+        from trident_tpu.render.types import GBuffer
+
+        bins, depth_tiles, tri_tiles, _ = visibility_pallas_tiled(
+            setup, rw, rh, interpret=interpret)
+        ntx, nty = -(-rw // TILE_W), -(-rh // TILE_H)
+        gbuf = GBuffer(
+            tri_id=untile_frame(tri_tiles, ntx, nty)[:rh, :rw],
+            depth=untile_frame(depth_tiles, ntx, nty)[:rh, :rw],
+            aux=bins.aux)
+    elif raster == "pallas":
         from trident_tpu.ops.raster_pallas import visibility_pallas
-        # on CPU (tests, banded dryruns) the production kernel runs under
-        # the Pallas interpreter — same binning, same kernel logic
-        gbuf = visibility_pallas(setup, rw, rh,
-                                 interpret=jax.default_backend() == "cpu")
+        gbuf = visibility_pallas(setup, rw, rh, interpret=interpret)
     else:
         gbuf = visibility_ref(setup, rw, rh, chunk=chunk)
 
@@ -99,10 +112,35 @@ def _render_frame_impl(geometry, plan, tri_draw, params, palette, shade_table,
             enabled=jnp.asarray(True),
             bias=jnp.asarray(shadow_bias, jnp.float32))
 
-    frame = deferred_shade(gbuf, planes, textures, camera, lights, rw, rh,
-                           clear_color=clear_color, skybox=skybox,
-                           ai=None, sampling=sampling, shadow=shadow,
-                           shadow_pcf=shadow_pcf, tonemap=not bloom)
+    if use_kernel_shading:
+        from trident_tpu.ops.deferred import deferred_shade_attrs
+        from trident_tpu.ops.planes import build_resolve_records
+        from trident_tpu.ops.resolve_pallas import resolve_attrs_pallas
+
+        # per-draw consts = shade row + texture footprint (mip levels then
+        # need zero per-pixel size lookups in the kernel)
+        tex_wh = textures.sizes[params.texture_slot].astype(jnp.float32)
+        draw_consts = jnp.concatenate([shade_table, tex_wh], axis=1)
+        records = build_resolve_records(setup, verts, plan.tri_vtx, tri_draw,
+                                        draw_consts, chunk,
+                                        vertex_colors=vertex_colors)
+        attrs = resolve_attrs_pallas(bins, tri_tiles, records, rw, rh,
+                                     vertex_colors=vertex_colors,
+                                     interpret=interpret)
+        frame = deferred_shade_attrs(gbuf, attrs, textures, camera, lights,
+                                     rw, rh, clear_color=clear_color,
+                                     skybox=skybox, ai=None,
+                                     sampling=sampling, shadow=shadow,
+                                     shadow_pcf=shadow_pcf,
+                                     tonemap=not bloom)
+    else:
+        planes = build_planes(setup, verts, plan.tri_vtx, tri_draw,
+                              shade_table, vertex_colors=vertex_colors,
+                              f16=plane_f16)
+        frame = deferred_shade(gbuf, planes, textures, camera, lights, rw, rh,
+                               clear_color=clear_color, skybox=skybox,
+                               ai=None, sampling=sampling, shadow=shadow,
+                               shadow_pcf=shadow_pcf, tonemap=not bloom)
     if bloom:
         from trident_tpu.ops.shading import tonemap_reinhard_gamma
 
@@ -122,7 +160,7 @@ def _render_frame_impl(geometry, plan, tri_draw, params, palette, shade_table,
 @functools.partial(jax.jit, static_argnames=("width", "height", "clear_color",
                                              "raster", "chunk", "skinned",
                                              "sampling", "vertex_colors",
-                                             "plane_f16",
+                                             "plane_f16", "forward_shading",
                                              "shadow_size", "shadow_bias",
                                              "shadow_pcf",
                                              "supersample", "bloom",
@@ -132,7 +170,7 @@ def render_frame(geometry, plan, tri_draw, params, palette, shade_table,
                  camera, lights, textures, skybox, ai, light_camera=None,
                  *, width, height, clear_color, raster, chunk, skinned,
                  sampling="bilinear", vertex_colors=False, plane_f16=True,
-                 shadow_size=0,
+                 forward_shading=True, shadow_size=0,
                  shadow_bias=2e-3, shadow_pcf=False, supersample=1,
                  bloom=False, bloom_threshold=1.0,
                  bloom_strength=0.6) -> FrameOutput:
@@ -141,6 +179,7 @@ def render_frame(geometry, plan, tri_draw, params, palette, shade_table,
         lights, textures, skybox, ai, width=width, height=height,
         clear_color=clear_color, raster=raster, chunk=chunk, skinned=skinned,
         sampling=sampling, vertex_colors=vertex_colors, plane_f16=plane_f16,
+        forward_shading=forward_shading,
         light_camera=light_camera, shadow_size=shadow_size,
         shadow_bias=shadow_bias, shadow_pcf=shadow_pcf,
         supersample=supersample, bloom=bloom,
@@ -329,6 +368,7 @@ class Renderer:
             sampling=self.config.render.sampling,
             vertex_colors=self._vertex_colors,
             plane_f16=self.config.render.plane_f16,
+            forward_shading=self.config.render.forward_shading,
             shadow_size=shadow_size,
             shadow_pcf=self.config.render.shadow_pcf,
             supersample=max(int(self.config.render.supersample), 1),
