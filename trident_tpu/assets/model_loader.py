@@ -59,6 +59,14 @@ def load_model(path: str, prefer_native: bool = True) -> ModelData:
         from trident_tpu.assets.gltf_loader import load_gltf
 
         return load_gltf(path)
+    if ext == ".fbx":
+        from trident_tpu.assets.fbx_loader import load_fbx
+
+        return load_fbx(path)
+    if ext == ".dae":
+        from trident_tpu.assets.dae_loader import load_dae
+
+        return load_dae(path)
     raise ValueError(f"unsupported model format: {ext!r} ({path})")
 
 

@@ -18,7 +18,7 @@ from trident_tpu.mathx.transforms import decompose_trs
 
 logger = get_logger("assets.scene")
 
-SUPPORTED_EXTENSIONS = (".obj", ".gltf", ".glb")
+SUPPORTED_EXTENSIONS = (".obj", ".gltf", ".glb", ".fbx", ".dae")
 
 
 def load_scene_directory(directory: str, registry: Registry, renderer) -> List[int]:
