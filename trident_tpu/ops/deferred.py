@@ -128,10 +128,15 @@ def deferred_shade(gbuffer: GBuffer, planes: AttributePlanes,
         color_factor = jnp.concatenate(
             [color_factor[..., :3] * vcolor, color_factor[..., 3:4]], axis=-1)
 
+    # the mip math already gathered the sizes row — reuse it so the
+    # sampler's level geometry is gather-free
+    size_hint = (tex_size[..., 0].astype(jnp.int32),
+                 tex_size[..., 1].astype(jnp.int32))
     return _shade_common(
         gbuffer, covered, normal, uv, mip, color_factor, metallic, roughness,
         ambient_strength, slot, textures, camera, lights, width, height,
-        clear_color, skybox, ai, sampling, shadow, shadow_pcf, tonemap)
+        clear_color, skybox, ai, sampling, shadow, shadow_pcf, tonemap,
+        size_hint=size_hint)
 
 
 def deferred_shade_attrs(gbuffer: GBuffer, attrs: Array,
@@ -158,20 +163,24 @@ def deferred_shade_attrs(gbuffer: GBuffer, attrs: Array,
     roughness = attrs[..., rp.CH_ROUGH:rp.CH_ROUGH + 1]
     ambient_strength = attrs[..., rp.CH_AMB:rp.CH_AMB + 1]
     slot = attrs[..., rp.CH_SLOT].astype(jnp.int32)
+    size_hint = (attrs[..., rp.CH_TSX].astype(jnp.int32),
+                 attrs[..., rp.CH_TSY].astype(jnp.int32))
 
     return _shade_common(
         gbuffer, covered, normal, uv, mip, color_factor, metallic, roughness,
         ambient_strength, slot, textures, camera, lights, width, height,
-        clear_color, skybox, ai, sampling, shadow, shadow_pcf, tonemap)
+        clear_color, skybox, ai, sampling, shadow, shadow_pcf, tonemap,
+        size_hint=size_hint)
 
 
 def _shade_common(gbuffer, covered, normal, uv, mip, color_factor, metallic,
                   roughness, ambient_strength, slot, textures, camera,
                   lights, width, height, clear_color, skybox, ai, sampling,
-                  shadow, shadow_pcf, tonemap) -> Array:
+                  shadow, shadow_pcf, tonemap, size_hint=None) -> Array:
     """Texture sample + PBR + background/tonemap/AI — shared by the
     plane-gather path and the kernel-resolved path."""
-    sampled = shading.sample_texture(textures, slot, uv, mip, mode=sampling)
+    sampled = shading.sample_texture(textures, slot, uv, mip, mode=sampling,
+                                     size_hint=size_hint)
 
     albedo = sampled[..., :3] * color_factor[..., :3]
     alpha = color_factor[..., 3:4] * sampled[..., 3:4]

@@ -6,7 +6,7 @@ and dominated the frame (PERF.md: deferred grows 76→140 ms with triangle
 count at FIXED pixel count). This pass removes per-pixel table gathers
 entirely: a second Pallas sweep over the SAME tile/chunk pair list the
 visibility kernel used (ops/raster_pallas.py) selects each pixel's winner
-plane row with a one-hot MXU matmul against the chunk's (RW, C) record
+plane row with a one-hot MXU matmul against the chunk's (C, RW) record
 block — VMEM-streamed, never gathered — then evaluates every interpolant
 in-kernel on the VPU:
 
@@ -51,6 +51,8 @@ CH_MIP = 5                       # trilinear mip level
 CH_CF = 6                        # color factor rgba → 6..9
 CH_MET, CH_ROUGH, CH_AMB = 10, 11, 12
 CH_SLOT = 13                     # texture slot (exact small float)
+CH_TSX, CH_TSY = 14, 15          # mip-0 texture (w,h) — lets the sampler
+                                 # compute its level geometry gather-free
 CHANNELS = 16
 
 
@@ -74,11 +76,13 @@ def _resolve_kernel(pair_tile_ref, pair_chunk_ref, rec_ref, tri_ref, out_ref,
     rel = win - base
     mine = (win >= 0) & (rel >= 0) & (rel < CHUNK)  # (1, npx)
 
-    # one-hot select of the winner's record row: (RW, C) @ (C, npx) on MXU
+    # one-hot select of the winner's record row on the MXU: contract the
+    # triangle dim of the (C, RW) block against the (C, npx) one-hot —
+    # the records stay in their natural row layout (no relayout anywhere)
     oh = (jax.lax.broadcasted_iota(jnp.int32, (CHUNK, npx), 0)
           == rel).astype(jnp.float32)
-    rec = rec_ref[0]                               # (RW, C)
-    sel = jax.lax.dot_general(rec, oh, (((1,), (0,)), ((), ())),
+    rec = rec_ref[0]                               # (C, RW)
+    sel = jax.lax.dot_general(rec, oh, (((0,), (0,)), ((), ())),
                               preferred_element_type=jnp.float32)  # (RW,npx)
 
     r = jax.lax.broadcasted_iota(jnp.int32, (1, npx), 1)
@@ -126,7 +130,7 @@ def _resolve_kernel(pair_tile_ref, pair_chunk_ref, rec_ref, tri_ref, out_ref,
         nx, ny, nz, u, v, mip,
         cf_r, cf_g, cf_b, row(P.RR_CF + 3),
         row(P.RR_MET), row(P.RR_ROUGH), row(P.RR_AMB), row(P.RR_SLOT),
-        jnp.zeros((2, npx), jnp.float32),
+        tsx, tsy,
     ], axis=0)                                     # (CHANNELS, npx)
 
     acc = out_ref[0]
@@ -145,7 +149,7 @@ def resolve_attrs_pallas(bins: PallasBins, tri_tiles: Array, records: Array,
     nty = -(-height // TILE_H)
     n_tiles = ntx * nty
     npx = TILE_H * TILE_W
-    rw = records.shape[1]
+    rw = records.shape[2]
 
     kernel = functools.partial(_resolve_kernel, ntx=ntx,
                                vertex_colors=vertex_colors)
@@ -153,7 +157,7 @@ def resolve_attrs_pallas(bins: PallasBins, tri_tiles: Array, records: Array,
         num_scalar_prefetch=2,
         grid=(jnp.maximum(bins.n_real, 1),),
         in_specs=[
-            pl.BlockSpec((1, rw, CHUNK),
+            pl.BlockSpec((1, CHUNK, rw),
                          lambda i, tiles, chunks: (chunks[i], 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, npx),

@@ -147,25 +147,39 @@ def _unpack_rgba8(v: Array) -> Array:
     ], axis=-1)
 
 
-def _level_geom(tex, slot: Array, level: Array):
+def _level_geom(tex, slot: Array, level: Array, size_hint=None):
     """(lw, lh, stride, base) for per-pixel integer mip levels. Rows carry a
-    wrap-gutter column, so stride = (edge>>l) + 1."""
+    wrap-gutter column, so stride = (edge>>l) + 1.
+
+    Per-pixel table gathers are the shading cost driver, so everything here
+    is CLOSED FORM: the flat pyramid's level offset for a pow2 edge E is
+    exactly Σ_{j<l}((E>>j)+1)(E>>j) = (E²−(E>>l)²)·4/3 + (E−(E>>l))·2
+    (4^l−1 and 2^l−1 divisibility make it exact in integers). `size_hint`
+    is the per-pixel mip-0 (w,h) when the caller already has it (the
+    resolve kernel bakes it into the attribute image; the plane-gather path
+    reuses its mip-math gather) — without it, one sizes-row gather."""
     level = jnp.clip(level, 0, tex.offsets.shape[0] - 1)
-    lw = jnp.maximum(jnp.right_shift(tex.sizes[slot, 0], level), 1)
-    lh = jnp.maximum(jnp.right_shift(tex.sizes[slot, 1], level), 1)
-    stride = jnp.maximum(jnp.right_shift(tex.edge, level), 1) + 1
-    base = tex.offsets[level]
+    if size_hint is None:
+        w0, h0 = tex.sizes[slot, 0], tex.sizes[slot, 1]
+    else:
+        w0, h0 = size_hint
+    lw = jnp.maximum(jnp.right_shift(w0, level), 1)
+    lh = jnp.maximum(jnp.right_shift(h0, level), 1)
+    es = jnp.maximum(jnp.right_shift(tex.edge, level), 1)
+    stride = es + 1
+    base = (tex.edge * tex.edge - es * es) * 4 // 3 + (tex.edge - es) * 2
     return lw, lh, stride, base
 
 
-def _bilinear_flat(tex, slot: Array, uv: Array, level: Array) -> Array:
+def _bilinear_flat(tex, slot: Array, uv: Array, level: Array,
+                   size_hint=None) -> Array:
     """Bilinear sample with REPEAT wrap at integer mip `level` (per-pixel).
 
     TWO 8-byte pair-gathers (one per y row): pairs[i] = (texel_i,
     texel_{i+1}) and the gutter column makes (x0, x0+1) always valid.
     Returns (...,4) f32 in [0,1].
     """
-    lw, lh, stride, base = _level_geom(tex, slot, level)
+    lw, lh, stride, base = _level_geom(tex, slot, level, size_hint)
 
     x = uv[..., 0] * lw.astype(jnp.float32) - 0.5
     y = uv[..., 1] * lh.astype(jnp.float32) - 0.5
@@ -196,39 +210,44 @@ def sample_bilinear(tex, slot: Array, uv: Array) -> Array:
     return _bilinear_flat(tex, slot, uv, jnp.zeros(uv.shape[:-1], jnp.int32))
 
 
-def _nearest_flat(tex, slot: Array, uv: Array, level: Array) -> Array:
+def _nearest_flat(tex, slot: Array, uv: Array, level: Array,
+                  size_hint=None) -> Array:
     """Nearest-texel sample at integer mip `level` — ONE gather."""
-    lw, lh, stride, base = _level_geom(tex, slot, level)
+    lw, lh, stride, base = _level_geom(tex, slot, level, size_hint)
     xi = jnp.mod(jnp.floor(uv[..., 0] * lw.astype(jnp.float32)).astype(jnp.int32), lw)
     yi = jnp.mod(jnp.floor(uv[..., 1] * lh.astype(jnp.float32)).astype(jnp.int32), lh)
     v = tex.pairs[slot, base + yi * stride + xi, 0]
     return _unpack_rgba8(v) * (1.0 / 255.0)
 
 
-def sample_texture_mip(tex, slot: Array, uv: Array, mip_level: Array) -> Array:
-    """Trilinear sample: bilinear at floor/ceil mip, lerped. 8 gathers."""
+def sample_texture_mip(tex, slot: Array, uv: Array, mip_level: Array,
+                       size_hint=None) -> Array:
+    """Trilinear sample: bilinear at floor/ceil mip, lerped. 4 pair-gathers."""
     n_mips = tex.offsets.shape[0]
     mip = jnp.clip(mip_level, 0.0, float(n_mips - 1))
     lo = jnp.floor(mip)
     frac = (mip - lo)[..., None]
     lo_i = lo.astype(jnp.int32)
-    lo_samp = _bilinear_flat(tex, slot, uv, lo_i)
-    hi_samp = _bilinear_flat(tex, slot, uv, jnp.minimum(lo_i + 1, n_mips - 1))
+    lo_samp = _bilinear_flat(tex, slot, uv, lo_i, size_hint)
+    hi_samp = _bilinear_flat(tex, slot, uv,
+                             jnp.minimum(lo_i + 1, n_mips - 1), size_hint)
     return lo_samp * (1.0 - frac) + hi_samp * frac
 
 
 def sample_texture(tex, slot: Array, uv: Array, mip_level: Array,
-                   mode: str = "bilinear") -> Array:
+                   mode: str = "bilinear", size_hint=None) -> Array:
     """Sampling quality knob: per-pixel gathers are the TPU cost driver.
-    nearest = 1 gather, bilinear = 4 (at the rounded mip), trilinear = 8."""
+    nearest = 1 pair-gather, bilinear = 2 (at the rounded mip), trilinear
+    = 4. `size_hint` = per-pixel mip-0 (w,h) i32 to skip the sizes gather
+    (see _level_geom)."""
     n_mips = tex.offsets.shape[0]
     mip = jnp.clip(mip_level, 0.0, float(n_mips - 1))
     if mode == "trilinear":
-        return sample_texture_mip(tex, slot, uv, mip)
+        return sample_texture_mip(tex, slot, uv, mip, size_hint)
     mip_i = jnp.round(mip).astype(jnp.int32)
     if mode == "nearest":
-        return _nearest_flat(tex, slot, uv, mip_i)
-    return _bilinear_flat(tex, slot, uv, mip_i)
+        return _nearest_flat(tex, slot, uv, mip_i, size_hint)
+    return _bilinear_flat(tex, slot, uv, mip_i, size_hint)
 
 
 def sample_skybox(faces: Array, direction: Array) -> Array:
