@@ -109,3 +109,56 @@ def test_plane_f16_quality():
     mse = float(np.square(diff / 255.0).mean())
     psnr = 10 * np.log10(1.0 / max(mse, 1e-12))
     assert psnr > 35.0, f"PSNR {psnr:.1f} dB"
+
+
+def test_native_resolution_1024():
+    """A 1024² texture binds unscaled (reference: TextureLoader.cpp:293
+    native-size images) and nearest sampling returns its exact texels."""
+    slots = TextureSlots(max_slots=8, edge=1024)
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (1024, 1024, 4), dtype=np.uint8)
+    img[..., 3] = 255
+    slot = slots.acquire("big", img)
+    tex = slots.device_arrays()
+    assert tuple(np.asarray(tex.sizes[slot, :2])) == (1024, 1024)
+    # texel centers: uv = (x+0.5)/1024
+    xs = np.array([0, 1, 511, 1023])
+    ys = np.array([0, 640, 1023])
+    uv = jnp.asarray([[(x + 0.5) / 1024, (y + 0.5) / 1024]
+                      for y in ys for x in xs], jnp.float32)
+    sl = jnp.full(uv.shape[0], slot, jnp.int32)
+    out = np.asarray(sample_texture(tex, sl, uv, jnp.zeros(uv.shape[0]),
+                                    mode="nearest"))
+    expect = np.stack([img[y, x] for y in ys for x in xs]) / 255.0
+    np.testing.assert_allclose(out, expect, atol=1e-6)
+
+
+def test_memory_proportional_to_texels():
+    """Per-slot pyramids: small/empty slots no longer pay the full-edge
+    pyramid (round-1 stored ~0.7MB per slot INCLUDING 1×1 white)."""
+    small = TextureSlots(max_slots=256, edge=1024)
+    small.acquire("a", np.full((32, 32, 4), 128, np.uint8))
+    n_small = int(np.asarray(small.device_arrays().pairs).shape[0])
+    # 8 bucketed slots: one 32² pyramid + seven 1×1 + alignment ≈ a few KB
+    assert n_small < 16 * 1024, n_small
+    big = TextureSlots(max_slots=256, edge=1024)
+    big.acquire("b", np.full((1024, 512, 4), 128, np.uint8))
+    n_big = int(np.asarray(big.device_arrays().pairs).shape[0])
+    assert n_big > 1024 * 1024          # the real pyramid
+    assert n_big < 2 * 1400 * 1024      # ~4/3·E² + padding, nothing more
+
+
+def test_non_pow2_non_square_sampling():
+    slots = TextureSlots(max_slots=8, edge=256)
+    img = np.zeros((20, 48, 4), np.uint8)          # h=20, w=48
+    img[:, :24] = [255, 0, 0, 255]
+    img[:, 24:] = [0, 0, 255, 255]
+    slot = slots.acquire("odd", img)
+    tex = slots.device_arrays()
+    assert tuple(np.asarray(tex.sizes[slot])) == (48, 20, *np.asarray(tex.sizes[slot, 2:]))
+    uv = jnp.asarray([[0.25, 0.5], [0.75, 0.5], [1.25, 0.5]], jnp.float32)
+    sl = jnp.full(3, slot, jnp.int32)
+    out = np.asarray(sample_texture(tex, sl, uv, jnp.zeros(3), mode="bilinear"))
+    assert out[0, 0] > 0.9 and out[0, 2] < 0.1     # left red
+    assert out[1, 2] > 0.9 and out[1, 0] < 0.1     # right blue
+    np.testing.assert_allclose(out[2], out[0], atol=1e-5)  # REPEAT wrap

@@ -29,7 +29,9 @@ class RenderConfig:
     max_point_lights: int = 8
     max_bones: int = 128             # per skeleton
     bone_influences: int = 4         # per vertex
-    texture_size: int = 256          # padded texture-array edge (pow2)
+    texture_size: int = 1024         # texture size CAP (pow2): larger
+                                     # images downscale to fit; every slot
+                                     # stores only its own pow2 pyramid
     clear_color: Tuple[float, float, float, float] = (0.05, 0.05, 0.08, 1.0)
     use_pallas: Optional[bool] = None  # None = auto (TPU yes, CPU interpret)
     sampling: str = "bilinear"       # texture quality: nearest|bilinear|trilinear

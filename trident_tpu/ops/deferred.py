@@ -118,7 +118,8 @@ def deferred_shade(gbuffer: GBuffer, planes: AttributePlanes,
     du_dy = (a[..., 13] - uv[..., 0] * g1y) * inv
     dv_dx = (b[..., 0] - uv[..., 1] * g1x) * inv
     dv_dy = (b[..., 1] - uv[..., 1] * g1y) * inv
-    tex_size = textures.sizes[slot].astype(jnp.float32)
+    size_row = textures.sizes[slot]                       # ONE (…,4) gather
+    tex_size = size_row[..., :2].astype(jnp.float32)
     rho = jnp.maximum(
         jnp.square(du_dx * tex_size[..., 0]) + jnp.square(dv_dx * tex_size[..., 1]),
         jnp.square(du_dy * tex_size[..., 0]) + jnp.square(dv_dy * tex_size[..., 1]),
@@ -130,8 +131,8 @@ def deferred_shade(gbuffer: GBuffer, planes: AttributePlanes,
 
     # the mip math already gathered the sizes row — reuse it so the
     # sampler's level geometry is gather-free
-    size_hint = (tex_size[..., 0].astype(jnp.int32),
-                 tex_size[..., 1].astype(jnp.int32))
+    size_hint = (size_row[..., 0], size_row[..., 1],
+                 size_row[..., 2], size_row[..., 3])
     return _shade_common(
         gbuffer, covered, normal, uv, mip, color_factor, metallic, roughness,
         ambient_strength, slot, textures, camera, lights, width, height,
@@ -162,13 +163,19 @@ def deferred_shade_attrs(gbuffer: GBuffer, attrs: Array,
     metallic = attrs[..., rp.CH_MET:rp.CH_MET + 1]
     roughness = attrs[..., rp.CH_ROUGH:rp.CH_ROUGH + 1]
     ambient_strength = attrs[..., rp.CH_AMB:rp.CH_AMB + 1]
-    slot = attrs[..., rp.CH_SLOT].astype(jnp.int32)
-    size_hint = (attrs[..., rp.CH_TSX].astype(jnp.int32),
-                 attrs[..., rp.CH_TSY].astype(jnp.int32))
+    w0 = attrs[..., rp.CH_TSX].astype(jnp.int32)
+    h0 = attrs[..., rp.CH_TSY].astype(jnp.int32)
+    base8 = attrs[..., rp.CH_BASE8].astype(jnp.int32)
+    # per-slot pow2 edge = bit-smeared pow2 ceil of max(w,h) — elementwise,
+    # exactly matching the packing in render/textures.py
+    m = jnp.maximum(jnp.maximum(w0, h0), 1) - 1
+    for shift_k in (1, 2, 4, 8, 16):
+        m = m | (m >> shift_k)
+    size_hint = (w0, h0, base8, m + 1)
 
     return _shade_common(
         gbuffer, covered, normal, uv, mip, color_factor, metallic, roughness,
-        ambient_strength, slot, textures, camera, lights, width, height,
+        ambient_strength, None, textures, camera, lights, width, height,
         clear_color, skybox, ai, sampling, shadow, shadow_pcf, tonemap,
         size_hint=size_hint)
 
@@ -178,7 +185,8 @@ def _shade_common(gbuffer, covered, normal, uv, mip, color_factor, metallic,
                   lights, width, height, clear_color, skybox, ai, sampling,
                   shadow, shadow_pcf, tonemap, size_hint=None) -> Array:
     """Texture sample + PBR + background/tonemap/AI — shared by the
-    plane-gather path and the kernel-resolved path."""
+    plane-gather path and the kernel-resolved path. `slot` is unused (may
+    be None) when size_hint carries the per-pixel texture geometry."""
     sampled = shading.sample_texture(textures, slot, uv, mip, mode=sampling,
                                      size_hint=size_hint)
 

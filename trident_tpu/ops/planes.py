@@ -110,11 +110,13 @@ def build_planes(setup: TriangleSetup, verts: VertexStageOut, tri_vtx: Array,
 
 
 # resolve-record row layout (see build_resolve_records): plane g-vectors
-# first (3 rows each), then per-draw shading constants, then optional
-# vertex-color planes. Indices are shared with ops/resolve_pallas.py.
+# first (3 rows each), then per-draw shading constants (the shade table +
+# the texture row: w, h, base>>8, pow2 edge), then optional vertex-color
+# planes. Indices are shared with ops/resolve_pallas.py.
 RR_G1, RR_NX, RR_NY, RR_NZ, RR_U, RR_V = 0, 3, 6, 9, 12, 15
-RR_CF, RR_MET, RR_ROUGH, RR_AMB, RR_SLOT, RR_TSX, RR_TSY = 18, 22, 23, 24, 25, 26, 27
-RR_COL = 28
+RR_CF, RR_MET, RR_ROUGH, RR_AMB, RR_SLOT = 18, 22, 23, 24, 25
+RR_TSX, RR_TSY, RR_BASE8, RR_EDGE = 26, 27, 28, 29
+RR_COL = 30
 RR_WIDTH, RR_WIDTH_VCOLOR = 32, 40
 
 
@@ -125,10 +127,10 @@ def build_resolve_records(setup: TriangleSetup, verts: VertexStageOut,
     """Chunked per-triangle records for the in-kernel resolve pass
     (ops/resolve_pallas.py): all interpolation planes + shading constants.
 
-    draw_consts: (D, 10) f32 — color_factor rgba, metallic, roughness,
-    ambient_strength, texture slot, tex width, tex height (shade_table plus
-    the texture footprint, so the kernel computes mip levels with zero
-    per-pixel gathers).
+    draw_consts: (D, 12) f32 — color_factor rgba, metallic, roughness,
+    ambient_strength, texture slot, then the texture sizes row (w, h,
+    base>>8, pow2 edge) — so the kernel computes mip levels AND the
+    sampler's flat addressing with zero per-pixel table gathers.
 
     Returns (NC+1, C, RW) f32; chunk block 0 is the empty sentinel. The
     layout is a pure reshape of the (T, RW) row table (a transposed
@@ -145,7 +147,7 @@ def build_resolve_records(setup: TriangleSetup, verts: VertexStageOut,
     g1 = jnp.sum(edge, axis=1)
     nrm = verts.attrs[tri_vtx][..., 3:6]
     uv = verts.attrs[tri_vtx][..., 6:8]
-    consts = draw_consts[tri_draw]                 # (T,10)
+    consts = draw_consts[tri_draw]                 # (T,12)
     cols = [g1, plane(nrm[..., 0]), plane(nrm[..., 1]), plane(nrm[..., 2]),
             plane(uv[..., 0]), plane(uv[..., 1]), consts]
     rw = RR_WIDTH

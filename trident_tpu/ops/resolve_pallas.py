@@ -50,9 +50,10 @@ CH_U, CH_V = 3, 4                # atlas-transformed UV
 CH_MIP = 5                       # trilinear mip level
 CH_CF = 6                        # color factor rgba → 6..9
 CH_MET, CH_ROUGH, CH_AMB = 10, 11, 12
-CH_SLOT = 13                     # texture slot (exact small float)
-CH_TSX, CH_TSY = 14, 15          # mip-0 texture (w,h) — lets the sampler
-                                 # compute its level geometry gather-free
+CH_BASE8 = 13                    # texture flat base >> 8 (f32-exact)
+CH_TSX, CH_TSY = 14, 15          # mip-0 texture (w,h); with the base these
+                                 # make the sampler's level geometry fully
+                                 # gather-free (pow2 edge = bit-smear(max))
 CHANNELS = 16
 
 
@@ -129,7 +130,7 @@ def _resolve_kernel(pair_tile_ref, pair_chunk_ref, rec_ref, tri_ref, out_ref,
     new = jnp.concatenate([
         nx, ny, nz, u, v, mip,
         cf_r, cf_g, cf_b, row(P.RR_CF + 3),
-        row(P.RR_MET), row(P.RR_ROUGH), row(P.RR_AMB), row(P.RR_SLOT),
+        row(P.RR_MET), row(P.RR_ROUGH), row(P.RR_AMB), row(P.RR_BASE8),
         tsx, tsy,
     ], axis=0)                                     # (CHANNELS, npx)
 

@@ -134,9 +134,10 @@ def tonemap_reinhard_gamma(color: Array) -> Array:
 
 # -- texture sampling ---------------------------------------------------------
 #
-# Textures live in a FLAT packed mip pyramid (render.types.TextureArrays):
-# data[s, offsets[l] + y*(edge>>l) + x]. Sampling any level is 4 gathers;
-# trilinear is exactly 8 regardless of level count.
+# Textures live in per-slot flat mip pyramids packed into one buffer
+# (render.types.TextureArrays): texel = pairs[slot_base + level_base(E_s,l)
+# + y*((E_s>>l)+1) + x]. Bilinear = 2 pair-gathers, nearest = 1,
+# trilinear = 4, regardless of level count.
 
 def _unpack_rgba8(v: Array) -> Array:
     return jnp.stack([
@@ -149,25 +150,27 @@ def _unpack_rgba8(v: Array) -> Array:
 
 def _level_geom(tex, slot: Array, level: Array, size_hint=None):
     """(lw, lh, stride, base) for per-pixel integer mip levels. Rows carry a
-    wrap-gutter column, so stride = (edge>>l) + 1.
+    wrap-gutter column, so stride = (E_s>>l) + 1.
 
     Per-pixel table gathers are the shading cost driver, so everything here
-    is CLOSED FORM: the flat pyramid's level offset for a pow2 edge E is
-    exactly Σ_{j<l}((E>>j)+1)(E>>j) = (E²−(E>>l)²)·4/3 + (E−(E>>l))·2
-    (4^l−1 and 2^l−1 divisibility make it exact in integers). `size_hint`
-    is the per-pixel mip-0 (w,h) when the caller already has it (the
-    resolve kernel bakes it into the attribute image; the plane-gather path
-    reuses its mip-math gather) — without it, one sizes-row gather."""
-    level = jnp.clip(level, 0, tex.offsets.shape[0] - 1)
+    is CLOSED FORM: a slot's level offset for its pow2 edge E is exactly
+    Σ_{j<l}((E>>j)+1)(E>>j) = (E²−(E>>l)²)·4/3 + (E−(E>>l))·2 (4^l−1 and
+    2^l−1 divisibility make it exact in integers). `size_hint` is the
+    per-pixel (w0, h0, base>>8, edge) row when the caller already has it
+    (the resolve kernel bakes it into the attribute image; the plane-gather
+    path reuses its mip-math gather) — without it, ONE sizes-row gather."""
     if size_hint is None:
-        w0, h0 = tex.sizes[slot, 0], tex.sizes[slot, 1]
+        row = tex.sizes[slot]
+        w0, h0 = row[..., 0], row[..., 1]
+        base8, edge = row[..., 2], row[..., 3]
     else:
-        w0, h0 = size_hint
+        w0, h0, base8, edge = size_hint
     lw = jnp.maximum(jnp.right_shift(w0, level), 1)
     lh = jnp.maximum(jnp.right_shift(h0, level), 1)
-    es = jnp.maximum(jnp.right_shift(tex.edge, level), 1)
+    es = jnp.maximum(jnp.right_shift(edge, level), 1)
     stride = es + 1
-    base = (tex.edge * tex.edge - es * es) * 4 // 3 + (tex.edge - es) * 2
+    base = ((base8 << 8)
+            + (edge * edge - es * es) * 4 // 3 + (edge - es) * 2)
     return lw, lh, stride, base
 
 
@@ -195,7 +198,7 @@ def _bilinear_flat(tex, slot: Array, uv: Array, level: Array,
     y0i, y1i = wrap(y0, lh), wrap(y0 + 1, lh)
 
     def fetch_pair(yi):
-        p = tex.pairs[slot, base + yi * stride + x0i]   # (...,2) u32
+        p = tex.pairs[base + yi * stride + x0i]         # (...,2) u32
         return _unpack_rgba8(p[..., 0]), _unpack_rgba8(p[..., 1])
 
     t00, t10 = fetch_pair(y0i)
@@ -216,21 +219,20 @@ def _nearest_flat(tex, slot: Array, uv: Array, level: Array,
     lw, lh, stride, base = _level_geom(tex, slot, level, size_hint)
     xi = jnp.mod(jnp.floor(uv[..., 0] * lw.astype(jnp.float32)).astype(jnp.int32), lw)
     yi = jnp.mod(jnp.floor(uv[..., 1] * lh.astype(jnp.float32)).astype(jnp.int32), lh)
-    v = tex.pairs[slot, base + yi * stride + xi, 0]
+    v = tex.pairs[base + yi * stride + xi, 0]
     return _unpack_rgba8(v) * (1.0 / 255.0)
 
 
 def sample_texture_mip(tex, slot: Array, uv: Array, mip_level: Array,
                        size_hint=None) -> Array:
-    """Trilinear sample: bilinear at floor/ceil mip, lerped. 4 pair-gathers."""
-    n_mips = tex.offsets.shape[0]
-    mip = jnp.clip(mip_level, 0.0, float(n_mips - 1))
+    """Trilinear sample: bilinear at floor/ceil mip, lerped. 4 pair-gathers.
+    Levels past a slot's own pyramid clamp to its 1×1 tail in _level_geom."""
+    mip = jnp.clip(mip_level, 0.0, tex.max_level.astype(jnp.float32))
     lo = jnp.floor(mip)
     frac = (mip - lo)[..., None]
     lo_i = lo.astype(jnp.int32)
     lo_samp = _bilinear_flat(tex, slot, uv, lo_i, size_hint)
-    hi_samp = _bilinear_flat(tex, slot, uv,
-                             jnp.minimum(lo_i + 1, n_mips - 1), size_hint)
+    hi_samp = _bilinear_flat(tex, slot, uv, lo_i + 1, size_hint)
     return lo_samp * (1.0 - frac) + hi_samp * frac
 
 
@@ -238,10 +240,9 @@ def sample_texture(tex, slot: Array, uv: Array, mip_level: Array,
                    mode: str = "bilinear", size_hint=None) -> Array:
     """Sampling quality knob: per-pixel gathers are the TPU cost driver.
     nearest = 1 pair-gather, bilinear = 2 (at the rounded mip), trilinear
-    = 4. `size_hint` = per-pixel mip-0 (w,h) i32 to skip the sizes gather
-    (see _level_geom)."""
-    n_mips = tex.offsets.shape[0]
-    mip = jnp.clip(mip_level, 0.0, float(n_mips - 1))
+    = 4. `size_hint` = per-pixel (w0, h0, base>>8, edge) i32 rows to skip
+    the sizes gather (see _level_geom)."""
+    mip = jnp.clip(mip_level, 0.0, tex.max_level.astype(jnp.float32))
     if mode == "trilinear":
         return sample_texture_mip(tex, slot, uv, mip, size_hint)
     mip_i = jnp.round(mip).astype(jnp.int32)

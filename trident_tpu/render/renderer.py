@@ -117,10 +117,11 @@ def _render_frame_impl(geometry, plan, tri_draw, params, palette, shade_table,
         from trident_tpu.ops.planes import build_resolve_records
         from trident_tpu.ops.resolve_pallas import resolve_attrs_pallas
 
-        # per-draw consts = shade row + texture footprint (mip levels then
-        # need zero per-pixel size lookups in the kernel)
-        tex_wh = textures.sizes[params.texture_slot].astype(jnp.float32)
-        draw_consts = jnp.concatenate([shade_table, tex_wh], axis=1)
+        # per-draw consts = shade row + the texture sizes row (w, h,
+        # base>>8, edge): mip levels AND flat texel addressing then need
+        # zero per-pixel table lookups
+        tex_row = textures.sizes[params.texture_slot].astype(jnp.float32)
+        draw_consts = jnp.concatenate([shade_table, tex_row], axis=1)
         records = build_resolve_records(setup, verts, plan.tri_vtx, tri_draw,
                                         draw_consts, chunk,
                                         vertex_colors=vertex_colors)

@@ -114,9 +114,13 @@ class TextureSlots:
 
     # -- device packing -------------------------------------------------------
     def device_arrays(self) -> TextureArrays:
-        """Pack all slots into the FLAT mip pyramid (cached by version):
-        data[s, offsets[l] + y*(edge>>l) + x]. Slot count is bucketed to
-        multiples of 8 to limit retraces."""
+        """Pack all slots into ONE flat buffer of per-slot mip pyramids
+        (cached by version): texel(s,l,y,x) = pairs[(sizes[s,2]<<8)
+        + level_base(E_s,l) + y*((E_s>>l)+1) + x]. Each slot pads only to
+        its OWN pow2 edge, so memory is ∝ actual texels — a 1×1 white slot
+        costs 16 bytes, not a full pyramid. Slot count is bucketed to
+        multiples of 8 to limit retraces; slot bases align to 256 entries
+        (so base>>8 is f32-exact for the resolve kernel)."""
         if self._device is not None and self._device_version == self.version:
             return self._device
         n = len(self._images)
@@ -124,45 +128,51 @@ class TextureSlots:
         s = min(((n + bucket - 1) // bucket) * bucket, self.max_slots)
         s = max(s, n)
 
-        # rows carry a wrap-gutter column: stride = e+1, column w = column 0
-        level_edges = [max(self.edge >> l, 1) for l in range(self.mip_count)]
-        level_sizes = [(e + 1) * e for e in level_edges]
-        offsets = np.zeros(self.mip_count, np.int64)
-        for l in range(1, self.mip_count):
-            offsets[l] = offsets[l - 1] + level_sizes[l - 1]
-        total = int(offsets[-1] + level_sizes[-1])
-
-        sizes = np.ones((s, 2), np.int32)
-        data = np.zeros((s, total), np.uint32)   # RGBA8 packed in one u32
+        sizes = np.ones((s, 4), np.int32)
+        chunks: List[np.ndarray] = []
+        cursor = 0
+        max_edge = 1
         for i in range(s):
             img = self._images[i] if i < n else np.full((1, 1, 4), 255, np.uint8)
-            if i < n:
-                sizes[i] = self._sizes[i]
-            w0, h0 = (sizes[i] if i < n else (1, 1))
+            w0, h0 = (self._sizes[i] if i < n else (1, 1))
+            e0 = 1 << int(max(w0, h0, 1) - 1).bit_length()   # pow2 ceil
+            e0 = min(max(e0, 1), self.edge)
+            max_edge = max(max_edge, e0)
+            n_levels = e0.bit_length()                       # log2(e0)+1
+            sizes[i] = (w0, h0, cursor >> 8, e0)
+            # rows carry a wrap-gutter column: stride = e+1, col lw = col 0
             cur = img
-            for l, e in enumerate(level_edges):
+            total = 0
+            parts = []
+            for l in range(n_levels):
+                e = max(e0 >> l, 1)
                 tile = np.zeros((e, e + 1, 4), np.uint8)
                 ch, cw = min(cur.shape[0], e), min(cur.shape[1], e)
                 tile[:ch, :cw] = cur[:ch, :cw]
-                lw = max(int(w0) >> l, 1) if i < n else 1
-                lw = min(lw, e)
-                tile[:ch, lw] = tile[:ch, 0]     # REPEAT gutter at actual width
-                flat = tile.reshape(level_sizes[l], 4).astype(np.uint32)
-                data[i, offsets[l]:offsets[l] + level_sizes[l]] = (
-                    flat[:, 0] | (flat[:, 1] << 8) | (flat[:, 2] << 16)
-                    | (flat[:, 3] << 24))
-                if l + 1 < self.mip_count:
+                lw = min(max(int(w0) >> l, 1), e)
+                tile[:ch, lw] = tile[:ch, 0]   # REPEAT gutter at actual width
+                flat = tile.reshape(-1, 4).astype(np.uint32)
+                parts.append(flat[:, 0] | (flat[:, 1] << 8)
+                             | (flat[:, 2] << 16) | (flat[:, 3] << 24))
+                total += (e + 1) * e
+                if l + 1 < n_levels:
                     cur = _box_downsample(cur)
+            pad = (-(cursor + total)) % 256                  # align next base
+            if pad:
+                parts.append(np.zeros(pad, np.uint32))
+            chunk = np.concatenate(parts)
+            chunks.append(chunk)
+            cursor += chunk.shape[0]
 
+        data = np.concatenate(chunks)
         # sliding texel pairs: pairs[i] = (data[i], data[i+1])
-        pairs = np.stack([data, np.concatenate(
-            [data[:, 1:], data[:, -1:]], axis=1)], axis=-1)
+        pairs = np.stack(
+            [data, np.concatenate([data[1:], data[-1:]])], axis=-1)
 
         self._device = TextureArrays(
             pairs=jnp.asarray(pairs),
             sizes=jnp.asarray(sizes),
-            offsets=jnp.asarray(offsets.astype(np.int32)),
-            edge=jnp.asarray(self.edge, jnp.int32),
+            max_level=jnp.asarray(max_edge.bit_length() - 1, jnp.int32),
         )
         self._device_version = self.version
         return self._device

@@ -91,22 +91,27 @@ class MaterialTable(NamedTuple):
 
 
 class TextureArrays(NamedTuple):
-    """Slot-indexed texture storage: a FLAT packed mip pyramid of TEXEL
-    PAIRS.
+    """Slot-indexed texture storage: per-slot mip pyramids of TEXEL PAIRS
+    packed into ONE flat buffer, each slot padded only to ITS OWN pow2 edge
+    (memory ∝ actual texels; the reference binds native-size images,
+    TextureLoader.cpp:293).
 
-    Rows have a wrap-gutter column (stride = (edge>>l)+1, column w copies
-    column 0), and pairs[s, i] = (texel_i, texel_{i+1}) — so a bilinear tap
+    Rows have a wrap-gutter column (stride = (E_s>>l)+1, column lw copies
+    column 0), and pairs[i] = (texel_i, texel_{i+1}) — so a bilinear tap
     needs TWO 8-byte gathers (one per y row) instead of four, and nearest
     needs one (lane 0). Per-pixel gathers (~8ns each) dominate shading cost
-    on TPU; rows up to 48B gather at the same rate as 4B, so the 2× memory
-    is free speed. Trilinear stays a fixed 4 gathers for ANY mip count.
-    Slot 0 is the 1×1-white analogue; sizes[s] is the actual (w,h) footprint
-    for REPEAT wrap."""
+    on TPU; rows up to 48B gather at the same rate as 4B, so the 2× pair
+    memory is deliberate speed. Level offsets within a slot are CLOSED FORM
+    (ops/shading._level_geom), so sampling needs no offset tables. Slot
+    bases are 256-entry aligned: base>>8 stays exact in f32, letting the
+    resolve kernel carry it through the attribute image.
+    Slot 0 is the 1×1-white analogue; sizes[s,0:2] is the actual (w,h)
+    footprint for REPEAT wrap."""
 
-    pairs: Array              # (S, T, 2) uint32 RGBA8, T = Σ_l ((edge>>l)+1)·(edge>>l)
-    sizes: Array              # (S,2) i32 actual (w,h) at mip 0
-    offsets: Array            # (L,) i32 flat offset of each level
-    edge: Array               # () i32 padded edge at mip 0
+    pairs: Array              # (N, 2) uint32 RGBA8 — all slots, flat
+    sizes: Array              # (S,4) i32: actual w, actual h,
+                              #   flat base >> 8, pow2 edge E_s
+    max_level: Array          # () i32 — log2(max slot edge): mip clamp
 
 
 class SkyboxCube(NamedTuple):
