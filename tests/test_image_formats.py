@@ -1,0 +1,154 @@
+"""KTX2 container + SVG rasterizer coverage (TextureLoader.cpp:10-12,417
+parity: nanosvg + libktx analogues)."""
+
+import numpy as np
+import pytest
+
+
+def test_ktx2_roundtrip_all_schemes(tmp_path):
+    from trident_tpu.assets.ktx2 import load_ktx2_rgba8, write_ktx2
+
+    rng = np.random.default_rng(0)
+    tex = rng.integers(0, 255, (32, 48, 4), np.uint8)
+    for scheme in (0, 2, 3):  # none, zstd, zlib
+        p = str(tmp_path / f"t{scheme}.ktx2")
+        write_ktx2(p, tex, scheme=scheme)
+        assert (load_ktx2_rgba8(p) == tex).all()
+
+
+def test_ktx2_rgb_gets_opaque_alpha(tmp_path):
+    from trident_tpu.assets.ktx2 import load_ktx2_rgba8, write_ktx2
+
+    tex = np.full((8, 8, 3), 7, np.uint8)
+    p = str(tmp_path / "rgb.ktx2")
+    write_ktx2(p, tex)
+    out = load_ktx2_rgba8(p)
+    assert out.shape == (8, 8, 4)
+    assert (out[..., 3] == 255).all() and (out[..., :3] == 7).all()
+
+
+def test_ktx2_cubemap_and_skybox_path(tmp_path):
+    from trident_tpu.assets.ktx2 import load_ktx2_cubemap, write_ktx2
+    from trident_tpu.assets.skybox import load_skybox
+
+    rng = np.random.default_rng(1)
+    faces = rng.integers(0, 255, (6, 16, 16, 4), np.uint8)
+    p = str(tmp_path / "cube.ktx2")
+    write_ktx2(p, faces, cubemap=True, scheme=2)
+    cube = load_ktx2_cubemap(p)
+    assert cube.shape == (6, 16, 16, 3)
+    np.testing.assert_allclose(cube, faces[..., :3] / 255.0)
+    via_skybox = load_skybox(p)
+    np.testing.assert_allclose(via_skybox, cube)
+
+
+def test_ktx2_basis_rejected(tmp_path):
+    import struct
+
+    from trident_tpu.assets.ktx2 import _KTX2_MAGIC, Ktx2File
+
+    p = str(tmp_path / "basis.ktx2")
+    with open(p, "wb") as f:  # vkFormat 0 (UNDEFINED) + BasisLZ scheme
+        f.write(_KTX2_MAGIC + struct.pack("<9I", 0, 1, 4, 4, 0, 0, 1, 1, 1)
+                + b"\0" * 80)
+    with pytest.raises(ValueError, match="transcoding"):
+        Ktx2File(p)
+
+
+def test_load_rgba8_dispatches_ktx2_and_svg(tmp_path):
+    from trident_tpu.assets.ktx2 import write_ktx2
+    from trident_tpu.io.image import load_rgba8
+
+    tex = np.arange(8 * 8 * 4, dtype=np.uint8).reshape(8, 8, 4)
+    p = str(tmp_path / "x.ktx2")
+    write_ktx2(p, tex)
+    assert (load_rgba8(p) == tex).all()
+
+    svg_p = str(tmp_path / "x.svg")
+    with open(svg_p, "w") as f:
+        f.write('<svg xmlns="http://www.w3.org/2000/svg" width="16" '
+                'height="16"><rect width="16" height="16" fill="red"/></svg>')
+    img = load_rgba8(svg_p)
+    assert img.shape == (16, 16, 4)
+    assert img[8, 8, 0] == 255 and img[8, 8, 1] == 0
+
+
+def _raster(svg, **kw):
+    from trident_tpu.io.svg import rasterize_svg
+
+    return rasterize_svg(svg, **kw)
+
+
+SVG_NS = '<svg xmlns="http://www.w3.org/2000/svg" '
+
+
+def test_svg_shapes_and_colors():
+    img = _raster(SVG_NS + '''width="32" height="32" viewBox="0 0 32 32">
+      <rect x="0" y="0" width="16" height="16" fill="#ff0000"/>
+      <circle cx="24" cy="8" r="6" fill="rgb(0,255,0)"/>
+      <ellipse cx="8" cy="24" rx="6" ry="4" fill="blue"/>
+      <polygon points="18,18 30,18 24,30" fill="#0ff"/>
+    </svg>''')
+    assert tuple(img[4, 4][:3]) == (255, 0, 0)
+    assert tuple(img[8, 24][:3]) == (0, 255, 0)
+    assert tuple(img[24, 8][:3]) == (0, 0, 255)
+    assert tuple(img[20, 24][:3]) == (0, 255, 255)
+    assert img[30, 2, 3] == 0  # untouched pixel transparent
+
+
+def test_svg_path_viewbox_scaling_and_transform():
+    # a viewBox 0..10 filling a 40px target: path square covers upper half
+    img = _raster(SVG_NS + '''width="40" height="40" viewBox="0 0 10 10">
+      <path d="M0 0 H10 V5 H0 Z" fill="black"/>
+      <g transform="translate(5,7.5) scale(2)">
+        <rect x="-1" y="-1" width="2" height="2" fill="red"/>
+      </g>
+    </svg>''')
+    assert img[8, 20, 3] == 255 and tuple(img[8, 20][:3]) == (0, 0, 0)
+    assert img[36, 20, 3] == 255 and img[36, 20, 0] == 255  # scaled rect
+    assert img[36, 2, 3] == 0
+
+
+def test_svg_evenodd_hole():
+    img = _raster(SVG_NS + '''width="32" height="32" viewBox="0 0 32 32">
+      <path fill-rule="evenodd" fill="black"
+            d="M2 2 H30 V30 H2 Z M10 10 H22 V22 H10 Z"/>
+    </svg>''')
+    assert img[4, 4, 3] == 255        # ring
+    assert img[16, 16, 3] == 0        # hole
+
+
+def test_svg_nonzero_no_hole():
+    # same two same-winding squares under nonzero: solid
+    img = _raster(SVG_NS + '''width="32" height="32" viewBox="0 0 32 32">
+      <path fill="black" d="M2 2 H30 V30 H2 Z M10 10 H22 V22 H10 Z"/>
+    </svg>''')
+    assert img[16, 16, 3] == 255
+
+
+def test_svg_stroke_continuous():
+    img = _raster(SVG_NS + '''width="32" height="32" viewBox="0 0 32 32">
+      <line x1="4" y1="16" x2="28" y2="16" stroke="white" stroke-width="4"/>
+    </svg>''')
+    row = img[16, 6:26]
+    assert (row[:, 3] == 255).all()           # no joint holes
+    assert (row[:, :3] == 255).all()
+    assert img[4, 16, 3] == 0                 # above the stroke
+
+
+def test_svg_opacity_composites():
+    img = _raster(SVG_NS + '''width="8" height="8" viewBox="0 0 8 8">
+      <rect width="8" height="8" fill="black"/>
+      <rect width="8" height="8" fill="white" fill-opacity="0.5"/>
+    </svg>''')
+    assert abs(int(img[4, 4, 0]) - 128) <= 2
+
+
+def test_svg_bezier_and_arc_paths():
+    img = _raster(SVG_NS + '''width="64" height="64" viewBox="0 0 64 64">
+      <path d="M8 56 C 8 8, 56 8, 56 56 Z" fill="gray"/>
+      <path d="M8 60 A 4 4 0 1 1 16 60 Z" fill="red"/>
+    </svg>''')
+    assert img[30, 32, 3] == 255              # inside the bezier dome
+    assert img[4, 32, 3] == 0                 # above it
+    assert img[57, 12, 0] == 255              # inside the arc circle

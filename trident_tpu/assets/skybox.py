@@ -98,8 +98,12 @@ def load_skybox(source: str, edge: Optional[int] = None,
             if paths is None:
                 raise ValueError(f"no px/nx/py/ny/pz/nz faces in {source}")
             return load_faces(paths, edge)
-        if source.lower().endswith((".ktx",)):
+        if source.lower().endswith(".ktx"):
             return load_ktx1_cubemap(source)
+        if source.lower().endswith(".ktx2"):
+            from trident_tpu.assets.ktx2 import load_ktx2_cubemap
+
+            return load_ktx2_cubemap(source)
         raise ValueError(f"unsupported skybox source: {source}")
     except Exception as exc:
         logger.warning("skybox load failed (%s): %s — using solid fallback",

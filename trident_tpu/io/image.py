@@ -13,6 +13,19 @@ import numpy as np
 
 
 def load_rgba8(path: str) -> np.ndarray:
+    """Decode any supported texture file to (H,W,4) uint8. PIL handles the
+    raster formats; .ktx2 containers and .svg vector art (rasterized at
+    their native/declared size, TextureLoader.cpp:10-12 nanosvg analogue)
+    get dedicated decoders."""
+    lower = path.lower()
+    if lower.endswith(".ktx2"):
+        from trident_tpu.assets.ktx2 import load_ktx2_rgba8
+
+        return load_ktx2_rgba8(path)
+    if lower.endswith(".svg"):
+        from trident_tpu.io.svg import rasterize_svg_file
+
+        return rasterize_svg_file(path)
     from PIL import Image
 
     with Image.open(path) as img:

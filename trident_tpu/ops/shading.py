@@ -251,9 +251,12 @@ def sample_texture(tex, slot: Array, uv: Array, mip_level: Array,
     return _bilinear_flat(tex, slot, uv, mip_i, size_hint)
 
 
-def sample_skybox(faces: Array, direction: Array) -> Array:
+def sample_skybox(faces: Array, direction: Array,
+                  bilinear: bool = True) -> Array:
     """Cubemap sample by direction. faces: (6,E,E,3) f32 ordered
-    +x,-x,+y,-y,+z,-z (Vulkan cube face order); direction: (...,3)."""
+    +x,-x,+y,-y,+z,-z (Vulkan cube face order); direction: (...,3).
+    Bilinear (4 gathers, clamp-to-edge within the face — the reference's
+    VK_FILTER_LINEAR cubemap sampler) by default; nearest = 1 gather."""
     d = _normalize(direction)
     x, y, z = d[..., 0], d[..., 1], d[..., 2]
     ax, ay, az = jnp.abs(x), jnp.abs(y), jnp.abs(z)
@@ -276,6 +279,21 @@ def sample_skybox(faces: Array, direction: Array) -> Array:
     v = (tc / ma + 1.0) * 0.5
 
     e = faces.shape[1]
-    xi = jnp.clip((u * e).astype(jnp.int32), 0, e - 1)
-    yi = jnp.clip((v * e).astype(jnp.int32), 0, e - 1)
-    return faces[face, yi, xi]
+    if not bilinear:
+        xi = jnp.clip((u * e).astype(jnp.int32), 0, e - 1)
+        yi = jnp.clip((v * e).astype(jnp.int32), 0, e - 1)
+        return faces[face, yi, xi]
+
+    fx = u * e - 0.5
+    fy = v * e - 0.5
+    x0 = jnp.floor(fx)
+    y0 = jnp.floor(fy)
+    wx = (fx - x0)[..., None]
+    wy = (fy - y0)[..., None]
+    x0i = jnp.clip(x0.astype(jnp.int32), 0, e - 1)
+    x1i = jnp.clip(x0.astype(jnp.int32) + 1, 0, e - 1)
+    y0i = jnp.clip(y0.astype(jnp.int32), 0, e - 1)
+    y1i = jnp.clip(y0.astype(jnp.int32) + 1, 0, e - 1)
+    top = faces[face, y0i, x0i] * (1.0 - wx) + faces[face, y0i, x1i] * wx
+    bot = faces[face, y1i, x0i] * (1.0 - wx) + faces[face, y1i, x1i] * wx
+    return top * (1.0 - wy) + bot * wy
