@@ -95,6 +95,34 @@ class RenderCommand:
         t = cls.get_registry().get(entity, TransformComponent)
         return np.asarray(compose_trs(t.position, t.rotation, t.scale))
 
+    # -- inspector (component editing, Panels/InspectorPanel.cpp analogue) -----
+    @classmethod
+    def inspect_entity(cls, entity: int):
+        """All components on the entity as plain dicts."""
+        from trident_tpu.ecs.inspect import list_entity
+
+        return list_entity(cls.get_registry(), entity)
+
+    @classmethod
+    def get_component_field(cls, entity: int, component: str, field: str):
+        from trident_tpu.ecs.inspect import get_field
+
+        return get_field(cls.get_registry(), entity, component, field)
+
+    @classmethod
+    def set_component_field(cls, entity: int, component: str, field: str,
+                            value):
+        """Validated component-field write (shape/enum/type checked)."""
+        from trident_tpu.ecs.inspect import set_field
+
+        return set_field(cls.get_registry(), entity, component, field, value)
+
+    @classmethod
+    def component_schema(cls, component: str):
+        from trident_tpu.ecs.inspect import component_schema
+
+        return component_schema(component)
+
     # -- assets ---------------------------------------------------------------
     @classmethod
     def append_meshes(cls, meshes, materials) -> Tuple[int, int]:
