@@ -11,9 +11,11 @@ on frame i-1's output token) and forced once at the end — on lazily
 evaluating backends, per-frame host readbacks measure tunnel latency and
 un-consumed frames may never execute.
 
-Config via BENCH_CONFIG env: "cube512" (default; BASELINE.json config 1),
-"spheres1080" (~110k tris, config 2 shape), "spheres1080_1m" (~1M tris),
+Config via BENCH_CONFIG env: "spheres1080_1m" (default — the flagship
+1M-triangle/1080p config the 60-FPS north star is defined on), "cube512"
+(BASELINE.json config 1), "spheres1080" (~110k tris, config 2 shape),
 "ultra4k" (1M tris @ 3840×2160 with bloom — config 5).
+scripts/bench_sweep.py runs all four in one TPU process.
 """
 
 from __future__ import annotations
@@ -81,7 +83,7 @@ def main() -> None:
     from trident_tpu.render.renderer import render_frame
     from trident_tpu.render.types import AiBlend, CameraParams, SkyboxCube
 
-    config = os.environ.get("BENCH_CONFIG", "cube512")
+    config = os.environ.get("BENCH_CONFIG", "spheres1080_1m")
     iters = int(os.environ.get("BENCH_ITERS", "30"))
 
     renderer, registry, (w, h) = build_scene(config)
@@ -129,12 +131,35 @@ def main() -> None:
     out = frame(token, *plans[0])
     np.asarray(out.color.ravel()[:1])
 
-    # interactive mode: one dispatch per frame, chained (includes the host
-    # dispatch overhead a live application pays)
+    # interactive mode: one dispatch per frame through the BUNDLED path
+    # (render/bundle.py — per-frame host state ships as 2 blob uploads,
+    # exactly what Renderer.render_viewport pays in a live application)
+    from trident_tpu.render.bundle import pack_frame
+    from trident_tpu.render.renderer import render_frame_bundled
+
+    plan0, tri_draw0, _, _, _ = plans[0]
+    bundles = []
+    for _plan, _td, p_, pal_, sh_ in plans:
+        f32b, i32b, shape = pack_frame(p_, np.asarray(pal_), np.asarray(sh_),
+                                       cam, lights, None, 0.0)
+        bundles.append((f32b, i32b))
+    statics = dict(shape=shape, width=w, height=h,
+                   clear_color=tuple(renderer.config.render.clear_color),
+                   raster=raster, chunk=64, skinned=False,
+                   bloom=renderer.config.render.bloom)
+    ai_img = jnp.zeros((1, 1, 3), jnp.float32)
+
+    @jax.jit
+    def frame_b(token, f32b, i32b):
+        return render_frame_bundled(geo, plan0, tri_draw0, f32b + token * 0,
+                                    i32b, tex, sky, ai_img, **statics)
+
+    out = frame_b(jnp.zeros((), jnp.float32), *bundles[0])
+    np.asarray(out.color.ravel()[:1])
     t0 = time.perf_counter()
     token = jnp.zeros((), jnp.float32)
     for k in range(iters):
-        out = frame(token, *plans[k])
+        out = frame_b(token, *bundles[k])
         token = out.depth[0, 0] * 0.0
     np.asarray(token)                      # force the whole chain
     chain_fps = iters / (time.perf_counter() - t0)

@@ -41,22 +41,13 @@ def build_scene(w, h):
     return r
 
 
-def test_banded_render_matches_single(eight_devices):
-    from jax.sharding import Mesh
-    from trident_tpu.parallel.framebuffer import render_frame_banded
+def _frame_inputs(r):
     from trident_tpu.render.frame import (
-        build_draw_params, build_draw_plan, gather_mesh_draws, geometry_to_device,
+        build_draw_params, build_draw_plan, gather_mesh_draws,
+        geometry_to_device,
     )
     from trident_tpu.render.lights import gather_lights
     from trident_tpu.render.types import AiBlend, SkyboxCube
-
-    w, h = 128, 128
-    r = build_scene(w, h)
-    # pin exact f32 planes on the single-frame side: the banded path builds
-    # planes per band (f32 default), and this test checks the SPMD
-    # decomposition, not plane quantization (covered by test_texturing)
-    r.config.render.plane_f16 = False
-    single = r.read_frame()
 
     packed = r.geometry.packed()
     geo = geometry_to_device(packed)
@@ -71,18 +62,72 @@ def test_banded_render_matches_single(eight_devices):
                      valid=jnp.asarray(False))
     ai = AiBlend(image=jnp.zeros((1, 1, 3), jnp.float32),
                  blend=jnp.asarray(0.0, jnp.float32))
+    return (geo, plan, tri_draw, params, palette, shade, cam, lights, tex,
+            sky, ai), records, packed
 
+
+@pytest.mark.parametrize("raster,forward", [("ref", False),
+                                            ("pallas", False),
+                                            ("pallas", True)])
+def test_banded_render_matches_single_exactly(eight_devices, raster, forward):
+    """The banded SPMD decomposition evaluates global-pixel arithmetic —
+    bands match the single-chip frame to ≤1 LSB on a handful of pixels
+    (XLA's shape-dependent FMA fusion can differ by 1 ulp between the
+    sliced and full graphs), with NO seam structure."""
+    from jax.sharding import Mesh
+    from trident_tpu.parallel.framebuffer import render_frame_banded
+    from trident_tpu.render.renderer import render_frame
+
+    w, h = 128, 128
+    r = build_scene(w, h)
+    args, _, _ = _frame_inputs(r)
+
+    common = dict(width=w, height=h, clear_color=(0.05, 0.05, 0.08, 1.0),
+                  raster=raster, skinned=False, forward_shading=forward)
+    single = render_frame(*args, chunk=64, plane_f16=False, **common)
     mesh = Mesh(np.array(eight_devices[:4]), ("fb",))
-    out = render_frame_banded(
-        mesh, "fb", geo, plan, tri_draw, params, palette, shade, cam,
-        lights, tex, sky, ai, width=w, height=h,
-        clear_color=(0.05, 0.05, 0.08, 1.0), raster="ref", skinned=False)
-    banded = np.asarray(out.color)
-    assert banded.shape == single.shape
-    diff = np.abs(banded.astype(int) - single.astype(int))
-    # identical up to float noise at band seams (≤1 LSB on a few pixels)
-    assert (diff > 1).mean() < 0.001
-    assert diff.max() <= 30  # no structural divergence
+    out = render_frame_banded(mesh, "fb", *args, **common)
+    diff = np.abs(np.asarray(out.color).astype(int)
+                  - np.asarray(single.color).astype(int))
+    assert diff.max() <= 1
+    assert (diff > 0).mean() < 1e-3
+    tri_mismatch = (np.asarray(out.tri_id) != np.asarray(single.tri_id))
+    assert tri_mismatch.mean() < 5e-4          # winner flips at exact ties
+    np.testing.assert_allclose(np.asarray(out.depth),
+                               np.asarray(single.depth), atol=1e-5)
+
+
+def test_banded_render_full_featureset(eight_devices):
+    """Banded path with the whole pipeline on: pallas raster + in-kernel
+    forward resolve + directional shadow map (banded) + PCF + SSAA + bloom,
+    compared against the identical single-chip render."""
+    from jax.sharding import Mesh
+    from trident_tpu.ops.shadow import light_camera, scene_bounds
+    from trident_tpu.parallel.framebuffer import render_frame_banded
+    from trident_tpu.render.renderer import render_frame
+
+    w, h = 64, 64
+    r = build_scene(w, h)
+    args, records, packed = _frame_inputs(r)
+    center, radius = scene_bounds(records, packed)
+    light_cam = light_camera(np.array([-0.4, -1.0, -0.3], np.float32),
+                             center, radius)
+
+    common = dict(width=w, height=h, clear_color=(0.05, 0.05, 0.08, 1.0),
+                  raster="pallas", skinned=False, forward_shading=True,
+                  shadow_size=64, shadow_pcf=True, supersample=2,
+                  bloom=True, bloom_threshold=0.5, bloom_strength=0.4)
+    single = render_frame(*args, light_cam, chunk=64, **common)
+    mesh = Mesh(np.array(eight_devices[:8]), ("fb",))
+    out = render_frame_banded(mesh, "fb", *args, light_cam, **common)
+    single_c = np.asarray(single.color).astype(int)
+    banded_c = np.asarray(out.color).astype(int)
+    # global-pixel arithmetic: ≤1 LSB (shape-dependent FMA fusion + the
+    # sharded bloom blur's halo reductions can each round 1 ulp apart)
+    assert np.abs(banded_c - single_c).max() <= 1
+    tri_mismatch = (np.asarray(out.tri_id) != np.asarray(single.tri_id))
+    assert tri_mismatch.mean() < 5e-4          # winner flips at exact ties
+    assert np.asarray(out.aux).reshape(-1, 2).sum() == 0
 
 
 def test_unet_dryrun_multichip(eight_devices):

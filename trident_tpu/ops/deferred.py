@@ -39,21 +39,27 @@ Array = jax.Array
 
 
 def _background(camera: CameraParams, skybox: Optional[SkyboxCube],
-                width: int, height: int, clear_color) -> Array:
-    """Skybox (sampled by world-space view ray) or clear color."""
+                width: int, height: int, clear_color,
+                y_offset=0.0, full_height: Optional[int] = None) -> Array:
+    """Skybox (sampled by world-space view ray) or clear color. For a
+    multi-chip band, `y_offset`/`full_height` place these rows inside the
+    full frame so the ray math is bit-identical to the single-chip render
+    (the camera is always the FULL-frame camera)."""
     clear = jnp.broadcast_to(
         jnp.asarray(clear_color[:3], jnp.float32), (height, width, 3))
     if skybox is None:
         return clear
-    ys = (jnp.arange(height, dtype=jnp.float32) + 0.5) / height * 2.0 - 1.0
+    fh = height if full_height is None else full_height
+    ys = (jnp.arange(height, dtype=jnp.float32)
+          + jnp.asarray(y_offset, jnp.float32) + 0.5) / fh * 2.0 - 1.0
     xs = (jnp.arange(width, dtype=jnp.float32) + 0.5) / width * 2.0 - 1.0
     ny, nx = jnp.meshgrid(ys, xs, indexing="ij")
-    # invert the projective xy map at z_view = -1; the proj[i,2] terms
-    # support cropped sub-viewport projections (multi-chip band rendering)
+    # invert the projective xy map at z_view = -1
     x_v = (nx + camera.proj[0, 2]) / camera.proj[0, 0]
     y_v = (ny + camera.proj[1, 2]) / camera.proj[1, 1]
     dir_view = jnp.stack([x_v, y_v, -jnp.ones_like(x_v)], axis=-1)
-    dir_world = dir_view @ camera.view[:3, :3]
+    dir_world = jnp.matmul(dir_view, camera.view[:3, :3],
+                           precision=jax.lax.Precision.HIGHEST)
     sky = shading.sample_skybox(skybox.faces, dir_world)
     return jnp.where(skybox.valid, sky, clear)
 
@@ -66,10 +72,15 @@ def deferred_shade(gbuffer: GBuffer, planes: AttributePlanes,
                    ai: Optional[AiBlend] = None,
                    sampling: str = "bilinear",
                    shadow=None, shadow_pcf: bool = False,
-                   tonemap: bool = True) -> Array:
+                   tonemap: bool = True, y_offset=0,
+                   full_height: Optional[int] = None) -> Array:
     """Shade the frame → (H,W,4) f32. tonemap=True gives display-space
     [0,1] with the AI blend applied; tonemap=False gives linear HDR (for a
-    bloom pass; the caller tonemaps and AI-blends)."""
+    bloom pass; the caller tonemaps and AI-blends). `y_offset` (int or
+    traced i32) + `full_height`: this frame is the band of a full_height
+    frame starting at that global row (multi-chip path) — planes, world
+    reconstruction and skybox rays all evaluate at global coordinates with
+    the FULL-frame camera, bit-identically to single-chip."""
     tri = gbuffer.tri_id                                  # (H,W)
     covered = tri >= 0
     tri_safe = jnp.maximum(tri, 0)
@@ -79,7 +90,8 @@ def deferred_shade(gbuffer: GBuffer, planes: AttributePlanes,
     a = planes.table_a[tri_safe].astype(jnp.float32)      # (H,W,16)
     b = planes.table_b[tri_safe].astype(jnp.float32)      # (H,W,16)
 
-    ys = jnp.arange(height, dtype=jnp.float32) + 0.5
+    ys = (jnp.arange(height, dtype=jnp.float32)
+          + jnp.asarray(y_offset, jnp.float32) + 0.5)
     xs = jnp.arange(width, dtype=jnp.float32) + 0.5
     py, px = jnp.meshgrid(ys, xs, indexing="ij")
     # per-triangle anchored pixel coords (anchors are 0 for f32 tables)
@@ -137,7 +149,7 @@ def deferred_shade(gbuffer: GBuffer, planes: AttributePlanes,
         gbuffer, covered, normal, uv, mip, color_factor, metallic, roughness,
         ambient_strength, slot, textures, camera, lights, width, height,
         clear_color, skybox, ai, sampling, shadow, shadow_pcf, tonemap,
-        size_hint=size_hint)
+        size_hint=size_hint, y_offset=y_offset, full_height=full_height)
 
 
 def deferred_shade_attrs(gbuffer: GBuffer, attrs: Array,
@@ -148,11 +160,12 @@ def deferred_shade_attrs(gbuffer: GBuffer, attrs: Array,
                          ai: Optional[AiBlend] = None,
                          sampling: str = "bilinear",
                          shadow=None, shadow_pcf: bool = False,
-                         tonemap: bool = True) -> Array:
+                         tonemap: bool = True, y_offset=0,
+                         full_height: Optional[int] = None) -> Array:
     """Shade from the kernel-resolved attribute image
     (ops/resolve_pallas.py channel layout) — the per-pixel plane-table
     gathers of `deferred_shade` are already done in the rasterizer; only
-    texel fetches remain."""
+    texel fetches remain. y_offset/full_height: see deferred_shade."""
     from trident_tpu.ops import resolve_pallas as rp
 
     covered = gbuffer.tri_id >= 0
@@ -177,13 +190,14 @@ def deferred_shade_attrs(gbuffer: GBuffer, attrs: Array,
         gbuffer, covered, normal, uv, mip, color_factor, metallic, roughness,
         ambient_strength, None, textures, camera, lights, width, height,
         clear_color, skybox, ai, sampling, shadow, shadow_pcf, tonemap,
-        size_hint=size_hint)
+        size_hint=size_hint, y_offset=y_offset, full_height=full_height)
 
 
 def _shade_common(gbuffer, covered, normal, uv, mip, color_factor, metallic,
                   roughness, ambient_strength, slot, textures, camera,
                   lights, width, height, clear_color, skybox, ai, sampling,
-                  shadow, shadow_pcf, tonemap, size_hint=None) -> Array:
+                  shadow, shadow_pcf, tonemap, size_hint=None,
+                  y_offset=0, full_height=None) -> Array:
     """Texture sample + PBR + background/tonemap/AI — shared by the
     plane-gather path and the kernel-resolved path. `slot` is unused (may
     be None) when size_hint carries the per-pixel texture geometry."""
@@ -193,15 +207,20 @@ def _shade_common(gbuffer, covered, normal, uv, mip, color_factor, metallic,
     albedo = sampled[..., :3] * color_factor[..., :3]
     alpha = color_factor[..., 3:4] * sampled[..., 3:4]
 
-    # world position from depth: world_h = (P·V)⁻¹ · (ndc, 1)
-    ys = jnp.arange(height, dtype=jnp.float32) + 0.5
+    # world position from depth: world_h = (P·V)⁻¹ · (ndc, 1); for a band,
+    # global rows over the full height keep this bit-identical single-chip
+    fh = height if full_height is None else full_height
+    ys = (jnp.arange(height, dtype=jnp.float32)
+          + jnp.asarray(y_offset, jnp.float32) + 0.5)
     xs = jnp.arange(width, dtype=jnp.float32) + 0.5
     py, px = jnp.meshgrid(ys, xs, indexing="ij")
-    vp_inv = jnp.linalg.inv(camera.proj @ camera.view)
+    hp = jax.lax.Precision.HIGHEST
+    vp_inv = jnp.linalg.inv(jnp.matmul(camera.proj, camera.view,
+                                       precision=hp))
     ndc_x = px * (2.0 / width) - 1.0
-    ndc_y = py * (2.0 / height) - 1.0
+    ndc_y = py * (2.0 / fh) - 1.0
     ndc = jnp.stack([ndc_x, ndc_y, gbuffer.depth, jnp.ones_like(ndc_x)], axis=-1)
-    world_h = ndc @ vp_inv.T
+    world_h = jnp.matmul(ndc, vp_inv.T, precision=hp)
     world = world_h[..., :3] / jnp.where(
         jnp.abs(world_h[..., 3:4]) < 1e-20, 1e-20, world_h[..., 3:4])
 
@@ -213,7 +232,8 @@ def _shade_common(gbuffer, covered, normal, uv, mip, color_factor, metallic,
     lit = shading.shade_pbr(world, normal, albedo, metallic, roughness,
                             ambient_strength, camera.position, lights,
                             dir_shadow=dir_shadow)
-    background = _background(camera, skybox, width, height, clear_color)
+    background = _background(camera, skybox, width, height, clear_color,
+                             y_offset=y_offset, full_height=full_height)
     a_out = jnp.where(covered[..., None], alpha, clear_color[3])
 
     if not tonemap:

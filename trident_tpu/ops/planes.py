@@ -53,21 +53,36 @@ def build_planes(setup: TriangleSetup, verts: VertexStageOut, tri_vtx: Array,
                  tri_draw: Array, shade_table: Array,
                  vertex_colors: bool = False,
                  f16: bool = False) -> AttributePlanes:
+    corners = verts.attrs[tri_vtx]                 # gathers CSE'd by XLA
+    return build_planes_corners(
+        setup, corners[..., 3:6], corners[..., 6:8], tri_draw, shade_table,
+        corner_col=corners[..., 8:11] if vertex_colors else None, f16=f16)
+
+
+def build_planes_corners(setup: TriangleSetup, corner_nrm: Array,
+                         corner_uv: Array, tri_draw: Array,
+                         shade_table: Array,
+                         corner_col: Optional[Array] = None,
+                         f16: bool = False) -> AttributePlanes:
+    """build_planes from pre-gathered per-corner attributes — pure
+    per-triangle math, shardable over the triangle dim (multi-chip
+    geometry phase)."""
     edge = setup.edge                              # (T,3,3)
     t = edge.shape[0]
+    vertex_colors = corner_col is not None
 
     def plane(attr_per_vertex):                    # (T,3) values → (T,3) plane
-        return jnp.einsum("tk,tkc->tc", attr_per_vertex, edge)
+        return jnp.einsum("tk,tkc->tc", attr_per_vertex, edge,
+                          precision=jax.lax.Precision.HIGHEST)
 
     g1 = jnp.sum(edge, axis=1)                     # (T,3)
 
-    nrm = verts.attrs[tri_vtx][..., 3:6]           # (T,3,3) — gather CSE'd
-    uv = verts.attrs[tri_vtx][..., 6:8]            # (T,3,2)
-    gs = [g1, plane(nrm[..., 0]), plane(nrm[..., 1]), plane(nrm[..., 2]),
-          plane(uv[..., 0]), plane(uv[..., 1])]
+    gs = [g1, plane(corner_nrm[..., 0]), plane(corner_nrm[..., 1]),
+          plane(corner_nrm[..., 2]),
+          plane(corner_uv[..., 0]), plane(corner_uv[..., 1])]
     if vertex_colors:
-        col = verts.attrs[tri_vtx][..., 8:11]
-        gs += [plane(col[..., 0]), plane(col[..., 1]), plane(col[..., 2])]
+        gs += [plane(corner_col[..., 0]), plane(corner_col[..., 1]),
+               plane(corner_col[..., 2])]
 
     if f16:
         # re-anchor at the bbox corner (16px-snapped: exact in f16) and
@@ -120,43 +135,62 @@ RR_COL = 30
 RR_WIDTH, RR_WIDTH_VCOLOR = 32, 40
 
 
-def build_resolve_records(setup: TriangleSetup, verts: VertexStageOut,
-                          tri_vtx: Array, tri_draw: Array,
-                          draw_consts: Array, chunk: int,
-                          vertex_colors: bool = False) -> Array:
-    """Chunked per-triangle records for the in-kernel resolve pass
-    (ops/resolve_pallas.py): all interpolation planes + shading constants.
+def build_resolve_rows(setup: TriangleSetup, corner_nrm: Array,
+                       corner_uv: Array, tri_draw: Array, draw_consts: Array,
+                       corner_col: Optional[Array] = None) -> Array:
+    """Unchunked (T, RW) resolve rows: all interpolation planes + shading
+    constants per triangle. Pure per-triangle math — shardable over the
+    triangle dim (multi-chip geometry phase, parallel/framebuffer.py).
 
+    corner_nrm/(uv)/(col): (T,3,3|2|3) per-corner vertex attributes;
     draw_consts: (D, 12) f32 — color_factor rgba, metallic, roughness,
     ambient_strength, texture slot, then the texture sizes row (w, h,
     base>>8, pow2 edge) — so the kernel computes mip levels AND the
     sampler's flat addressing with zero per-pixel table gathers.
-
-    Returns (NC+1, C, RW) f32; chunk block 0 is the empty sentinel. The
-    layout is a pure reshape of the (T, RW) row table (a transposed
-    (NC, RW, C) layout measured 14 ms of pure relayout at 1M triangles);
-    the kernel's one-hot matmul contracts the triangle dim in place.
     """
     edge = setup.edge
-    t = edge.shape[0]
-    n_chunks = max(1, -(-t // chunk))
 
     def plane(attr_per_vertex):
-        return jnp.einsum("tk,tkc->tc", attr_per_vertex, edge)
+        return jnp.einsum("tk,tkc->tc", attr_per_vertex, edge,
+                          precision=jax.lax.Precision.HIGHEST)
 
     g1 = jnp.sum(edge, axis=1)
-    nrm = verts.attrs[tri_vtx][..., 3:6]
-    uv = verts.attrs[tri_vtx][..., 6:8]
     consts = draw_consts[tri_draw]                 # (T,12)
-    cols = [g1, plane(nrm[..., 0]), plane(nrm[..., 1]), plane(nrm[..., 2]),
-            plane(uv[..., 0]), plane(uv[..., 1]), consts]
+    cols = [g1, plane(corner_nrm[..., 0]), plane(corner_nrm[..., 1]),
+            plane(corner_nrm[..., 2]),
+            plane(corner_uv[..., 0]), plane(corner_uv[..., 1]), consts]
     rw = RR_WIDTH
-    if vertex_colors:
-        col = verts.attrs[tri_vtx][..., 8:11]
-        cols += [plane(col[..., 0]), plane(col[..., 1]), plane(col[..., 2])]
+    if corner_col is not None:
+        cols += [plane(corner_col[..., 0]), plane(corner_col[..., 1]),
+                 plane(corner_col[..., 2])]
         rw = RR_WIDTH_VCOLOR
     rows = jnp.concatenate(cols, axis=1)           # (T, 28|37)
-    rows = jnp.pad(rows, ((0, n_chunks * chunk - t), (0, rw - rows.shape[1])))
+    return jnp.pad(rows, ((0, 0), (0, rw - rows.shape[1])))
+
+
+def chunk_resolve_rows(rows: Array, chunk: int) -> Array:
+    """(T, RW) rows → (NC+1, C, RW) chunked records; chunk block 0 is the
+    empty sentinel. The layout is a pure reshape of the row table (a
+    transposed (NC, RW, C) layout measured 14 ms of pure relayout at 1M
+    triangles); the kernel's one-hot matmul contracts the triangle dim in
+    place."""
+    t, rw = rows.shape
+    n_chunks = max(1, -(-t // chunk))
+    rows = jnp.pad(rows, ((0, n_chunks * chunk - t), (0, 0)))
     rec = rows.reshape(n_chunks, chunk, rw)
     sentinel = jnp.zeros((1, chunk, rw), rows.dtype)
     return jnp.concatenate([sentinel, rec], axis=0)
+
+
+def build_resolve_records(setup: TriangleSetup, verts: VertexStageOut,
+                          tri_vtx: Array, tri_draw: Array,
+                          draw_consts: Array, chunk: int,
+                          vertex_colors: bool = False) -> Array:
+    """Chunked records for the in-kernel resolve pass (ops/resolve_pallas.py):
+    build_resolve_rows + chunk_resolve_rows over gathered corner attrs."""
+    corners = verts.attrs[tri_vtx]                 # gathers CSE'd by XLA
+    return chunk_resolve_rows(
+        build_resolve_rows(setup, corners[..., 3:6], corners[..., 6:8],
+                           tri_draw, draw_consts,
+                           corners[..., 8:11] if vertex_colors else None),
+        chunk)

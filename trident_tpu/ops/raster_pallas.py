@@ -191,17 +191,23 @@ def build_bins(setup: TriangleSetup, width: int, height: int) -> PallasBins:
                       aux=jnp.stack([n_truncated, n_big_dropped]))
 
 
-def _visibility_kernel(pair_tile_ref, pair_chunk_ref, rec_ref, depth_out,
-                       tri_out, *, ntx: int):
+def _visibility_kernel(band_ref, pair_tile_ref, pair_chunk_ref, rec_ref,
+                       depth_out, tri_out, *, ntx: int):
     """Layouts chosen for Mosaic: triangles on sublanes (C,1), pixels on
     lanes (1,npx); outputs are flat (1,1,npx) tile rows — no in-kernel
-    reshapes or transposes."""
+    reshapes or transposes.
+
+    band_ref[0] shifts pixel coordinates by whole tiles: band b of a
+    multi-chip framebuffer (parallel/framebuffer.py) evaluates the SAME
+    global-pixel arithmetic as a single-chip render of the full frame, so
+    band seams are bit-exact. (It is a scalar-prefetch input because under
+    shard_map the offset is a traced per-device value, not a constant.)"""
     i = pl.program_id(0)
     tile = pair_tile_ref[i]
     prev = pair_tile_ref[jnp.maximum(i - 1, 0)]
     first = jnp.logical_or(i == 0, tile != prev)
     cid = pair_chunk_ref[i]
-    ty = tile // ntx
+    ty = tile // ntx + band_ref[0]
     tx = jax.lax.rem(tile, ntx)
 
     npx = TILE_H * TILE_W
@@ -255,14 +261,19 @@ def untile_frame(flat: Array, ntx: int, nty: int) -> Array:
 
 
 def visibility_pallas_tiled(setup: TriangleSetup, width: int, height: int,
-                            interpret: bool = False):
+                            interpret: bool = False, tile_y_offset=0):
     """Tile-binned Pallas visibility, keeping the kernel-native tiled
     layout: returns (bins, depth_tiles, tri_tiles, written) with
     depth/tri (n_tiles, 1, TH·TW) and written (n_tiles,) bool — the resolve
     pass (ops/resolve_pallas.py) consumes tri_tiles directly.
 
     `interpret=True` runs the kernel with the Pallas interpreter (pure XLA)
-    so the production binning + kernel logic is testable on CPU."""
+    so the production binning + kernel logic is testable on CPU.
+    `tile_y_offset` (int or traced i32 scalar) renders a horizontal band
+    whose top sits tile_y_offset·TILE_H global pixels down: setup.bbox must
+    already be in band-local coordinates (ops.vertex.band_slice_setup),
+    while edge/z/w stay global — the kernel adds the offset back so its
+    arithmetic is bit-identical to the full-frame render."""
     ntx = -(-width // TILE_W)
     nty = -(-height // TILE_H)
     wpad, hpad = ntx * TILE_W, nty * TILE_H
@@ -271,23 +282,24 @@ def visibility_pallas_tiled(setup: TriangleSetup, width: int, height: int,
 
     n_tiles = ntx * nty
     npx = TILE_H * TILE_W
+    band = jnp.asarray(tile_y_offset, jnp.int32).reshape(1)
     kernel = functools.partial(_visibility_kernel, ntx=ntx)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         # dynamic: only real pairs execute (≥1 — pair 0 degenerates to the
         # empty sentinel chunk when the frame has no pairs at all)
         grid=(jnp.maximum(bins.n_real, 1),),
         in_specs=[
             pl.BlockSpec((CHUNK, 16),
-                         lambda i, tiles, chunks: (chunks[i], 0),
+                         lambda i, band, tiles, chunks: (chunks[i], 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((1, 1, npx),
-                         lambda i, tiles, chunks: (tiles[i], 0, 0),
+                         lambda i, band, tiles, chunks: (tiles[i], 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, npx),
-                         lambda i, tiles, chunks: (tiles[i], 0, 0),
+                         lambda i, band, tiles, chunks: (tiles[i], 0, 0),
                          memory_space=pltpu.VMEM),
         ],
     )
@@ -301,7 +313,7 @@ def visibility_pallas_tiled(setup: TriangleSetup, width: int, height: int,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         interpret=interpret,
-    )(bins.pair_tile, bins.pair_chunk, bins.records)
+    )(band, bins.pair_tile, bins.pair_chunk, bins.records)
 
     # tiles no executed pair touched keep uninitialized VMEM garbage —
     # mask them to background from the pair list itself (one tiny scatter)
@@ -316,12 +328,13 @@ def visibility_pallas_tiled(setup: TriangleSetup, width: int, height: int,
 
 
 def visibility_pallas(setup: TriangleSetup, width: int, height: int,
-                      interpret: bool = False) -> GBuffer:
+                      interpret: bool = False, tile_y_offset=0) -> GBuffer:
     """Tile-binned Pallas visibility: per-pixel winner triangle + depth."""
     ntx = -(-width // TILE_W)
     nty = -(-height // TILE_H)
     bins, depth, tri, _ = visibility_pallas_tiled(setup, width, height,
-                                                  interpret=interpret)
+                                                  interpret=interpret,
+                                                  tile_y_offset=tile_y_offset)
     return GBuffer(tri_id=untile_frame(tri, ntx, nty)[:height, :width],
                    depth=untile_frame(depth, ntx, nty)[:height, :width],
                    aux=bins.aux)

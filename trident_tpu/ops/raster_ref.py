@@ -22,8 +22,12 @@ Array = jax.Array
 
 
 def visibility_ref(setup: TriangleSetup, width: int, height: int,
-                   chunk: int = 64, depth_clear: float = 1.0) -> GBuffer:
-    """Rasterize all triangles, returning per-pixel winner id + depth."""
+                   chunk: int = 64, depth_clear: float = 1.0,
+                   y_offset=0) -> GBuffer:
+    """Rasterize all triangles, returning per-pixel winner id + depth.
+    `y_offset` (int or traced i32): pixel rows cover the global band
+    [y_offset, y_offset+height) — for multi-chip banded rendering with a
+    full-frame setup."""
     t = setup.edge.shape[0]
     n_chunks = max(1, -(-t // chunk))
     pad = n_chunks * chunk - t
@@ -33,7 +37,8 @@ def visibility_ref(setup: TriangleSetup, width: int, height: int,
     w = jnp.pad(setup.w, ((0, pad), (0, 0)))
     valid = jnp.pad(setup.valid, (0, pad))
 
-    ys = jnp.arange(height, dtype=jnp.float32) + 0.5
+    ys = (jnp.arange(height, dtype=jnp.float32)
+          + jnp.asarray(y_offset, jnp.float32) + 0.5)
     xs = jnp.arange(width, dtype=jnp.float32) + 0.5
     py, px = jnp.meshgrid(ys, xs, indexing="ij")      # (H,W)
 

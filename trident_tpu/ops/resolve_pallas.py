@@ -57,14 +57,16 @@ CH_TSX, CH_TSY = 14, 15          # mip-0 texture (w,h); with the base these
 CHANNELS = 16
 
 
-def _resolve_kernel(pair_tile_ref, pair_chunk_ref, rec_ref, tri_ref, out_ref,
-                    *, ntx: int, vertex_colors: bool):
+def _resolve_kernel(band_ref, pair_tile_ref, pair_chunk_ref, rec_ref, tri_ref,
+                    out_ref, *, ntx: int, vertex_colors: bool):
     i = pl.program_id(0)
     tile = pair_tile_ref[i]
     prev = pair_tile_ref[jnp.maximum(i - 1, 0)]
     first = jnp.logical_or(i == 0, tile != prev)
     cid = pair_chunk_ref[i]
-    ty = tile // ntx
+    # band_ref[0]: whole-tile y offset for multi-chip banded rendering —
+    # global pixel coords keep band arithmetic bit-identical to single-chip
+    ty = tile // ntx + band_ref[0]
     tx = jax.lax.rem(tile, ntx)
     npx = TILE_H * TILE_W
 
@@ -141,33 +143,37 @@ def _resolve_kernel(pair_tile_ref, pair_chunk_ref, rec_ref, tri_ref, out_ref,
 def resolve_attrs_pallas(bins: PallasBins, tri_tiles: Array, records: Array,
                          width: int, height: int,
                          vertex_colors: bool = False,
-                         interpret: bool = False) -> Array:
+                         interpret: bool = False,
+                         tile_y_offset=0) -> Array:
     """Run the resolve sweep → (height, width, CHANNELS) f32 attribute
     image. `tri_tiles` is the visibility kernel's tiled winner map
     ((n_tiles, 1, TH·TW), from visibility_pallas_tiled); `records` comes
-    from planes.build_resolve_records."""
+    from planes.build_resolve_records. `tile_y_offset` (int or traced i32):
+    whole-tile y offset for banded multi-chip rendering (must match the
+    visibility pass's)."""
     ntx = -(-width // TILE_W)
     nty = -(-height // TILE_H)
     n_tiles = ntx * nty
     npx = TILE_H * TILE_W
     rw = records.shape[2]
 
+    band = jnp.asarray(tile_y_offset, jnp.int32).reshape(1)
     kernel = functools.partial(_resolve_kernel, ntx=ntx,
                                vertex_colors=vertex_colors)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(jnp.maximum(bins.n_real, 1),),
         in_specs=[
             pl.BlockSpec((1, CHUNK, rw),
-                         lambda i, tiles, chunks: (chunks[i], 0, 0),
+                         lambda i, band, tiles, chunks: (chunks[i], 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, npx),
-                         lambda i, tiles, chunks: (tiles[i], 0, 0),
+                         lambda i, band, tiles, chunks: (tiles[i], 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((1, CHANNELS, npx),
-                         lambda i, tiles, chunks: (tiles[i], 0, 0),
+                         lambda i, band, tiles, chunks: (tiles[i], 0, 0),
                          memory_space=pltpu.VMEM),
         ],
     )
@@ -178,7 +184,7 @@ def resolve_attrs_pallas(bins: PallasBins, tri_tiles: Array, records: Array,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         interpret=interpret,
-    )(bins.pair_tile, bins.pair_chunk, records, tri_tiles)
+    )(band, bins.pair_tile, bins.pair_chunk, records, tri_tiles)
 
     # untouched tiles hold garbage; deferred masks them via tri_id == -1,
     # but zero them anyway so NaNs can't leak through masked selects

@@ -38,8 +38,8 @@ def light_camera(direction: np.ndarray, center: np.ndarray, radius: float) -> Ca
     view = np.asarray(look_at(eye, center, up), np.float32)
     proj = np.asarray(ortho_rh_zo(-radius, radius, -radius, radius,
                                   0.01, radius * 4.0), np.float32)
-    return CameraParams(view=jnp.asarray(view), proj=jnp.asarray(proj),
-                        position=jnp.asarray(eye))
+    return CameraParams(view=view, proj=proj,
+                        position=np.asarray(eye, np.float32))
 
 
 def scene_bounds(records, packed) -> Tuple[np.ndarray, float]:
@@ -103,7 +103,8 @@ def shadow_factor(shadow: ShadowParams, world: Array, pcf: bool = False) -> Arra
     s = shadow.depth.shape[0]
     pos_h = jnp.concatenate(
         [world, jnp.ones((*world.shape[:-1], 1), world.dtype)], axis=-1)
-    clip = pos_h @ shadow.light_vp.T
+    clip = jnp.matmul(pos_h, shadow.light_vp.T,
+                      precision=jax.lax.Precision.HIGHEST)
     safe_w = jnp.where(jnp.abs(clip[..., 3:4]) < 1e-12, 1e-12, clip[..., 3:4])
     ndc = clip[..., :3] / safe_w
     u = (ndc[..., 0] + 1.0) * 0.5

@@ -42,13 +42,16 @@ def _skin(positions: Array, normals: Array, bone_indices: Array,
     w = jnp.where(valid, bone_weights, 0.0)                       # (TV,4)
     idx = jnp.clip(bone_offset[:, None] + bone_indices, 0, palette.shape[0] - 1)
     mats = palette[idx]                                           # (TV,4,4,4)
-    skin_mat = jnp.einsum("vb,vbij->vij", w, mats)                # (TV,4,4)
+    skin_mat = jnp.einsum("vb,vbij->vij", w, mats,
+                          precision=jax.lax.Precision.HIGHEST)  # (TV,4,4)
     rigid = bone_count <= 0                                       # (TV,)
     eye = jnp.broadcast_to(jnp.eye(4, dtype=positions.dtype), (tv, 4, 4))
     skin_mat = jnp.where(rigid[:, None, None], eye, skin_mat)
     pos_h = jnp.concatenate([positions, jnp.ones((tv, 1), positions.dtype)], axis=-1)
-    skinned_pos = jnp.einsum("vij,vj->vi", skin_mat, pos_h)[:, :3]
-    skinned_nrm = jnp.einsum("vij,vj->vi", skin_mat[:, :3, :3], normals)
+    hp = jax.lax.Precision.HIGHEST
+    skinned_pos = jnp.einsum("vij,vj->vi", skin_mat, pos_h, precision=hp)[:, :3]
+    skinned_nrm = jnp.einsum("vij,vj->vi", skin_mat[:, :3, :3], normals,
+                             precision=hp)
     return skinned_pos, skinned_nrm
 
 
@@ -100,17 +103,24 @@ def vertex_stage(geometry: GeometryBuffers, plan: DrawPlan, params: DrawParams,
 
     tv = skinned_pos.shape[0]
     pos_h = jnp.concatenate([skinned_pos, jnp.ones((tv, 1), skinned_pos.dtype)], axis=-1)
-    world_h = jnp.einsum("vij,vj->vi", model, pos_h)
+    # Precision.HIGHEST everywhere positions flow: TPU's default bf16
+    # matmul passes quantize world/clip coordinates enough to put visible
+    # acne in the shadow depth comparison (measured: shadow maps diverged
+    # from the CPU oracle over 43% of texels until these were pinned)
+    world_h = jnp.einsum("vij,vj->vi", model, pos_h,
+                         precision=jax.lax.Precision.HIGHEST)
     world = world_h[:, :3]
 
     # normal matrix ∝ cofactor(mat3(model)) — direction preserved, renormalized
     cof = _cofactor3(model[:, :3, :3])
-    nrm = jnp.einsum("vij,vj->vi", cof, skinned_nrm)
+    nrm = jnp.einsum("vij,vj->vi", cof, skinned_nrm,
+                     precision=jax.lax.Precision.HIGHEST)
     nrm = nrm * jax.lax.rsqrt(jnp.maximum(
         jnp.sum(nrm * nrm, axis=-1, keepdims=True), 1e-16))
 
     vp = camera.proj @ camera.view                                # (4,4)
-    clip = world_h @ vp.T                                          # (TV,4) — ONE matmul on the MXU
+    clip = jnp.matmul(world_h, vp.T,
+                      precision=jax.lax.Precision.HIGHEST)  # (TV,4), one matmul
 
     uv = uvs * uv_scale * tiling + uv_offset
 
@@ -153,23 +163,36 @@ def triangle_setup(clip: Array, tri_vtx: Array, tri_valid: Array,
 
     `clip` is (V,4) with `tri_vtx` (T,3) indices, or pre-gathered (T,3,4)
     corner clip coords with tri_vtx=None (shared-gather fast path).
+
+    Internally PLANAR: (T,3)/(T,4)-shaped math wastes 125+ of 128 TPU
+    lanes, so the corner block is transposed ONCE to (12,T) and every
+    cross product / min / max runs on full-lane (T,) vectors (measured:
+    setup was 35.8 ms at 1M triangles in the padded layout). The public
+    (T,3,3)/(T,3)/(T,4) output shapes are unchanged — inside a fused frame
+    graph XLA folds the final stack into consumers' column slices.
     """
     c = clip if tri_vtx is None else clip[tri_vtx]   # (T,3,4)
-    x, y, z, w = c[..., 0], c[..., 1], c[..., 2], c[..., 3]
+    t = c.shape[0]
+    ct = c.reshape(t, 12).T                          # (12,T) — one relayout
+    xs = [ct[0], ct[4], ct[8]]
+    ys = [ct[1], ct[5], ct[9]]
+    zs = [ct[2], ct[6], ct[10]]
+    ws = [ct[3], ct[7], ct[11]]
 
     # viewport-scaled homogeneous coords: sx = (x + w)*W/2, sy = (y + w)*H/2
     # (so sx/w = pixel x). Keep w as third coord.
-    sx = (x + w) * (0.5 * width)
-    sy = (y + w) * (0.5 * height)
-    m = jnp.stack([sx, sy, w], axis=-1)  # (T,3,3) rows = vertices
+    sx = [(x + w) * (0.5 * width) for x, w in zip(xs, ws)]
+    sy = [(y + w) * (0.5 * height) for y, w in zip(ys, ws)]
 
-    # adjugate via cross products of vertex rows: adj row i = cross(m_j, m_k)
-    v0, v1, v2 = m[:, 0], m[:, 1], m[:, 2]
-    e0 = jnp.cross(v1, v2)               # (T,3): e0 = (a,b,c) with p=(px,py,1)
-    e1 = jnp.cross(v2, v0)
-    e2 = jnp.cross(v0, v1)
-    edge = jnp.stack([e0, e1, e2], axis=1)           # (T,3,3)
-    det = jnp.einsum("ti,ti->t", v0, e0)             # det(M)
+    def cross(j, k):  # adjugate row i = cross(vertex_j, vertex_k), planar
+        return (sy[j] * ws[k] - ws[j] * sy[k],
+                ws[j] * sx[k] - sx[j] * ws[k],
+                sx[j] * sy[k] - sy[j] * sx[k])
+
+    e0 = cross(1, 2)                     # e = (a,b,c) with p = (px,py,1)
+    e1 = cross(2, 0)
+    e2 = cross(0, 1)
+    det = sx[0] * e0[0] + sy[0] * e0[1] + ws[0] * e0[2]
 
     # Vulkan front face: counter-clockwise in framebuffer coords. With the
     # Y-flip proj + y-down pixel mapping above, CCW-wound geometry yields
@@ -178,14 +201,16 @@ def triangle_setup(clip: Array, tri_vtx: Array, tri_valid: Array,
 
     # bbox in pixels, from NDC projections of vertices with w>0. Triangles
     # crossing w<=0 (near plane) get a conservative full-screen bbox.
-    safe_w = jnp.where(jnp.abs(w) < 1e-8, 1e-8, w)
-    px = sx / safe_w
-    py = sy / safe_w
-    any_behind = jnp.any(w <= 1e-6, axis=-1)
-    x0 = jnp.where(any_behind, 0.0, jnp.floor(jnp.min(px, axis=-1)))
-    y0 = jnp.where(any_behind, 0.0, jnp.floor(jnp.min(py, axis=-1)))
-    x1 = jnp.where(any_behind, float(width), jnp.ceil(jnp.max(px, axis=-1)) + 1.0)
-    y1 = jnp.where(any_behind, float(height), jnp.ceil(jnp.max(py, axis=-1)) + 1.0)
+    safe_w = [jnp.where(jnp.abs(w) < 1e-8, 1e-8, w) for w in ws]
+    px = [s / w for s, w in zip(sx, safe_w)]
+    py = [s / w for s, w in zip(sy, safe_w)]
+    any_behind = (ws[0] <= 1e-6) | (ws[1] <= 1e-6) | (ws[2] <= 1e-6)
+    min3 = lambda v: jnp.minimum(jnp.minimum(v[0], v[1]), v[2])
+    max3 = lambda v: jnp.maximum(jnp.maximum(v[0], v[1]), v[2])
+    x0 = jnp.where(any_behind, 0.0, jnp.floor(min3(px)))
+    y0 = jnp.where(any_behind, 0.0, jnp.floor(min3(py)))
+    x1 = jnp.where(any_behind, float(width), jnp.ceil(max3(px)) + 1.0)
+    y1 = jnp.where(any_behind, float(height), jnp.ceil(max3(py)) + 1.0)
     x0 = jnp.clip(x0, 0, width).astype(jnp.int32)
     y0 = jnp.clip(y0, 0, height).astype(jnp.int32)
     x1 = jnp.clip(x1, 0, width).astype(jnp.int32)
@@ -194,4 +219,23 @@ def triangle_setup(clip: Array, tri_vtx: Array, tri_valid: Array,
 
     on_screen = (x1 > x0) & (y1 > y0)
     valid = tri_valid & front & on_screen
+
+    edge = jnp.stack([*e0, *e1, *e2], axis=-1).reshape(t, 3, 3)
+    z = jnp.stack(zs, axis=-1)
+    w = jnp.stack(ws, axis=-1)
     return TriangleSetup(edge=edge, z=z, w=w, bbox=bbox, valid=valid)
+
+
+def band_slice_setup(setup: TriangleSetup, y0, band_h: int) -> TriangleSetup:
+    """Restrict a FULL-FRAME triangle setup to the horizontal pixel band
+    [y0, y0+band_h): bboxes shift to band-local coordinates and triangles
+    that miss the band go invalid — the per-band geometry cull of the
+    multi-chip path (parallel/framebuffer.py). edge/z/w stay in global
+    pixel coordinates; the rasterizers take the matching y offset so band
+    arithmetic is bit-identical to the single-chip render. `y0` may be a
+    traced i32 scalar (device index × band height under shard_map)."""
+    by0 = jnp.clip(setup.bbox[:, 1] - y0, 0, band_h)
+    by1 = jnp.clip(setup.bbox[:, 3] - y0, 0, band_h)
+    bbox = jnp.stack([setup.bbox[:, 0], by0, setup.bbox[:, 2], by1], axis=-1)
+    return TriangleSetup(edge=setup.edge, z=setup.z, w=setup.w, bbox=bbox,
+                         valid=setup.valid & (by1 > by0))

@@ -1,16 +1,27 @@
 """Multi-chip dry-run: the full interpolation-net training step jitted over
-a (dp, tp) mesh with real shardings, one step on tiny shapes.
+a (dp, tp) mesh with real shardings, one step on tiny shapes — plus the
+same step through the EXPLICIT-collective path (shard_map + pmean grads +
+cross-device BatchNorm), and the banded SPMD renderer on the production
+Pallas kernels with shadows on.
 
 Run by the driver under a virtual CPU mesh
-(--xla_force_host_platform_device_count=N) to validate the SPMD path
-compiles and executes without N physical chips.
+(--xla_force_host_platform_device_count=N) to validate the SPMD paths
+compile and execute without N physical chips.
 """
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 import jax
 import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+try:
+    from jax import shard_map  # jax >= 0.7 public API
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
 
 from trident_tpu.ai.train import TrainConfig, create_state, train_step
 from trident_tpu.parallel.mesh import (
@@ -53,10 +64,10 @@ def run_dryrun(n_devices: int, resolution=(32, 32), batch_per_device: int = 1,
     b = config.batch_size
     h, w = resolution
     rng = np.random.default_rng(0)
-    inputs = jax.device_put(rng.random((b, h, w, 6), np.float32),
-                            batch_sharding(mesh, 4))
-    targets = jax.device_put(rng.random((b, h, w, 3), np.float32),
-                             batch_sharding(mesh, 4))
+    inputs_np = rng.random((b, h, w, 6), np.float32)
+    targets_np = rng.random((b, h, w, 3), np.float32)
+    inputs = jax.device_put(inputs_np, batch_sharding(mesh, 4))
+    targets = jax.device_put(targets_np, batch_sharding(mesh, 4))
 
     step = jax.jit(train_step, static_argnames=("axis_name",))
     with mesh:
@@ -68,18 +79,62 @@ def run_dryrun(n_devices: int, resolution=(32, 32), batch_per_device: int = 1,
     print(f"dryrun_multichip OK: mesh={dict(mesh.shape)} loss={float(loss):.4f} "
           f"out={out.shape}")
 
+    _dryrun_explicit_collectives(n_devices, inputs_np, targets_np,
+                                 config, float(loss))
     _dryrun_banded_render(n_devices)
 
 
-def _dryrun_banded_render(n_devices: int, size: int = 64) -> None:
-    """Also exercise the SPMD renderer: framebuffer bands over a 1-D mesh."""
-    import jax.numpy as jnp
-    from jax.sharding import Mesh
+def _dryrun_explicit_collectives(n_devices: int, inputs_np, targets_np,
+                                 config: TrainConfig,
+                                 gspmd_loss: float) -> None:
+    """The OTHER branch of train_step: shard_map over a 1-D dp mesh with
+    axis_name='dp' (explicit pmean of grads/loss) and cross-device
+    BatchNorm moments (bn_axis_name). Asserts loss parity with the GSPMD
+    step on the same data."""
+    mesh = Mesh(np.asarray(jax.devices()[:n_devices]), ("dp",))
+    state = create_state(config, bn_axis_name="dp")
 
+    # tile the batch up to the 1-D mesh size: EVENLY duplicated samples
+    # leave the mean loss and the BatchNorm moments unchanged, so parity
+    # still holds (batch = dp·k and dp divides n, so this is always even)
+    if n_devices % inputs_np.shape[0] == 0:
+        reps = n_devices // inputs_np.shape[0]
+        inputs_np = np.tile(inputs_np, (reps, 1, 1, 1))
+        targets_np = np.tile(targets_np, (reps, 1, 1, 1))
+    assert inputs_np.shape[0] % n_devices == 0, inputs_np.shape
+
+    step = shard_map(
+        functools.partial(train_step, axis_name="dp"),
+        mesh=mesh,
+        in_specs=(P(), P("dp"), P("dp")),
+        out_specs=(P(), P(), P("dp")),
+        check_vma=False)
+    new_state, loss, out = jax.jit(step)(
+        state, jnp.asarray(inputs_np), jnp.asarray(targets_np))
+    jax.block_until_ready(loss)
+    loss = float(loss)
+    assert np.isfinite(loss), f"non-finite shard_map loss {loss}"
+    assert abs(loss - gspmd_loss) < 1e-4, (
+        f"explicit-collective loss {loss:.6f} != GSPMD loss "
+        f"{gspmd_loss:.6f}")
+    # the synced-BN stats must have actually mutated and stayed replicated
+    stats0 = jax.tree.leaves(new_state.batch_stats)
+    assert stats0 and all(np.isfinite(np.asarray(s)).all() for s in stats0)
+    print(f"dryrun explicit collectives OK: dp={n_devices} loss={loss:.4f} "
+          f"(GSPMD {gspmd_loss:.4f})")
+
+
+def _dryrun_banded_render(n_devices: int, size: int = 64) -> None:
+    """Exercise the SPMD renderer on the PRODUCTION path: Pallas visibility
+    + in-kernel forward resolve (interpret mode on CPU), directional
+    shadows, framebuffer bands over a 1-D mesh with the geometry phase
+    sharded (parallel/framebuffer.py)."""
     from trident_tpu.core.config import EngineConfig, RenderConfig
-    from trident_tpu.ecs.components import MeshComponent, TransformComponent
+    from trident_tpu.ecs.components import (
+        LightComponent, LightType, MeshComponent, TransformComponent)
     from trident_tpu.ecs.registry import Registry
     from trident_tpu.geometry.primitives import PrimitiveType
+    from trident_tpu.ops.shadow import light_camera, scene_bounds
     from trident_tpu.parallel.framebuffer import render_frame_banded
     from trident_tpu.render.frame import (
         build_draw_params, build_draw_plan, gather_mesh_draws, geometry_to_device,
@@ -88,13 +143,17 @@ def _dryrun_banded_render(n_devices: int, size: int = 64) -> None:
     from trident_tpu.render.renderer import Renderer
     from trident_tpu.render.types import AiBlend, SkyboxCube
 
-    r = Renderer(EngineConfig(render=RenderConfig(width=size, height=size,
-                                                  use_pallas=False)))
+    r = Renderer(EngineConfig(render=RenderConfig(width=size, height=size)))
     reg = Registry()
     r.set_active_registry(reg)
     e = reg.create()
     reg.add(e, TransformComponent())
     reg.add(e, MeshComponent(mesh_index=r.ensure_primitive(PrimitiveType.CUBE)))
+    sun = reg.create()
+    reg.add(sun, TransformComponent())
+    reg.add(sun, LightComponent(light_type=LightType.DIRECTIONAL,
+                                direction=np.array([-0.4, -1.0, -0.3], np.float32),
+                                cast_shadows=True))
     r.editor_camera.set_position([0, 0, 3])
     r.editor_camera.look_at_target([0, 0, 0])
 
@@ -110,15 +169,22 @@ def _dryrun_banded_render(n_devices: int, size: int = 64) -> None:
                      valid=jnp.asarray(False))
     ai = AiBlend(image=jnp.zeros((1, 1, 3), jnp.float32),
                  blend=jnp.asarray(0.0, jnp.float32))
+    center, radius = scene_bounds(records, packed)
+    light_cam = light_camera(np.array([-0.4, -1.0, -0.3], np.float32),
+                             center, radius)
 
     fb_mesh = Mesh(np.asarray(jax.devices()[:n_devices]), ("fb",))
     out = render_frame_banded(
         fb_mesh, "fb", geo, plan, tri_draw, params, palette, shade,
-        r.editor_camera.params(), lights, tex, sky, ai,
+        r.editor_camera.params(), lights, tex, sky, ai, light_cam,
         width=size, height=size, clear_color=(0.05, 0.05, 0.08, 1.0),
-        raster="ref", skinned=False)
+        raster="pallas", skinned=False, forward_shading=True,
+        shadow_size=size, shadow_pcf=True)
     color = np.asarray(out.color)
     assert color.shape == (size, size, 4)
     covered = int((np.asarray(out.tri_id) >= 0).sum())
     assert covered > 0, "banded render drew nothing"
-    print(f"dryrun banded render OK: {n_devices} bands, covered px={covered}")
+    aux = np.asarray(out.aux).reshape(-1, 2).sum(axis=0)
+    assert aux[0] == 0 and aux[1] == 0, f"banded raster dropped work: {aux}"
+    print(f"dryrun banded render OK: {n_devices} bands (pallas+shadows), "
+          f"covered px={covered}")

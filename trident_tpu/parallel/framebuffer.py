@@ -1,33 +1,44 @@
-"""Multi-chip SPMD rendering: framebuffer bands over a device mesh.
+"""Multi-chip SPMD rendering: sort-middle over a device mesh.
 
-The reference is single-GPU; the TPU-native scaling axis is pixels:
-`shard_map` splits the framebuffer into horizontal bands, one per device.
-Geometry/draw state replicate (scenes are MBs; framebuffers at 4K are the
-big arrays), and each device runs the UNCHANGED single-chip pipeline on its
-band through a cropped projection matrix — sort-middle parallelism with no
-cross-device communication in the frame loop at all (bands concatenate on
-the sharded output axis; XLA inserts nothing but the final layout).
+The reference is single-GPU; the TPU-native scaling axes are pixels AND
+triangles. `shard_map` over a 1-D mesh axis runs the frame in three phases:
+
+  1. geometry phase, sharded over VERTICES then TRIANGLES: each device
+     transforms TV/n vertices (skinning + MVP) and sets up T/n triangles
+     (edge functions, attribute-plane rows) in FULL-FRAME pixel
+     coordinates, then `all_gather`s the compact per-triangle results over
+     ICI — geometry work scales 1/n instead of being replicated per band.
+  2. band cull: every device keeps the full setup but clips triangle
+     bboxes to its horizontal framebuffer band (ops.vertex.band_slice_setup)
+     — off-band triangles go invalid and the binner never emits pairs for
+     them, so raster work scales with band height.
+  3. band raster + shade: the UNCHANGED single-chip kernels run per band
+     with a whole-tile y offset, evaluating the SAME global-pixel
+     arithmetic as a single-chip render — bands agree with single-chip to
+     ≤1 ulp (the residual is XLA's shape-dependent FMA fusion, not seam
+     structure). Bands concatenate on the sharded output axis.
+
+Screen-space post (bloom / supersample resolve / AI blend) happens OUTSIDE
+the shard_map on the row-sharded arrays, where XLA's SPMD partitioner
+inserts halo exchanges for the blur automatically.
 
 Works on any 1-D mesh axis; the driver validates it on a virtual CPU mesh
-(tests/test_parallel.py) and the same code runs on real ICI-connected
-chips.
+(tests/test_parallel.py, parallel/dryrun.py) and the same code runs on real
+ICI-connected chips.
 """
 
 from __future__ import annotations
 
-import functools
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 try:
     from jax import shard_map  # jax >= 0.7 public API
 except ImportError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map
 
-from trident_tpu.render.types import CameraParams, FrameOutput
+from trident_tpu.render.types import DrawPlan, FrameOutput
 
 Array = jax.Array
 
@@ -42,43 +53,195 @@ def crop_projection(proj: Array, y0: Array, y1: Array) -> Array:
     return proj.at[1, :].set(new_row)
 
 
+def _pad_to(x: Array, m: int, value=0):
+    pad = -x.shape[0] % m
+    if pad == 0:
+        return x
+    widths = [(0, pad)] + [(0, 0)] * (x.ndim - 1)
+    return jnp.pad(x, widths, constant_values=value)
+
+
+def _sharded_geometry(axis: str, geometry, vtx_src, vtx_draw, tri_vtx,
+                      tri_valid, params, camera, palette, *, num_draws: int,
+                      rw: int, rh: int, skinned: bool):
+    """Vertex + triangle setup with the work sharded over the mesh axis:
+    each device transforms its vertex slice, all_gathers the packed rows,
+    sets up its triangle slice, and all_gathers the setup. Returns the
+    FULL (packed, corners_slice, setup) where `corners_slice` is this
+    device's (T/n,3,16) corner rows (for building plane/record rows
+    sharded) and `setup` is the gathered full-frame TriangleSetup."""
+    from trident_tpu.ops.vertex import triangle_setup, vertex_stage
+
+    plan_v = DrawPlan(vtx_src=vtx_src, vtx_draw=vtx_draw, tri_vtx=tri_vtx,
+                      tri_valid=tri_valid, num_draws=num_draws)
+    verts = vertex_stage(geometry, plan_v, params, camera, palette,
+                         skinned=skinned)
+    packed = jax.lax.all_gather(verts.packed, axis, axis=0, tiled=True)
+    corners = packed[tri_vtx]                       # (T/n, 3, 16)
+    setup_sl = triangle_setup(corners[..., 0:4], None, tri_valid, rw, rh)
+    setup = jax.tree.map(
+        lambda x: jax.lax.all_gather(x, axis, axis=0, tiled=True), setup_sl)
+    return packed, corners, setup_sl, setup
+
+
 def render_frame_banded(mesh: Mesh, axis: str, geometry, plan, tri_draw,
                         params, palette, shade_table, camera, lights,
-                        textures, skybox, ai, *, width: int, height: int,
-                        clear_color, raster: str, skinned: bool,
-                        sampling: str = "bilinear") -> FrameOutput:
-    """Render (height, width) split into `mesh.shape[axis]` row bands."""
-    from trident_tpu.render.renderer import _render_frame_impl
+                        textures, skybox, ai, light_camera=None, *,
+                        width: int, height: int, clear_color, raster: str,
+                        skinned: bool, chunk: int = 64,
+                        sampling: str = "bilinear",
+                        vertex_colors: bool = False,
+                        plane_f16: bool = False,
+                        forward_shading: bool = True,
+                        shadow_size: int = 0, shadow_bias: float = 2e-3,
+                        shadow_pcf: bool = False, supersample: int = 1,
+                        bloom: bool = False, bloom_threshold: float = 1.0,
+                        bloom_strength: float = 0.6) -> FrameOutput:
+    """Render (height, width) split into `mesh.shape[axis]` row bands with
+    the geometry phase sharded — the full render_frame feature set
+    (shadows, SSAA, bloom, f16 planes, forward kernel shading)."""
+    from trident_tpu.ops import post
+    from trident_tpu.ops.deferred import apply_ai_blend, pack_rgba8
+    from trident_tpu.ops.raster_pallas import TILE_H
+    from trident_tpu.ops.shading import tonemap_reinhard_gamma
 
     n = mesh.shape[axis]
-    assert height % n == 0, f"height {height} not divisible by {n} bands"
-    band_h = height // n
+    ss = max(int(supersample), 1)
+    rw, rh = width * ss, height * ss
+    if rh % n:
+        raise ValueError(f"render height {rh} not divisible by {n} bands")
+    band_h = rh // n
+    if raster == "pallas" and band_h % TILE_H:
+        raise ValueError(f"band height {band_h} not a multiple of raster "
+                         f"tile height {TILE_H}")
+    if band_h % ss:
+        raise ValueError(f"band height {band_h} not a multiple of "
+                         f"supersample {ss}")
+    use_kernel_shading = raster == "pallas" and forward_shading
 
-    replicate = NamedSharding(mesh, P())
+    # shard the work arrays: pad the vertex/triangle dims to multiples of n
+    # (pad vertices reference row 0 / draw 0; pad triangles are invalid)
+    vtx_src = _pad_to(plan.vtx_src, n)
+    vtx_draw = _pad_to(plan.vtx_draw, n)
+    tri_vtx = _pad_to(plan.tri_vtx, n)
+    tri_valid = _pad_to(plan.tri_valid, n, value=False)
+    tri_draw_p = _pad_to(tri_draw, n)
 
-    def band_render(geometry, plan, tri_draw, params, palette, shade_table,
-                    camera, lights, textures, skybox, ai):
-        b = jax.lax.axis_index(axis).astype(jnp.float32)
-        y0 = 2.0 * (b * band_h) / height - 1.0
-        y1 = 2.0 * ((b + 1.0) * band_h) / height - 1.0
-        band_cam = CameraParams(
-            view=camera.view,
-            proj=crop_projection(camera.proj, y0, y1),
-            position=camera.position)
-        out = _render_frame_impl(
-            geometry, plan, tri_draw, params, palette, shade_table,
-            band_cam, lights, textures, skybox, ai,
-            width=width, height=band_h, clear_color=clear_color,
-            raster=raster, chunk=64, skinned=skinned, sampling=sampling)
-        return out
+    # shadow map banding: divide light-space rows over the same axis when
+    # they split evenly; otherwise each device renders the full map
+    do_shadow = bool(shadow_size) and light_camera is not None
+    sband_h = shadow_size // n if do_shadow else 0
+    shadow_banded = (do_shadow and shadow_size % n == 0
+                     and (raster != "pallas" or sband_h % TILE_H == 0))
 
-    in_specs = tuple(P() for _ in range(11))
-    out_specs = FrameOutput(
-        color=P(axis), depth=P(axis), tri_id=P(axis),
-        # per-band drop counters stack along the band axis ((2n,) total);
-        # the ref raster emits no aux (None = empty subtree)
-        aux=P(axis) if raster == "pallas" else None)
+    def band_render(vtx_src, vtx_draw, tri_vtx, tri_valid, tri_draw,
+                    geometry, params, palette, shade_table, camera, lights,
+                    textures, skybox, light_camera):
+        from trident_tpu.ops.planes import (
+            build_planes_corners, build_resolve_rows, chunk_resolve_rows)
+        from trident_tpu.ops.raster_pallas import visibility_pallas
+        from trident_tpu.ops.raster_ref import visibility_ref
+        from trident_tpu.ops.vertex import band_slice_setup
+        from trident_tpu.render.renderer import _visibility_and_shade
+        from trident_tpu.render.types import ShadowParams
+
+        interpret = jax.default_backend() == "cpu"
+        idx = jax.lax.axis_index(axis)
+
+        # ---- phase 1: sharded geometry (full-frame coordinates) ----
+        packed, corners, setup_sl, setup = _sharded_geometry(
+            axis, geometry, vtx_src, vtx_draw, tri_vtx, tri_valid, params,
+            camera, palette, num_draws=plan.num_draws, rw=rw, rh=rh,
+            skinned=skinned)
+
+        records = planes = None
+        if use_kernel_shading:
+            tex_row = textures.sizes[params.texture_slot].astype(jnp.float32)
+            draw_consts = jnp.concatenate([shade_table, tex_row], axis=1)
+            rows_sl = build_resolve_rows(
+                setup_sl, corners[..., 4:7], corners[..., 7:9], tri_draw,
+                draw_consts,
+                corners[..., 9:12] if vertex_colors else None)
+            rows = jax.lax.all_gather(rows_sl, axis, axis=0, tiled=True)
+            records = chunk_resolve_rows(rows, chunk)
+        else:
+            planes_sl = build_planes_corners(
+                setup_sl, corners[..., 4:7], corners[..., 7:9], tri_draw,
+                shade_table,
+                corner_col=corners[..., 9:12] if vertex_colors else None,
+                f16=plane_f16)
+            planes = jax.tree.map(
+                lambda x: jax.lax.all_gather(x, axis, axis=0, tiled=True),
+                planes_sl)
+
+        # ---- shadow pass (light-space rows banded over the same axis) ----
+        shadow = None
+        if do_shadow:
+            _, _, _, setup_l = _sharded_geometry(
+                axis, geometry, vtx_src, vtx_draw, tri_vtx, tri_valid,
+                params, light_camera, palette, num_draws=plan.num_draws,
+                rw=shadow_size, rh=shadow_size, skinned=skinned)
+            if shadow_banded:
+                ly0 = idx * sband_h
+                s_band = band_slice_setup(setup_l, ly0, sband_h)
+                if raster == "pallas":
+                    g_l = visibility_pallas(s_band, shadow_size, sband_h,
+                                            interpret=interpret,
+                                            tile_y_offset=ly0 // TILE_H)
+                else:
+                    g_l = visibility_ref(s_band, shadow_size, sband_h,
+                                         y_offset=ly0)
+                depth_map = jax.lax.all_gather(g_l.depth, axis, axis=0,
+                                               tiled=True)
+            else:
+                if raster == "pallas":
+                    g_l = visibility_pallas(setup_l, shadow_size,
+                                            shadow_size, interpret=interpret)
+                else:
+                    g_l = visibility_ref(setup_l, shadow_size, shadow_size)
+                depth_map = g_l.depth
+            shadow = ShadowParams(
+                depth=depth_map,
+                light_vp=jnp.matmul(light_camera.proj, light_camera.view,
+                                    precision=jax.lax.Precision.HIGHEST),
+                enabled=jnp.asarray(True),
+                bias=jnp.asarray(shadow_bias, jnp.float32))
+
+        # ---- phases 2+3: band cull, raster + shade at global pixels ----
+        y0 = idx * band_h
+        s_band = band_slice_setup(setup, y0, band_h)
+        frame, gbuf = _visibility_and_shade(
+            s_band, records, planes, textures, camera, lights, skybox,
+            width=rw, height=band_h, clear_color=clear_color, raster=raster,
+            chunk=chunk, sampling=sampling, vertex_colors=vertex_colors,
+            forward_shading=forward_shading, shadow=shadow,
+            shadow_pcf=shadow_pcf, tonemap=not bloom, interpret=interpret,
+            y_offset=y0, full_height=rh)
+        if raster == "pallas":
+            return frame, gbuf.depth, gbuf.tri_id, gbuf.aux
+        return frame, gbuf.depth, gbuf.tri_id
+
+    in_specs = (P(axis), P(axis), P(axis), P(axis), P(axis),
+                P(), P(), P(), P(), P(), P(), P(), P(), P())
+    out_specs = (P(axis), P(axis), P(axis)) + (
+        (P(axis),) if raster == "pallas" else ())
+    # check_vma=False: pallas_call out_shapes don't carry varying-mesh-axis
+    # metadata, and every output here is explicitly band-varying anyway
     fn = shard_map(band_render, mesh=mesh, in_specs=in_specs,
-                   out_specs=out_specs)
-    return fn(geometry, plan, tri_draw, params, palette, shade_table,
-              camera, lights, textures, skybox, ai)
+                   out_specs=out_specs, check_vma=False)
+    out = fn(vtx_src, vtx_draw, tri_vtx, tri_valid, tri_draw_p,
+             geometry, params, palette, shade_table, camera, lights,
+             textures, skybox, light_camera)
+    frame, depth, tri_id = out[:3]
+    aux = out[3] if raster == "pallas" else None
+
+    # ---- screen-space post on the row-sharded full frame ----
+    if bloom:
+        hdr = post.bloom(frame[..., :3], bloom_threshold, bloom_strength)
+        frame = jnp.concatenate(
+            [tonemap_reinhard_gamma(hdr), frame[..., 3:4]], axis=-1)
+    frame = post.resolve_supersample(frame, ss)
+    frame = jnp.clip(apply_ai_blend(frame, ai), 0.0, 1.0)
+    return FrameOutput(color=pack_rgba8(frame),
+                       depth=depth[::ss, ::ss], tri_id=tri_id[::ss, ::ss],
+                       aux=aux)

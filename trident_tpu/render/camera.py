@@ -119,10 +119,11 @@ class Camera:
         return self.proj @ self.view
 
     def params(self) -> CameraParams:
+        # numpy-backed (see render/bundle.py)
         return CameraParams(
-            view=jnp.asarray(self.view),
-            proj=jnp.asarray(self.proj),
-            position=jnp.asarray(self.position),
+            view=np.asarray(self.view, np.float32),
+            proj=np.asarray(self.proj, np.float32),
+            position=np.asarray(self.position, np.float32),
         )
 
 

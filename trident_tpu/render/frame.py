@@ -262,20 +262,16 @@ def build_draw_params(records: List[DrawRecord], num_draws: int,
     xform_b = np.concatenate(
         [model_flat[:, 12:16], uv_scale, uv_offset, tiling[:, None],
          np.zeros((d, 3), np.float32)], axis=1)
+    # numpy-backed: per-frame state ships to the device as ONE packed blob
+    # (render/bundle.py) — premature jnp.asarray here would upload ~13
+    # small arrays per frame (~0.6 ms each through the tunnel)
     params = DrawParams(
-        model=jnp.asarray(model),
-        xform_a=jnp.asarray(xform_a),
-        xform_b=jnp.asarray(xform_b),
-        tint=jnp.asarray(tint),
-        uv_scale=jnp.asarray(uv_scale),
-        uv_offset=jnp.asarray(uv_offset),
-        tiling=jnp.asarray(tiling),
-        texture_slot=jnp.asarray(texture_slot),
-        material_index=jnp.asarray(material_index),
-        bone_offset=jnp.asarray(bone_offset),
-        bone_count=jnp.asarray(bone_count),
+        model=model, xform_a=xform_a, xform_b=xform_b, tint=tint,
+        uv_scale=uv_scale, uv_offset=uv_offset, tiling=tiling,
+        texture_slot=texture_slot, material_index=material_index,
+        bone_offset=bone_offset, bone_count=bone_count,
     )
-    return params, jnp.asarray(palette_p), jnp.asarray(shade)
+    return params, palette_p, shade
 
 
 def geometry_to_device(packed: PackedGeometry) -> GeometryBuffers:

@@ -61,13 +61,13 @@ def gather_lights(registry: Registry,
 
     bucket = 0 if point_count == 0 else (2 if point_count <= 2 else
                                          (4 if point_count <= 4 else MAX_POINT_LIGHTS))
+    # numpy-backed (see render/bundle.py: frame state ships as one blob)
     return LightParams(
-        ambient=jnp.asarray(ambient, jnp.float32),
-        dir_direction=jnp.asarray(dir_direction, jnp.float32),
-        dir_color=jnp.asarray([*dir_color, dir_intensity], jnp.float32),
-        dir_count=jnp.asarray(dir_used, jnp.int32),
-        point_pos_range=jnp.asarray(point_pos_range[:bucket].reshape(bucket, 4)),
-        point_color_intensity=jnp.asarray(
-            point_color_intensity[:bucket].reshape(bucket, 4)),
-        point_count=jnp.asarray(point_count, jnp.int32),
+        ambient=np.asarray(ambient, np.float32),
+        dir_direction=np.asarray(dir_direction, np.float32),
+        dir_color=np.asarray([*dir_color, dir_intensity], np.float32),
+        dir_count=np.int32(dir_used),
+        point_pos_range=point_pos_range[:bucket].reshape(bucket, 4),
+        point_color_intensity=point_color_intensity[:bucket].reshape(bucket, 4),
+        point_count=np.int32(point_count),
     )

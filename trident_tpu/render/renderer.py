@@ -32,7 +32,6 @@ from trident_tpu.ecs.registry import Registry
 from trident_tpu.geometry.mesh import GeometryCache, Material, Mesh
 from trident_tpu.geometry.primitives import PrimitiveType, build_primitive
 from trident_tpu.ops.deferred import deferred_shade, pack_rgba8
-from trident_tpu.ops.planes import build_planes
 from trident_tpu.ops.raster_ref import visibility_ref
 from trident_tpu.ops.vertex import triangle_setup, vertex_stage
 from trident_tpu.render.camera import Camera, EditorCamera, RuntimeCamera
@@ -55,6 +54,65 @@ from trident_tpu.render.types import (
 logger = get_logger("renderer")
 
 
+def _visibility_and_shade(setup, records, planes, textures, camera, lights,
+                          skybox, *, width: int, height: int, clear_color,
+                          raster: str, chunk: int, sampling: str,
+                          vertex_colors: bool, forward_shading: bool,
+                          shadow, shadow_pcf: bool, tonemap: bool,
+                          interpret: bool, y_offset=0, full_height=None):
+    """Rasterize + shade a frame (or a horizontal band of one) from
+    prebuilt per-triangle inputs. Exactly one of `records` (chunked resolve
+    records, kernel-shading path) / `planes` (AttributePlanes, gather path)
+    is consumed. `y_offset` (int or traced i32 — a multiple of TILE_H for
+    the pallas raster) + `full_height`: this target is the band of a
+    full_height frame starting at that global pixel row; `camera` is
+    always the FULL-frame camera — all arithmetic runs at global pixel
+    coordinates, so bands are bit-identical to the single-chip render.
+    Returns (frame, gbuf)."""
+    if raster == "pallas" and forward_shading:
+        from trident_tpu.ops.deferred import deferred_shade_attrs
+        from trident_tpu.ops.raster_pallas import (
+            TILE_H, TILE_W, untile_frame, visibility_pallas_tiled)
+        from trident_tpu.ops.resolve_pallas import resolve_attrs_pallas
+        from trident_tpu.render.types import GBuffer
+
+        tile_y = jnp.asarray(y_offset, jnp.int32) // TILE_H
+        bins, depth_tiles, tri_tiles, _ = visibility_pallas_tiled(
+            setup, width, height, interpret=interpret, tile_y_offset=tile_y)
+        ntx, nty = -(-width // TILE_W), -(-height // TILE_H)
+        gbuf = GBuffer(
+            tri_id=untile_frame(tri_tiles, ntx, nty)[:height, :width],
+            depth=untile_frame(depth_tiles, ntx, nty)[:height, :width],
+            aux=bins.aux)
+        attrs = resolve_attrs_pallas(bins, tri_tiles, records, width, height,
+                                     vertex_colors=vertex_colors,
+                                     interpret=interpret, tile_y_offset=tile_y)
+        frame = deferred_shade_attrs(gbuf, attrs, textures, camera, lights,
+                                     width, height, clear_color=clear_color,
+                                     skybox=skybox, ai=None,
+                                     sampling=sampling, shadow=shadow,
+                                     shadow_pcf=shadow_pcf, tonemap=tonemap,
+                                     y_offset=y_offset,
+                                     full_height=full_height)
+        return frame, gbuf
+
+    if raster == "pallas":
+        from trident_tpu.ops.raster_pallas import TILE_H, visibility_pallas
+        gbuf = visibility_pallas(
+            setup, width, height, interpret=interpret,
+            tile_y_offset=jnp.asarray(y_offset, jnp.int32) // TILE_H)
+    else:
+        gbuf = visibility_ref(setup, width, height, chunk=chunk,
+                              y_offset=y_offset)
+    frame = deferred_shade(gbuf, planes, textures, camera, lights,
+                           width, height, clear_color=clear_color,
+                           skybox=skybox, ai=None, sampling=sampling,
+                           shadow=shadow, shadow_pcf=shadow_pcf,
+                           tonemap=tonemap, y_offset=y_offset,
+                           full_height=full_height)
+    return frame, gbuf
+
+
 def _render_frame_impl(geometry, plan, tri_draw, params, palette, shade_table,
                        camera, lights, textures, skybox, ai,
                        *, width: int, height: int, clear_color,
@@ -75,29 +133,15 @@ def _render_frame_impl(geometry, plan, tri_draw, params, palette, shade_table,
 
     rw, rh = width * supersample, height * supersample
     verts = vertex_stage(geometry, plan, params, camera, palette, skinned=skinned)
-    setup = triangle_setup(verts.clip, plan.tri_vtx, plan.tri_valid, rw, rh)
+    # ONE corner gather feeds setup AND plane/record builds: packed rows
+    # carry clip(4) nrm(3) uv(2) color(3) (~8ns per gathered row — halving
+    # the per-corner gathers is worth more than any math below)
+    corners = verts.packed[plan.tri_vtx]                       # (T,3,16)
+    setup = triangle_setup(corners[..., 0:4], None, plan.tri_valid, rw, rh)
     # on CPU (tests, banded dryruns) the production kernels run under the
     # Pallas interpreter — same binning, same kernel logic
     interpret = jax.default_backend() == "cpu"
     use_kernel_shading = raster == "pallas" and forward_shading
-    bins = tri_tiles = None
-    if use_kernel_shading:
-        from trident_tpu.ops.raster_pallas import (
-            TILE_H, TILE_W, untile_frame, visibility_pallas_tiled)
-        from trident_tpu.render.types import GBuffer
-
-        bins, depth_tiles, tri_tiles, _ = visibility_pallas_tiled(
-            setup, rw, rh, interpret=interpret)
-        ntx, nty = -(-rw // TILE_W), -(-rh // TILE_H)
-        gbuf = GBuffer(
-            tri_id=untile_frame(tri_tiles, ntx, nty)[:rh, :rw],
-            depth=untile_frame(depth_tiles, ntx, nty)[:rh, :rw],
-            aux=bins.aux)
-    elif raster == "pallas":
-        from trident_tpu.ops.raster_pallas import visibility_pallas
-        gbuf = visibility_pallas(setup, rw, rh, interpret=interpret)
-    else:
-        gbuf = visibility_ref(setup, rw, rh, chunk=chunk)
 
     shadow = None
     if shadow_size and light_camera is not None:
@@ -108,40 +152,39 @@ def _render_frame_impl(geometry, plan, tri_draw, params, palette, shade_table,
                                       palette, shadow_size, skinned, raster)
         shadow = ShadowParams(
             depth=depth_map,
-            light_vp=light_camera.proj @ light_camera.view,
+            light_vp=jnp.matmul(light_camera.proj, light_camera.view,
+                                precision=jax.lax.Precision.HIGHEST),
             enabled=jnp.asarray(True),
             bias=jnp.asarray(shadow_bias, jnp.float32))
 
+    records = planes = None
+    corner_col = corners[..., 9:12] if vertex_colors else None
     if use_kernel_shading:
-        from trident_tpu.ops.deferred import deferred_shade_attrs
-        from trident_tpu.ops.planes import build_resolve_records
-        from trident_tpu.ops.resolve_pallas import resolve_attrs_pallas
+        from trident_tpu.ops.planes import (
+            build_resolve_rows, chunk_resolve_rows)
 
         # per-draw consts = shade row + the texture sizes row (w, h,
         # base>>8, edge): mip levels AND flat texel addressing then need
         # zero per-pixel table lookups
         tex_row = textures.sizes[params.texture_slot].astype(jnp.float32)
         draw_consts = jnp.concatenate([shade_table, tex_row], axis=1)
-        records = build_resolve_records(setup, verts, plan.tri_vtx, tri_draw,
-                                        draw_consts, chunk,
-                                        vertex_colors=vertex_colors)
-        attrs = resolve_attrs_pallas(bins, tri_tiles, records, rw, rh,
-                                     vertex_colors=vertex_colors,
-                                     interpret=interpret)
-        frame = deferred_shade_attrs(gbuf, attrs, textures, camera, lights,
-                                     rw, rh, clear_color=clear_color,
-                                     skybox=skybox, ai=None,
-                                     sampling=sampling, shadow=shadow,
-                                     shadow_pcf=shadow_pcf,
-                                     tonemap=not bloom)
+        records = chunk_resolve_rows(
+            build_resolve_rows(setup, corners[..., 4:7], corners[..., 7:9],
+                               tri_draw, draw_consts, corner_col), chunk)
     else:
-        planes = build_planes(setup, verts, plan.tri_vtx, tri_draw,
-                              shade_table, vertex_colors=vertex_colors,
-                              f16=plane_f16)
-        frame = deferred_shade(gbuf, planes, textures, camera, lights, rw, rh,
-                               clear_color=clear_color, skybox=skybox,
-                               ai=None, sampling=sampling, shadow=shadow,
-                               shadow_pcf=shadow_pcf, tonemap=not bloom)
+        from trident_tpu.ops.planes import build_planes_corners
+
+        planes = build_planes_corners(setup, corners[..., 4:7],
+                                      corners[..., 7:9], tri_draw,
+                                      shade_table, corner_col=corner_col,
+                                      f16=plane_f16)
+
+    frame, gbuf = _visibility_and_shade(
+        setup, records, planes, textures, camera, lights, skybox,
+        width=rw, height=rh, clear_color=clear_color, raster=raster,
+        chunk=chunk, sampling=sampling, vertex_colors=vertex_colors,
+        forward_shading=forward_shading, shadow=shadow,
+        shadow_pcf=shadow_pcf, tonemap=not bloom, interpret=interpret)
     if bloom:
         from trident_tpu.ops.shading import tonemap_reinhard_gamma
 
@@ -187,6 +230,40 @@ def render_frame(geometry, plan, tri_draw, params, palette, shade_table,
         bloom_threshold=bloom_threshold, bloom_strength=bloom_strength)
 
 
+@functools.partial(jax.jit, static_argnames=(
+    "shape", "width", "height", "clear_color", "raster", "chunk", "skinned",
+    "sampling", "vertex_colors", "plane_f16", "forward_shading",
+    "shadow_size", "shadow_pcf", "supersample", "bloom", "bloom_threshold",
+    "bloom_strength"))
+def render_frame_bundled(geometry, plan, tri_draw, f32, i32, textures,
+                         skybox, ai_image, *, shape, width, height,
+                         clear_color, raster, chunk, skinned,
+                         sampling="bilinear", vertex_colors=False,
+                         plane_f16=True, forward_shading=True,
+                         shadow_size=0, shadow_pcf=False, supersample=1,
+                         bloom=False, bloom_threshold=1.0,
+                         bloom_strength=0.6) -> FrameOutput:
+    """render_frame with every per-frame host value arriving in TWO packed
+    blobs (render/bundle.py) — the interactive path. Uploads per frame:
+    f32 blob + i32 blob (+ the AI image at its own cadence); everything
+    else is device-resident and version-cached."""
+    from trident_tpu.render.bundle import unpack_frame
+
+    (params, palette, shade_table, camera, lights, light_cam, ai_blend,
+     shadow_bias) = unpack_frame(f32, i32, shape)
+    ai = AiBlend(image=ai_image, blend=ai_blend)
+    return _render_frame_impl(
+        geometry, plan, tri_draw, params, palette, shade_table, camera,
+        lights, textures, skybox, ai, width=width, height=height,
+        clear_color=clear_color, raster=raster, chunk=chunk, skinned=skinned,
+        sampling=sampling, vertex_colors=vertex_colors, plane_f16=plane_f16,
+        forward_shading=forward_shading,
+        light_camera=light_cam if shadow_size else None,
+        shadow_size=shadow_size, shadow_bias=shadow_bias,
+        shadow_pcf=shadow_pcf, supersample=supersample, bloom=bloom,
+        bloom_threshold=bloom_threshold, bloom_strength=bloom_strength)
+
+
 @dataclass
 class ViewportContext:
     """One offscreen target (reference: Renderer.h:421-428). ID 1 = scene
@@ -229,6 +306,8 @@ class Renderer:
         self.max_inflight = 3
         self._vertex_colors = False
         self._vertex_colors_version = -1
+        self._banded_jit = None
+        self._banded_n = 0
         self._last_records: List = []
         self._last_tri_draw = None
         self.stats_models = 0
@@ -304,6 +383,32 @@ class Renderer:
                 use_pallas = False
         return "pallas" if use_pallas else "ref"
 
+    def _banded_render_fn(self):
+        """Jitted multi-chip banded frame function over the first
+        `config.render.bands` devices (parallel.framebuffer)."""
+        n = int(self.config.render.bands)
+        devices = jax.devices()
+        if len(devices) < n:
+            logger.warning("bands=%d but only %d devices; rendering "
+                           "single-chip", n, len(devices))
+            return None
+        if self._banded_jit is None or self._banded_n != n:
+            from jax.sharding import Mesh
+
+            from trident_tpu.parallel.framebuffer import render_frame_banded
+
+            mesh = Mesh(np.asarray(devices[:n]), ("fb",))
+            self._banded_jit = jax.jit(
+                functools.partial(render_frame_banded, mesh, "fb"),
+                static_argnames=(
+                    "width", "height", "clear_color", "raster", "skinned",
+                    "chunk", "sampling", "vertex_colors", "plane_f16",
+                    "forward_shading", "shadow_size", "shadow_bias",
+                    "shadow_pcf", "supersample", "bloom", "bloom_threshold",
+                    "bloom_strength"))
+            self._banded_n = n
+        return self._banded_jit
+
     def render_viewport(self, viewport_id: int = 0) -> FrameOutput:
         """Render one viewport; returns device FrameOutput (async)."""
         if self.registry is None:
@@ -334,11 +439,12 @@ class Renderer:
         lights = gather_lights(self.registry)
         textures = self.textures.device_arrays()
         skybox = self._skybox  # None compiles the clear-color-only background
+        if not hasattr(self, "_ai_zero"):
+            self._ai_zero = jnp.zeros((1, 1, 3), jnp.float32)
         if self._ai_image is not None and self.ai_blend > 0.0:
-            ai = AiBlend(image=self._ai_image, blend=jnp.asarray(self.ai_blend, jnp.float32))
+            ai_image, ai_blend = self._ai_image, float(self.ai_blend)
         else:
-            ai = AiBlend(image=jnp.zeros((1, 1, 3), jnp.float32),
-                         blend=jnp.asarray(0.0, jnp.float32))
+            ai_image, ai_blend = self._ai_zero, 0.0
 
         if self._vertex_colors_version != self.geometry.version:
             self._vertex_colors = bool((packed.colors != 1.0).any())
@@ -360,22 +466,47 @@ class Renderer:
                     shadow_size = self.config.render.shadow_map_size
                     break
 
-        out = render_frame(
-            device_geo, plan, tri_draw, params, palette, shade_table,
-            cam.params(), lights, textures, skybox, ai, light_cam,
-            width=ctx.width, height=ctx.height,
-            clear_color=tuple(self.config.render.clear_color),
-            raster=self._raster_mode(), chunk=64, skinned=skinned,
-            sampling=self.config.render.sampling,
-            vertex_colors=self._vertex_colors,
-            plane_f16=self.config.render.plane_f16,
-            forward_shading=self.config.render.forward_shading,
-            shadow_size=shadow_size,
-            shadow_pcf=self.config.render.shadow_pcf,
-            supersample=max(int(self.config.render.supersample), 1),
-            bloom=self.config.render.bloom,
-            bloom_threshold=self.config.render.bloom_threshold,
-            bloom_strength=self.config.render.bloom_strength)
+        rc = self.config.render
+        banded = self._banded_render_fn() if rc.bands > 1 else None
+        if banded is not None:
+            ai = AiBlend(image=ai_image,
+                         blend=jnp.asarray(ai_blend, jnp.float32))
+            out = banded(
+                device_geo, plan, tri_draw, params, palette, shade_table,
+                cam.params(), lights, textures, skybox, ai, light_cam,
+                width=ctx.width, height=ctx.height,
+                clear_color=tuple(rc.clear_color),
+                raster=self._raster_mode(), chunk=64, skinned=skinned,
+                sampling=rc.sampling, vertex_colors=self._vertex_colors,
+                plane_f16=rc.plane_f16,
+                forward_shading=rc.forward_shading,
+                shadow_size=shadow_size,
+                shadow_pcf=rc.shadow_pcf,
+                supersample=max(int(rc.supersample), 1),
+                bloom=rc.bloom, bloom_threshold=rc.bloom_threshold,
+                bloom_strength=rc.bloom_strength)
+        else:
+            from trident_tpu.render.bundle import pack_frame
+
+            f32, i32, shape = pack_frame(params, palette, shade_table,
+                                         cam.params(), lights, light_cam,
+                                         ai_blend)
+            out = render_frame_bundled(
+                device_geo, plan, tri_draw, f32, i32, textures, skybox,
+                ai_image, shape=shape,
+                width=ctx.width, height=ctx.height,
+                clear_color=tuple(rc.clear_color),
+                raster=self._raster_mode(), chunk=64, skinned=skinned,
+                sampling=rc.sampling,
+                vertex_colors=self._vertex_colors,
+                plane_f16=rc.plane_f16,
+                forward_shading=rc.forward_shading,
+                shadow_size=shadow_size,
+                shadow_pcf=rc.shadow_pcf,
+                supersample=max(int(rc.supersample), 1),
+                bloom=rc.bloom,
+                bloom_threshold=rc.bloom_threshold,
+                bloom_strength=rc.bloom_strength)
         ctx.last_frame = out
         return out
 
