@@ -4,14 +4,17 @@ no TPU; sharding tests exercise real pjit/shard_map partitioning."""
 import os
 
 # Force-set: the environment may pin JAX_PLATFORMS to a TPU plugin.
-os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+# TRIDENT_TPU_TESTS=1 keeps the real backend instead (the hardware-gated
+# parity tests in test_raster_tpu.py run only then).
+if not os.environ.get("TRIDENT_TPU_TESTS"):
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
-import jax
+    import jax
 
-jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest

@@ -1,9 +1,8 @@
 """Hardware-gated: Pallas kernel vs reference oracle on a REAL TPU.
 
-Skipped on the CPU CI mesh (conftest forces cpu); run manually with
-`PYTHONPATH=.:/root/.axon_site python -m pytest tests/test_raster_tpu.py
---no-header -q -p no:cacheprovider` in a TPU-enabled environment with
-JAX_PLATFORMS unset.
+Skipped on the CPU CI mesh (conftest forces cpu); run on hardware with
+`TRIDENT_TPU_TESTS=1 PYTHONPATH=.:/root/.axon_site python -m pytest
+tests/test_raster_tpu.py --no-header -q -p no:cacheprovider`.
 """
 
 import numpy as np
