@@ -116,12 +116,13 @@ def main() -> None:
     ai = AiBlend(image=jnp.zeros((1, 1, 3), jnp.float32),
                  blend=jnp.asarray(0.0, jnp.float32))
     raster = renderer._raster_mode()
+    corner_t = renderer._plan_cache.corner_table(packed)
 
     def frame(token, plan, tri_draw, params, palette, shade):
         return render_frame(
             geo, plan, tri_draw, params, palette, shade,
             CameraParams(cam.view, cam.proj, cam.position + token * 0),
-            lights, tex, sky, ai, width=w, height=h,
+            lights, tex, sky, ai, corner_t=corner_t, width=w, height=h,
             clear_color=tuple(renderer.config.render.clear_color),
             raster=raster, chunk=64, skinned=False,
             bloom=renderer.config.render.bloom)
@@ -152,7 +153,8 @@ def main() -> None:
     @jax.jit
     def frame_b(token, f32b, i32b):
         return render_frame_bundled(geo, plan0, tri_draw0, f32b + token * 0,
-                                    i32b, tex, sky, ai_img, **statics)
+                                    i32b, tex, sky, ai_img, corner_t,
+                                    **statics)
 
     out = frame_b(jnp.zeros((), jnp.float32), *bundles[0])
     np.asarray(out.color.ravel()[:1])
@@ -174,7 +176,7 @@ def main() -> None:
             o = render_frame(
                 geo, plan0, tri_draw0, params_k, palette0, shade0,
                 CameraParams(cam.view, cam.proj, cam.position + token * 0),
-                lights, tex, sky, ai, width=w, height=h,
+                lights, tex, sky, ai, corner_t=corner_t, width=w, height=h,
                 clear_color=tuple(renderer.config.render.clear_color),
                 raster=raster, chunk=64, skinned=False,
                 bloom=renderer.config.render.bloom)

@@ -52,7 +52,7 @@ def _frame_inputs(r):
     packed = r.geometry.packed()
     geo = geometry_to_device(packed)
     records = gather_mesh_draws(r.registry, r.geometry)
-    plan, tri_draw = build_draw_plan(packed, records)
+    plan, tri_draw = r._plan_cache.plan(packed, records, r.geometry.version)
     params, palette, shade = build_draw_params(
         records, plan.num_draws, material_table=r.geometry.material_table())
     lights = gather_lights(r.registry)
@@ -97,10 +97,12 @@ def test_banded_render_matches_single_exactly(eight_devices, raster, forward):
                                np.asarray(single.depth), atol=1e-5)
 
 
-def test_banded_render_full_featureset(eight_devices):
+@pytest.mark.parametrize("corner", [False, True])
+def test_banded_render_full_featureset(eight_devices, corner):
     """Banded path with the whole pipeline on: pallas raster + in-kernel
     forward resolve + directional shadow map (banded) + PCF + SSAA + bloom,
-    compared against the identical single-chip render."""
+    compared against the identical single-chip render — on both the
+    indexed and corner-major (static corner table) geometry paths."""
     from jax.sharding import Mesh
     from trident_tpu.ops.shadow import light_camera, scene_bounds
     from trident_tpu.parallel.framebuffer import render_frame_banded
@@ -112,14 +114,16 @@ def test_banded_render_full_featureset(eight_devices):
     center, radius = scene_bounds(records, packed)
     light_cam = light_camera(np.array([-0.4, -1.0, -0.3], np.float32),
                              center, radius)
+    corner_t = r._plan_cache.corner_table(packed) if corner else None
 
     common = dict(width=w, height=h, clear_color=(0.05, 0.05, 0.08, 1.0),
                   raster="pallas", skinned=False, forward_shading=True,
                   shadow_size=64, shadow_pcf=True, supersample=2,
                   bloom=True, bloom_threshold=0.5, bloom_strength=0.4)
-    single = render_frame(*args, light_cam, chunk=64, **common)
+    single = render_frame(*args, light_cam, corner_t, chunk=64, **common)
     mesh = Mesh(np.array(eight_devices[:8]), ("fb",))
-    out = render_frame_banded(mesh, "fb", *args, light_cam, **common)
+    out = render_frame_banded(mesh, "fb", *args, light_cam, corner_t,
+                              **common)
     single_c = np.asarray(single.color).astype(int)
     banded_c = np.asarray(out.color).astype(int)
     # global-pixel arithmetic: ≤1 LSB (shape-dependent FMA fusion + the

@@ -1,0 +1,158 @@
+"""Corner-major geometry path: zero per-frame geometry gathers.
+
+The indexed pipeline (ops/vertex.py) pays ~8 ns per gathered row on TPU:
+at 1M triangles that is TV attr-row gathers in the vertex stage plus 3T
+corner gathers for setup/planes — ~32 ms of pure gather before any math.
+This path trades memory for gathers: the EXPANDED corner table
+(T, 3 corners, pos+nrm+uv+col) is built once per draw-plan topology,
+kept on device pre-transposed to (36, T) so every per-frame operation is
+full-lane planar math, and the only per-frame gather is ONE (T, 32) row
+of per-draw constants:
+
+    draw_row = [ (P·V·M row0+row3)·W/2 | (row1+row3)·H/2 | row3 | row2 |
+                 cof(M) | uv_scale·tiling | uv_offset | pad ]
+
+i.e. the viewport transform, clip rows, normal matrix and UV transform
+are all folded per DRAW (D tiny) inside the jit, then broadcast to
+triangles by the single tri_draw gather. Rigid draws only — skinned
+scenes keep the indexed path (palette gathers are per-vertex by nature).
+
+Per-frame cost at 1M tris: ~8 ms gather + planar VPU math, replacing
+~32 ms gather + padded math. Static cost: 144 MB HBM per 1M-triangle
+topology (cached by DrawPlanCache version).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from trident_tpu.ops.vertex import TriangleSetup
+from trident_tpu.render.types import CameraParams, DrawParams
+
+Array = jax.Array
+
+DRAW_ROW = 32
+
+
+def build_corner_table(attr_table: np.ndarray, vtx_src: np.ndarray,
+                       tri_vtx: np.ndarray) -> np.ndarray:
+    """(36, T) f32 planar corner table: for each corner k∈{0,1,2}, rows
+    12k..12k+11 hold pos(3) nrm(3) uv(2) col(3) pad. Host-side, once per
+    topology (DrawPlanCache caches the device upload)."""
+    src_corner = np.asarray(vtx_src)[np.asarray(tri_vtx)]       # (T,3)
+    corners = np.asarray(attr_table)[src_corner]                # (T,3,12)
+    t = corners.shape[0]
+    return np.ascontiguousarray(
+        corners.reshape(t, 36).T.astype(np.float32))
+
+
+def _cofactor3_batched(m: Array) -> Array:
+    r0, r1, r2 = m[..., 0, :], m[..., 1, :], m[..., 2, :]
+    return jnp.stack([jnp.cross(r1, r2), jnp.cross(r2, r0),
+                      jnp.cross(r0, r1)], axis=-2)
+
+
+def build_draw_rows(params: DrawParams, camera: CameraParams,
+                    width: int, height: int) -> Array:
+    """(D, 32) per-draw constant rows (in-jit; D is tiny)."""
+    hp = jax.lax.Precision.HIGHEST
+    d = params.xform_a.shape[0]
+    model = jnp.concatenate([params.xform_a, params.xform_b[:, 0:4]],
+                            axis=-1).reshape(d, 4, 4)
+    vp = jnp.matmul(camera.proj, camera.view, precision=hp)
+    mvp = jnp.einsum("ij,djk->dik", vp, model, precision=hp)    # (D,4,4)
+    row_sx = (mvp[:, 0, :] + mvp[:, 3, :]) * (0.5 * width)
+    row_sy = (mvp[:, 1, :] + mvp[:, 3, :]) * (0.5 * height)
+    row_w = mvp[:, 3, :]
+    row_z = mvp[:, 2, :]
+    cof = _cofactor3_batched(model[:, :3, :3]).reshape(d, 9)
+    uv_scale = params.xform_b[:, 4:6] * params.xform_b[:, 8:9]
+    uv_offset = params.xform_b[:, 6:8]
+    return jnp.concatenate([
+        row_sx, row_sy, row_w, row_z, cof, uv_scale, uv_offset,
+        jnp.zeros((d, DRAW_ROW - 29), jnp.float32)], axis=1)
+
+
+class CornerStageOut(NamedTuple):
+    setup: TriangleSetup
+    corner_nrm: Array          # (T,3,3) world-space, normalized
+    corner_uv: Array           # (T,3,2) atlas-transformed
+    corner_col: Optional[Array]  # (T,3,3) or None
+
+
+def corner_stage(corner_t: Array, draw_rows: Array, tri_draw: Array,
+                 tri_valid: Array, width: int, height: int,
+                 vertex_colors: bool = False) -> CornerStageOut:
+    """Planar triangle setup + world corner attributes from the static
+    corner table. ONE gather (draw_rows[tri_draw]); everything else runs
+    on (T,) lanes. Matches ops/vertex.vertex_stage + triangle_setup
+    semantics for rigid draws (Default.vert minus skinning)."""
+    t = corner_t.shape[1]
+    xf = draw_rows[tri_draw]                        # (T,32) — THE gather
+    xt = xf.T                                       # (32,T) one relayout
+
+    def g(j):
+        return xt[j]
+
+    sx, sy, wz, zz = [], [], [], []
+    nrm_cols, uv_cols, col_cols = [], [], []
+    for k in range(3):
+        px, py, pz = corner_t[12 * k], corner_t[12 * k + 1], corner_t[12 * k + 2]
+        sx.append(g(0) * px + g(1) * py + g(2) * pz + g(3))
+        sy.append(g(4) * px + g(5) * py + g(6) * pz + g(7))
+        wz.append(g(8) * px + g(9) * py + g(10) * pz + g(11))
+        zz.append(g(12) * px + g(13) * py + g(14) * pz + g(15))
+        # world normal = cof(M)·n, renormalized (vertex.py:107-110)
+        nx0, ny0, nz0 = (corner_t[12 * k + 3], corner_t[12 * k + 4],
+                         corner_t[12 * k + 5])
+        nx = g(16) * nx0 + g(17) * ny0 + g(18) * nz0
+        ny = g(19) * nx0 + g(20) * ny0 + g(21) * nz0
+        nz = g(22) * nx0 + g(23) * ny0 + g(24) * nz0
+        inv = jax.lax.rsqrt(jnp.maximum(nx * nx + ny * ny + nz * nz, 1e-16))
+        nrm_cols += [nx * inv, ny * inv, nz * inv]
+        uv_cols += [corner_t[12 * k + 6] * g(25) + g(27),
+                    corner_t[12 * k + 7] * g(26) + g(28)]
+        if vertex_colors:
+            col_cols += [corner_t[12 * k + 8], corner_t[12 * k + 9],
+                         corner_t[12 * k + 10]]
+
+    def cross(j, k):
+        return (sy[j] * wz[k] - wz[j] * sy[k],
+                wz[j] * sx[k] - sx[j] * wz[k],
+                sx[j] * sy[k] - sy[j] * sx[k])
+
+    e0, e1, e2 = cross(1, 2), cross(2, 0), cross(0, 1)
+    det = sx[0] * e0[0] + sy[0] * e0[1] + wz[0] * e0[2]
+    front = det > 1e-12
+
+    safe_w = [jnp.where(jnp.abs(w) < 1e-8, 1e-8, w) for w in wz]
+    px_ = [s / w for s, w in zip(sx, safe_w)]
+    py_ = [s / w for s, w in zip(sy, safe_w)]
+    any_behind = (wz[0] <= 1e-6) | (wz[1] <= 1e-6) | (wz[2] <= 1e-6)
+    min3 = lambda v: jnp.minimum(jnp.minimum(v[0], v[1]), v[2])
+    max3 = lambda v: jnp.maximum(jnp.maximum(v[0], v[1]), v[2])
+    x0 = jnp.where(any_behind, 0.0, jnp.floor(min3(px_)))
+    y0 = jnp.where(any_behind, 0.0, jnp.floor(min3(py_)))
+    x1 = jnp.where(any_behind, float(width), jnp.ceil(max3(px_)) + 1.0)
+    y1 = jnp.where(any_behind, float(height), jnp.ceil(max3(py_)) + 1.0)
+    x0 = jnp.clip(x0, 0, width).astype(jnp.int32)
+    y0 = jnp.clip(y0, 0, height).astype(jnp.int32)
+    x1 = jnp.clip(x1, 0, width).astype(jnp.int32)
+    y1 = jnp.clip(y1, 0, height).astype(jnp.int32)
+
+    setup = TriangleSetup(
+        edge=jnp.stack([*e0, *e1, *e2], axis=-1).reshape(t, 3, 3),
+        z=jnp.stack(zz, axis=-1),
+        w=jnp.stack(wz, axis=-1),
+        bbox=jnp.stack([x0, y0, x1, y1], axis=-1),
+        valid=tri_valid & front & (x1 > x0) & (y1 > y0))
+    corner_nrm = jnp.stack(nrm_cols, axis=-1).reshape(t, 3, 3)
+    corner_uv = jnp.stack(uv_cols, axis=-1).reshape(t, 3, 2)
+    corner_col = (jnp.stack(col_cols, axis=-1).reshape(t, 3, 3)
+                  if vertex_colors else None)
+    return CornerStageOut(setup=setup, corner_nrm=corner_nrm,
+                          corner_uv=corner_uv, corner_col=corner_col)

@@ -73,11 +73,22 @@ def scene_bounds(records, packed) -> Tuple[np.ndarray, float]:
 def render_shadow_map(geometry: GeometryBuffers, plan: DrawPlan,
                       params: DrawParams, light_cam: CameraParams,
                       palette: Array, size: int, skinned: bool,
-                      raster: str = "pallas") -> Array:
-    """Depth-only render from the light: (S,S) f32 in [0,1]."""
-    verts = vertex_stage(geometry, plan, params, light_cam, palette,
-                         skinned=skinned)
-    setup = triangle_setup(verts.clip, plan.tri_vtx, plan.tri_valid, size, size)
+                      raster: str = "pallas", corner_t=None,
+                      tri_draw=None) -> Array:
+    """Depth-only render from the light: (S,S) f32 in [0,1]. With a
+    static corner table (ops/corner.py) the light-view setup is planar
+    and gather-free, same as the main view."""
+    if corner_t is not None and tri_draw is not None and not skinned:
+        from trident_tpu.ops.corner import build_draw_rows, corner_stage
+
+        draw_rows = build_draw_rows(params, light_cam, size, size)
+        setup = corner_stage(corner_t, draw_rows, tri_draw, plan.tri_valid,
+                             size, size).setup
+    else:
+        verts = vertex_stage(geometry, plan, params, light_cam, palette,
+                             skinned=skinned)
+        setup = triangle_setup(verts.clip, plan.tri_vtx, plan.tri_valid,
+                               size, size)
     if raster == "pallas":
         import jax
 

@@ -86,7 +86,8 @@ def _sharded_geometry(axis: str, geometry, vtx_src, vtx_draw, tri_vtx,
 
 def render_frame_banded(mesh: Mesh, axis: str, geometry, plan, tri_draw,
                         params, palette, shade_table, camera, lights,
-                        textures, skybox, ai, light_camera=None, *,
+                        textures, skybox, ai, light_camera=None,
+                        corner_t=None, *,
                         width: int, height: int, clear_color, raster: str,
                         skinned: bool, chunk: int = 64,
                         sampling: str = "bilinear",
@@ -126,6 +127,10 @@ def render_frame_banded(mesh: Mesh, axis: str, geometry, plan, tri_draw,
     tri_vtx = _pad_to(plan.tri_vtx, n)
     tri_valid = _pad_to(plan.tri_valid, n, value=False)
     tri_draw_p = _pad_to(tri_draw, n)
+    use_corner = corner_t is not None and not skinned
+    if use_corner and corner_t.shape[1] % n:
+        use_corner = False      # bucketed T is pow2 >= 16, so never hit
+    corner_arg = corner_t if use_corner else None
 
     # shadow map banding: divide light-space rows over the same axis when
     # they split evenly; otherwise each device renders the full map
@@ -136,7 +141,7 @@ def render_frame_banded(mesh: Mesh, axis: str, geometry, plan, tri_draw,
 
     def band_render(vtx_src, vtx_draw, tri_vtx, tri_valid, tri_draw,
                     geometry, params, palette, shade_table, camera, lights,
-                    textures, skybox, light_camera):
+                    textures, skybox, light_camera, corner_sl):
         from trident_tpu.ops.planes import (
             build_planes_corners, build_resolve_rows, chunk_resolve_rows)
         from trident_tpu.ops.raster_pallas import visibility_pallas
@@ -148,39 +153,58 @@ def render_frame_banded(mesh: Mesh, axis: str, geometry, plan, tri_draw,
         interpret = jax.default_backend() == "cpu"
         idx = jax.lax.axis_index(axis)
 
+        def gather_tree(x):
+            return jax.tree.map(
+                lambda v: jax.lax.all_gather(v, axis, axis=0, tiled=True), x)
+
         # ---- phase 1: sharded geometry (full-frame coordinates) ----
-        packed, corners, setup_sl, setup = _sharded_geometry(
-            axis, geometry, vtx_src, vtx_draw, tri_vtx, tri_valid, params,
-            camera, palette, num_draws=plan.num_draws, rw=rw, rh=rh,
-            skinned=skinned)
+        if use_corner:
+            # corner-major (ops/corner.py): the static corner table is
+            # sharded over triangles; no vertex phase at all
+            from trident_tpu.ops.corner import build_draw_rows, corner_stage
+
+            draw_rows = build_draw_rows(params, camera, rw, rh)
+            cs = corner_stage(corner_sl, draw_rows, tri_draw, tri_valid,
+                              rw, rh, vertex_colors=vertex_colors)
+            setup_sl, c_nrm, c_uv, c_col = (cs.setup, cs.corner_nrm,
+                                            cs.corner_uv, cs.corner_col)
+            setup = gather_tree(setup_sl)
+        else:
+            packed, corners, setup_sl, setup = _sharded_geometry(
+                axis, geometry, vtx_src, vtx_draw, tri_vtx, tri_valid, params,
+                camera, palette, num_draws=plan.num_draws, rw=rw, rh=rh,
+                skinned=skinned)
+            c_nrm, c_uv = corners[..., 4:7], corners[..., 7:9]
+            c_col = corners[..., 9:12] if vertex_colors else None
 
         records = planes = None
         if use_kernel_shading:
             tex_row = textures.sizes[params.texture_slot].astype(jnp.float32)
             draw_consts = jnp.concatenate([shade_table, tex_row], axis=1)
-            rows_sl = build_resolve_rows(
-                setup_sl, corners[..., 4:7], corners[..., 7:9], tri_draw,
-                draw_consts,
-                corners[..., 9:12] if vertex_colors else None)
+            rows_sl = build_resolve_rows(setup_sl, c_nrm, c_uv, tri_draw,
+                                         draw_consts, c_col)
             rows = jax.lax.all_gather(rows_sl, axis, axis=0, tiled=True)
             records = chunk_resolve_rows(rows, chunk)
         else:
             planes_sl = build_planes_corners(
-                setup_sl, corners[..., 4:7], corners[..., 7:9], tri_draw,
-                shade_table,
-                corner_col=corners[..., 9:12] if vertex_colors else None,
-                f16=plane_f16)
-            planes = jax.tree.map(
-                lambda x: jax.lax.all_gather(x, axis, axis=0, tiled=True),
-                planes_sl)
+                setup_sl, c_nrm, c_uv, tri_draw, shade_table,
+                corner_col=c_col, f16=plane_f16)
+            planes = gather_tree(planes_sl)
 
         # ---- shadow pass (light-space rows banded over the same axis) ----
         shadow = None
         if do_shadow:
-            _, _, _, setup_l = _sharded_geometry(
-                axis, geometry, vtx_src, vtx_draw, tri_vtx, tri_valid,
-                params, light_camera, palette, num_draws=plan.num_draws,
-                rw=shadow_size, rh=shadow_size, skinned=skinned)
+            if use_corner:
+                light_rows = build_draw_rows(params, light_camera,
+                                             shadow_size, shadow_size)
+                setup_l = gather_tree(corner_stage(
+                    corner_sl, light_rows, tri_draw, tri_valid,
+                    shadow_size, shadow_size).setup)
+            else:
+                _, _, _, setup_l = _sharded_geometry(
+                    axis, geometry, vtx_src, vtx_draw, tri_vtx, tri_valid,
+                    params, light_camera, palette, num_draws=plan.num_draws,
+                    rw=shadow_size, rh=shadow_size, skinned=skinned)
             if shadow_banded:
                 ly0 = idx * sband_h
                 s_band = band_slice_setup(setup_l, ly0, sband_h)
@@ -222,7 +246,8 @@ def render_frame_banded(mesh: Mesh, axis: str, geometry, plan, tri_draw,
         return frame, gbuf.depth, gbuf.tri_id
 
     in_specs = (P(axis), P(axis), P(axis), P(axis), P(axis),
-                P(), P(), P(), P(), P(), P(), P(), P(), P())
+                P(), P(), P(), P(), P(), P(), P(), P(), P(),
+                P(None, axis) if use_corner else P())
     out_specs = (P(axis), P(axis), P(axis)) + (
         (P(axis),) if raster == "pallas" else ())
     # check_vma=False: pallas_call out_shapes don't carry varying-mesh-axis
@@ -231,7 +256,7 @@ def render_frame_banded(mesh: Mesh, axis: str, geometry, plan, tri_draw,
                    out_specs=out_specs, check_vma=False)
     out = fn(vtx_src, vtx_draw, tri_vtx, tri_valid, tri_draw_p,
              geometry, params, palette, shade_table, camera, lights,
-             textures, skybox, light_camera)
+             textures, skybox, light_camera, corner_arg)
     frame, depth, tri_id = out[:3]
     aux = out[3] if raster == "pallas" else None
 

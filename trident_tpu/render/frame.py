@@ -127,6 +127,7 @@ class DrawPlanCache:
         self._key: Optional[tuple] = None
         self._plan: Optional[DrawPlan] = None
         self._tri_draw: Optional[jnp.ndarray] = None
+        self._corner_t: Optional[jnp.ndarray] = None
 
     def plan(self, packed: PackedGeometry, records: List[DrawRecord],
              geometry_version: int) -> Tuple[DrawPlan, jnp.ndarray]:
@@ -135,7 +136,23 @@ class DrawPlanCache:
             return self._plan, self._tri_draw
         plan, tri_draw = build_draw_plan(packed, records)
         self._key, self._plan, self._tri_draw = key, plan, tri_draw
+        self._corner_t = None
         return plan, tri_draw
+
+    def corner_table(self, packed: PackedGeometry) -> jnp.ndarray:
+        """Device-resident (36, T) planar corner table for the cached plan
+        (ops/corner.py) — built lazily once per topology."""
+        if self._corner_t is None:
+            from trident_tpu.ops.corner import build_corner_table
+
+            attr = np.concatenate(
+                [packed.positions, packed.normals, packed.uvs, packed.colors,
+                 np.zeros((packed.positions.shape[0], 1), np.float32)],
+                axis=1)
+            self._corner_t = jnp.asarray(build_corner_table(
+                attr, np.asarray(self._plan.vtx_src),
+                np.asarray(self._plan.tri_vtx)))
+        return self._corner_t
 
 
 def build_draw_plan(packed: PackedGeometry,

@@ -114,7 +114,7 @@ def _visibility_and_shade(setup, records, planes, textures, camera, lights,
 
 
 def _render_frame_impl(geometry, plan, tri_draw, params, palette, shade_table,
-                       camera, lights, textures, skybox, ai,
+                       camera, lights, textures, skybox, ai, corner_t=None,
                        *, width: int, height: int, clear_color,
                        raster: str, chunk: int, skinned: bool,
                        sampling: str = "bilinear",
@@ -132,12 +132,28 @@ def _render_frame_impl(geometry, plan, tri_draw, params, palette, shade_table,
     from trident_tpu.ops.deferred import apply_ai_blend
 
     rw, rh = width * supersample, height * supersample
-    verts = vertex_stage(geometry, plan, params, camera, palette, skinned=skinned)
-    # ONE corner gather feeds setup AND plane/record builds: packed rows
-    # carry clip(4) nrm(3) uv(2) color(3) (~8ns per gathered row — halving
-    # the per-corner gathers is worth more than any math below)
-    corners = verts.packed[plan.tri_vtx]                       # (T,3,16)
-    setup = triangle_setup(corners[..., 0:4], None, plan.tri_valid, rw, rh)
+    if corner_t is not None and not skinned:
+        # corner-major fast path (ops/corner.py): the static (36,T) corner
+        # table replaces the per-frame vertex+corner gathers; ONE (T,32)
+        # per-draw-row gather feeds planar setup + world attributes
+        from trident_tpu.ops.corner import build_draw_rows, corner_stage
+
+        draw_rows = build_draw_rows(params, camera, rw, rh)
+        cs = corner_stage(corner_t, draw_rows, tri_draw, plan.tri_valid,
+                          rw, rh, vertex_colors=vertex_colors)
+        setup = cs.setup
+        c_nrm, c_uv, c_col = cs.corner_nrm, cs.corner_uv, cs.corner_col
+    else:
+        # indexed path (skinning needs per-vertex palette gathers): ONE
+        # (T,3,16) packed-corner gather feeds setup AND plane/record
+        # builds (~8ns per gathered row — gather count beats math)
+        verts = vertex_stage(geometry, plan, params, camera, palette,
+                             skinned=skinned)
+        corners = verts.packed[plan.tri_vtx]                   # (T,3,16)
+        setup = triangle_setup(corners[..., 0:4], None, plan.tri_valid,
+                               rw, rh)
+        c_nrm, c_uv = corners[..., 4:7], corners[..., 7:9]
+        c_col = corners[..., 9:12] if vertex_colors else None
     # on CPU (tests, banded dryruns) the production kernels run under the
     # Pallas interpreter — same binning, same kernel logic
     interpret = jax.default_backend() == "cpu"
@@ -149,7 +165,8 @@ def _render_frame_impl(geometry, plan, tri_draw, params, palette, shade_table,
         from trident_tpu.render.types import ShadowParams
 
         depth_map = render_shadow_map(geometry, plan, params, light_camera,
-                                      palette, shadow_size, skinned, raster)
+                                      palette, shadow_size, skinned, raster,
+                                      corner_t=corner_t, tri_draw=tri_draw)
         shadow = ShadowParams(
             depth=depth_map,
             light_vp=jnp.matmul(light_camera.proj, light_camera.view,
@@ -158,7 +175,6 @@ def _render_frame_impl(geometry, plan, tri_draw, params, palette, shade_table,
             bias=jnp.asarray(shadow_bias, jnp.float32))
 
     records = planes = None
-    corner_col = corners[..., 9:12] if vertex_colors else None
     if use_kernel_shading:
         from trident_tpu.ops.planes import (
             build_resolve_rows, chunk_resolve_rows)
@@ -169,14 +185,13 @@ def _render_frame_impl(geometry, plan, tri_draw, params, palette, shade_table,
         tex_row = textures.sizes[params.texture_slot].astype(jnp.float32)
         draw_consts = jnp.concatenate([shade_table, tex_row], axis=1)
         records = chunk_resolve_rows(
-            build_resolve_rows(setup, corners[..., 4:7], corners[..., 7:9],
-                               tri_draw, draw_consts, corner_col), chunk)
+            build_resolve_rows(setup, c_nrm, c_uv, tri_draw, draw_consts,
+                               c_col), chunk)
     else:
         from trident_tpu.ops.planes import build_planes_corners
 
-        planes = build_planes_corners(setup, corners[..., 4:7],
-                                      corners[..., 7:9], tri_draw,
-                                      shade_table, corner_col=corner_col,
+        planes = build_planes_corners(setup, c_nrm, c_uv, tri_draw,
+                                      shade_table, corner_col=c_col,
                                       f16=plane_f16)
 
     frame, gbuf = _visibility_and_shade(
@@ -212,6 +227,7 @@ def _render_frame_impl(geometry, plan, tri_draw, params, palette, shade_table,
                                              "bloom_strength"))
 def render_frame(geometry, plan, tri_draw, params, palette, shade_table,
                  camera, lights, textures, skybox, ai, light_camera=None,
+                 corner_t=None,
                  *, width, height, clear_color, raster, chunk, skinned,
                  sampling="bilinear", vertex_colors=False, plane_f16=True,
                  forward_shading=True, shadow_size=0,
@@ -220,7 +236,7 @@ def render_frame(geometry, plan, tri_draw, params, palette, shade_table,
                  bloom_strength=0.6) -> FrameOutput:
     return _render_frame_impl(
         geometry, plan, tri_draw, params, palette, shade_table, camera,
-        lights, textures, skybox, ai, width=width, height=height,
+        lights, textures, skybox, ai, corner_t, width=width, height=height,
         clear_color=clear_color, raster=raster, chunk=chunk, skinned=skinned,
         sampling=sampling, vertex_colors=vertex_colors, plane_f16=plane_f16,
         forward_shading=forward_shading,
@@ -236,7 +252,7 @@ def render_frame(geometry, plan, tri_draw, params, palette, shade_table,
     "shadow_size", "shadow_pcf", "supersample", "bloom", "bloom_threshold",
     "bloom_strength"))
 def render_frame_bundled(geometry, plan, tri_draw, f32, i32, textures,
-                         skybox, ai_image, *, shape, width, height,
+                         skybox, ai_image, corner_t=None, *, shape, width, height,
                          clear_color, raster, chunk, skinned,
                          sampling="bilinear", vertex_colors=False,
                          plane_f16=True, forward_shading=True,
@@ -254,7 +270,7 @@ def render_frame_bundled(geometry, plan, tri_draw, f32, i32, textures,
     ai = AiBlend(image=ai_image, blend=ai_blend)
     return _render_frame_impl(
         geometry, plan, tri_draw, params, palette, shade_table, camera,
-        lights, textures, skybox, ai, width=width, height=height,
+        lights, textures, skybox, ai, corner_t, width=width, height=height,
         clear_color=clear_color, raster=raster, chunk=chunk, skinned=skinned,
         sampling=sampling, vertex_colors=vertex_colors, plane_f16=plane_f16,
         forward_shading=forward_shading,
@@ -471,9 +487,12 @@ class Renderer:
         if banded is not None:
             ai = AiBlend(image=ai_image,
                          blend=jnp.asarray(ai_blend, jnp.float32))
+            corner_t = (None if skinned
+                        else self._plan_cache.corner_table(packed))
             out = banded(
                 device_geo, plan, tri_draw, params, palette, shade_table,
                 cam.params(), lights, textures, skybox, ai, light_cam,
+                corner_t,
                 width=ctx.width, height=ctx.height,
                 clear_color=tuple(rc.clear_color),
                 raster=self._raster_mode(), chunk=64, skinned=skinned,
@@ -491,9 +510,11 @@ class Renderer:
             f32, i32, shape = pack_frame(params, palette, shade_table,
                                          cam.params(), lights, light_cam,
                                          ai_blend)
+            corner_t = (None if skinned
+                        else self._plan_cache.corner_table(packed))
             out = render_frame_bundled(
                 device_geo, plan, tri_draw, f32, i32, textures, skybox,
-                ai_image, shape=shape,
+                ai_image, corner_t, shape=shape,
                 width=ctx.width, height=ctx.height,
                 clear_color=tuple(rc.clear_color),
                 raster=self._raster_mode(), chunk=64, skinned=skinned,
