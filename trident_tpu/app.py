@@ -158,7 +158,7 @@ class Application:
             now = _time.monotonic()
             if (now - self._ai_last_submit) * 1000.0 >= self.config.ai.cadence_ms:
                 self._ai_last_submit = now
-                idx = self.frame_generator.process_frame(rgb)
+                self.frame_generator.process_frame(rgb)
             result = self.frame_generator.try_consume_output()
             if result is not None:
                 index, ai_frame = result
