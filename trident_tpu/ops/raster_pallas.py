@@ -49,11 +49,17 @@ from trident_tpu.render.types import GBuffer
 
 Array = jax.Array
 
-TILE_H = 8           # short tiles measured fastest (43.6 vs 55 ms @1M/1080p)
+import os as _os
+
+# TRIDENT_TILE_H / TRIDENT_CHUNK: dev-sweep overrides (scripts measure
+# constants on hardware without editing source; production defaults below)
+TILE_H = int(_os.environ.get("TRIDENT_TILE_H", "8"))
+                     # short tiles measured fastest (43.6 vs 55 ms @1M/1080p)
 TILE_W = 128
-CHUNK = 64           # triangles per record block
+CHUNK = int(_os.environ.get("TRIDENT_CHUNK", "64"))
+                     # triangles per record block
 SPAN_X = 2           # max tile cols a binned chunk may cover (128px tiles)
-SPAN_Y = 16          # max tile rows (8px tiles) — chunks are ~square patches
+SPAN_Y = 128 // TILE_H   # max tile rows — chunks are ~square pixel patches
 MAX_GLOBAL = 64      # wide-span chunks broadcast to all tiles
 CHUNK_BITS = 18      # chunk-slot bits in the packed pair
 CHUNK_MASK = (1 << CHUNK_BITS) - 1
