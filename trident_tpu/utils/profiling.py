@@ -27,9 +27,13 @@ class CompilationStats:
 def compilation_stats() -> CompilationStats:
     variants = 0
     try:
-        from trident_tpu.render.renderer import render_frame
+        from trident_tpu.render.renderer import (
+            render_frame, render_frame_bundled)
 
-        variants = render_frame._cache_size()
+        # both frame entries: the bundled path is what the live renderer
+        # dispatches; the pytree path serves benches/tools
+        variants = (render_frame._cache_size()
+                    + render_frame_bundled._cache_size())
     except Exception:
         pass
     return CompilationStats(render_frame_variants=int(variants))
