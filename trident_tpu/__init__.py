@@ -32,3 +32,9 @@ if _gen and "TPU_ACCELERATOR_TYPE" not in _os.environ:
 _os.environ.setdefault("TPU_WORKER_HOSTNAMES", "localhost")
 
 from trident_tpu.core.config import EngineConfig  # noqa: F401
+
+# TRIDENT_THREAD_CHECKS=1: install the cross-thread mutation detector
+# (core/threadcheck.py — the validation-layer analogue). No-op otherwise.
+from trident_tpu.core.threadcheck import maybe_install as _maybe_threadcheck
+
+_maybe_threadcheck()
