@@ -138,12 +138,12 @@ def test_memory_proportional_to_texels():
     pyramid (round-1 stored ~0.7MB per slot INCLUDING 1×1 white)."""
     small = TextureSlots(max_slots=256, edge=1024)
     small.acquire("a", np.full((32, 32, 4), 128, np.uint8))
-    n_small = int(np.asarray(small.device_arrays().pairs).shape[0])
+    n_small = int(np.asarray(small.device_arrays().quads).shape[0])
     # 8 bucketed slots: one 32² pyramid + seven 1×1 + alignment ≈ a few KB
     assert n_small < 16 * 1024, n_small
     big = TextureSlots(max_slots=256, edge=1024)
     big.acquire("b", np.full((1024, 512, 4), 128, np.uint8))
-    n_big = int(np.asarray(big.device_arrays().pairs).shape[0])
+    n_big = int(np.asarray(big.device_arrays().quads).shape[0])
     assert n_big > 1024 * 1024          # the real pyramid
     assert n_big < 2 * 1400 * 1024      # ~4/3·E² + padding, nothing more
 

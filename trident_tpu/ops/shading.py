@@ -135,9 +135,9 @@ def tonemap_reinhard_gamma(color: Array) -> Array:
 # -- texture sampling ---------------------------------------------------------
 #
 # Textures live in per-slot flat mip pyramids packed into one buffer
-# (render.types.TextureArrays): texel = pairs[slot_base + level_base(E_s,l)
-# + y*((E_s>>l)+1) + x]. Bilinear = 2 pair-gathers, nearest = 1,
-# trilinear = 4, regardless of level count.
+# (render.types.TextureArrays): entry(s,l,y,x) = quads[slot_base
+# + level_base(E_s,l) + y*((E_s>>l)+1) + x] holding the 2×2 block.
+# Bilinear = ONE quad-gather, nearest = 1, trilinear = 2.
 
 def _unpack_rgba8(v: Array) -> Array:
     return jnp.stack([
@@ -149,12 +149,13 @@ def _unpack_rgba8(v: Array) -> Array:
 
 
 def _level_geom(tex, slot: Array, level: Array, size_hint=None):
-    """(lw, lh, stride, base) for per-pixel integer mip levels. Rows carry a
-    wrap-gutter column, so stride = (E_s>>l) + 1.
+    """(lw, lh, stride, base) for per-pixel integer mip levels. Level
+    tiles are (e+1)×(e+1) with wrap-gutter column AND row, so
+    stride = (E_s>>l) + 1.
 
     Per-pixel table gathers are the shading cost driver, so everything here
     is CLOSED FORM: a slot's level offset for its pow2 edge E is exactly
-    Σ_{j<l}((E>>j)+1)(E>>j) = (E²−(E>>l)²)·4/3 + (E−(E>>l))·2 (4^l−1 and
+    Σ_{j<l}((E>>j)+1)² = (E²−(E>>l)²)·4/3 + 4(E−(E>>l)) + l (4^l−1 and
     2^l−1 divisibility make it exact in integers). `size_hint` is the
     per-pixel (w0, h0, base>>8, edge) row when the caller already has it
     (the resolve kernel bakes it into the attribute image; the plane-gather
@@ -170,7 +171,7 @@ def _level_geom(tex, slot: Array, level: Array, size_hint=None):
     es = jnp.maximum(jnp.right_shift(edge, level), 1)
     stride = es + 1
     base = ((base8 << 8)
-            + (edge * edge - es * es) * 4 // 3 + (edge - es) * 2)
+            + (edge * edge - es * es) * 4 // 3 + (edge - es) * 4 + level)
     return lw, lh, stride, base
 
 
@@ -178,8 +179,8 @@ def _bilinear_flat(tex, slot: Array, uv: Array, level: Array,
                    size_hint=None) -> Array:
     """Bilinear sample with REPEAT wrap at integer mip `level` (per-pixel).
 
-    TWO 8-byte pair-gathers (one per y row): pairs[i] = (texel_i,
-    texel_{i+1}) and the gutter column makes (x0, x0+1) always valid.
+    ONE 16-byte quad-gather: quads[i] = the (x,y)…(x+1,y+1) block, and the
+    gutter column/row make the +1 neighbors valid at the wrap seam.
     Returns (...,4) f32 in [0,1].
     """
     lw, lh, stride, base = _level_geom(tex, slot, level, size_hint)
@@ -195,14 +196,11 @@ def _bilinear_flat(tex, slot: Array, uv: Array, level: Array,
         return jnp.mod(v.astype(jnp.int32), n)
 
     x0i = wrap(x0, lw)
-    y0i, y1i = wrap(y0, lh), wrap(y0 + 1, lh)
+    y0i = wrap(y0, lh)
 
-    def fetch_pair(yi):
-        p = tex.pairs[base + yi * stride + x0i]         # (...,2) u32
-        return _unpack_rgba8(p[..., 0]), _unpack_rgba8(p[..., 1])
-
-    t00, t10 = fetch_pair(y0i)
-    t01, t11 = fetch_pair(y1i)
+    q = tex.quads[base + y0i * stride + x0i]            # (...,4) u32
+    t00, t10 = _unpack_rgba8(q[..., 0]), _unpack_rgba8(q[..., 1])
+    t01, t11 = _unpack_rgba8(q[..., 2]), _unpack_rgba8(q[..., 3])
     top = t00 * (1.0 - fx) + t10 * fx
     bot = t01 * (1.0 - fx) + t11 * fx
     return (top * (1.0 - fy) + bot * fy) * (1.0 / 255.0)
@@ -219,13 +217,13 @@ def _nearest_flat(tex, slot: Array, uv: Array, level: Array,
     lw, lh, stride, base = _level_geom(tex, slot, level, size_hint)
     xi = jnp.mod(jnp.floor(uv[..., 0] * lw.astype(jnp.float32)).astype(jnp.int32), lw)
     yi = jnp.mod(jnp.floor(uv[..., 1] * lh.astype(jnp.float32)).astype(jnp.int32), lh)
-    v = tex.pairs[base + yi * stride + xi, 0]
+    v = tex.quads[base + yi * stride + xi, 0]
     return _unpack_rgba8(v) * (1.0 / 255.0)
 
 
 def sample_texture_mip(tex, slot: Array, uv: Array, mip_level: Array,
                        size_hint=None) -> Array:
-    """Trilinear sample: bilinear at floor/ceil mip, lerped. 4 pair-gathers.
+    """Trilinear sample: bilinear at floor/ceil mip, lerped. 2 quad-gathers.
     Levels past a slot's own pyramid clamp to its 1×1 tail in _level_geom."""
     mip = jnp.clip(mip_level, 0.0, tex.max_level.astype(jnp.float32))
     lo = jnp.floor(mip)
@@ -239,8 +237,8 @@ def sample_texture_mip(tex, slot: Array, uv: Array, mip_level: Array,
 def sample_texture(tex, slot: Array, uv: Array, mip_level: Array,
                    mode: str = "bilinear", size_hint=None) -> Array:
     """Sampling quality knob: per-pixel gathers are the TPU cost driver.
-    nearest = 1 pair-gather, bilinear = 2 (at the rounded mip), trilinear
-    = 4. `size_hint` = per-pixel (w0, h0, base>>8, edge) i32 rows to skip
+    nearest = 1 quad-gather, bilinear = 1 (at the rounded mip), trilinear
+    = 2. `size_hint` = per-pixel (w0, h0, base>>8, edge) i32 rows to skip
     the sizes gather (see _level_geom)."""
     mip = jnp.clip(mip_level, 0.0, tex.max_level.astype(jnp.float32))
     if mode == "trilinear":

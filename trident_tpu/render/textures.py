@@ -115,12 +115,17 @@ class TextureSlots:
     # -- device packing -------------------------------------------------------
     def device_arrays(self) -> TextureArrays:
         """Pack all slots into ONE flat buffer of per-slot mip pyramids
-        (cached by version): texel(s,l,y,x) = pairs[(sizes[s,2]<<8)
-        + level_base(E_s,l) + y*((E_s>>l)+1) + x]. Each slot pads only to
-        its OWN pow2 edge, so memory is ∝ actual texels — a 1×1 white slot
-        costs 16 bytes, not a full pyramid. Slot count is bucketed to
-        multiples of 8 to limit retraces; slot bases align to 256 entries
-        (so base>>8 is f32-exact for the resolve kernel)."""
+        (cached by version): texel(s,l,y,x) sits at entry (sizes[s,2]<<8)
+        + level_base(E_s,l) + y*((E_s>>l)+1) + x, and quads[entry] carries
+        the full 2×2 bilinear block [(x,y),(x+1,y),(x,y+1),(x+1,y+1)] —
+        16-byte rows gather at the same ~8 ns as 8-byte ones, so a
+        bilinear tap is ONE gather (trilinear two, nearest one). Levels
+        carry wrap-gutter column lw := col 0 AND row lh := row 0, so
+        REPEAT addressing never needs a second fetch. Each slot pads only
+        to its OWN pow2 edge (memory ∝ actual texels; the 4× duplication
+        is deliberate speed). Slot count is bucketed to multiples of 8 to
+        limit retraces; slot bases align to 256 entries (so base>>8 is
+        f32-exact for the resolve kernel)."""
         if self._device is not None and self._device_version == self.version:
             return self._device
         n = len(self._images)
@@ -140,37 +145,45 @@ class TextureSlots:
             max_edge = max(max_edge, e0)
             n_levels = e0.bit_length()                       # log2(e0)+1
             sizes[i] = (w0, h0, cursor >> 8, e0)
-            # rows carry a wrap-gutter column: stride = e+1, col lw = col 0
             cur = img
             total = 0
             parts = []
             for l in range(n_levels):
                 e = max(e0 >> l, 1)
-                tile = np.zeros((e, e + 1, 4), np.uint8)
+                # (e+1, e+1) tile: texels + wrap gutters in x AND y
+                tile = np.zeros((e + 1, e + 1, 4), np.uint8)
                 ch, cw = min(cur.shape[0], e), min(cur.shape[1], e)
                 tile[:ch, :cw] = cur[:ch, :cw]
                 lw = min(max(int(w0) >> l, 1), e)
-                tile[:ch, lw] = tile[:ch, 0]   # REPEAT gutter at actual width
+                lh = min(max(int(h0) >> l, 1), e)
+                tile[:, lw] = tile[:, 0]       # REPEAT gutter at actual w
+                tile[lh, :] = tile[0, :]       # REPEAT gutter at actual h
                 flat = tile.reshape(-1, 4).astype(np.uint32)
-                parts.append(flat[:, 0] | (flat[:, 1] << 8)
-                             | (flat[:, 2] << 16) | (flat[:, 3] << 24))
-                total += (e + 1) * e
+                packed = (flat[:, 0] | (flat[:, 1] << 8)
+                          | (flat[:, 2] << 16) | (flat[:, 3] << 24))
+                # quad lanes: entry i = [i, i+1, i+stride, i+stride+1]
+                stride = e + 1
+                grid = packed.reshape(stride, stride)
+                q = np.zeros((stride, stride, 4), np.uint32)
+                q[..., 0] = grid
+                q[:, :-1, 1] = grid[:, 1:]
+                q[:-1, :, 2] = grid[1:, :]
+                q[:-1, :-1, 3] = grid[1:, 1:]
+                parts.append(q.reshape(-1, 4))
+                total += stride * stride
                 if l + 1 < n_levels:
                     cur = _box_downsample(cur)
             pad = (-(cursor + total)) % 256                  # align next base
             if pad:
-                parts.append(np.zeros(pad, np.uint32))
-            chunk = np.concatenate(parts)
+                parts.append(np.zeros((pad, 4), np.uint32))
+            chunk = np.concatenate(parts, axis=0)
             chunks.append(chunk)
             cursor += chunk.shape[0]
 
-        data = np.concatenate(chunks)
-        # sliding texel pairs: pairs[i] = (data[i], data[i+1])
-        pairs = np.stack(
-            [data, np.concatenate([data[1:], data[-1:]])], axis=-1)
+        quads = np.concatenate(chunks, axis=0)
 
         self._device = TextureArrays(
-            pairs=jnp.asarray(pairs),
+            quads=jnp.asarray(quads),
             sizes=jnp.asarray(sizes),
             max_level=jnp.asarray(max_edge.bit_length() - 1, jnp.int32),
         )

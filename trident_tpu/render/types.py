@@ -91,24 +91,24 @@ class MaterialTable(NamedTuple):
 
 
 class TextureArrays(NamedTuple):
-    """Slot-indexed texture storage: per-slot mip pyramids of TEXEL PAIRS
-    packed into ONE flat buffer, each slot padded only to ITS OWN pow2 edge
-    (memory ∝ actual texels; the reference binds native-size images,
-    TextureLoader.cpp:293).
+    """Slot-indexed texture storage: per-slot mip pyramids of 2×2 TEXEL
+    QUADS packed into ONE flat buffer, each slot padded only to ITS OWN
+    pow2 edge (memory ∝ actual texels; the reference binds native-size
+    images, TextureLoader.cpp:293).
 
-    Rows have a wrap-gutter column (stride = (E_s>>l)+1, column lw copies
-    column 0), and pairs[i] = (texel_i, texel_{i+1}) — so a bilinear tap
-    needs TWO 8-byte gathers (one per y row) instead of four, and nearest
-    needs one (lane 0). Per-pixel gathers (~8ns each) dominate shading cost
-    on TPU; rows up to 48B gather at the same rate as 4B, so the 2× pair
-    memory is deliberate speed. Level offsets within a slot are CLOSED FORM
-    (ops/shading._level_geom), so sampling needs no offset tables. Slot
-    bases are 256-entry aligned: base>>8 stays exact in f32, letting the
-    resolve kernel carry it through the attribute image.
-    Slot 0 is the 1×1-white analogue; sizes[s,0:2] is the actual (w,h)
-    footprint for REPEAT wrap."""
+    Levels are (e+1)×(e+1) tiles with wrap-gutter column lw := col 0 and
+    row lh := row 0 (REPEAT at the ACTUAL footprint), and quads[i] holds
+    [(x,y),(x+1,y),(x,y+1),(x+1,y+1)] — a full bilinear tap is ONE
+    16-byte gather (nearest one, trilinear two). Per-pixel gathers
+    (~8ns each, flat for rows up to 48B) dominate shading cost on TPU,
+    so the 4× texel duplication is deliberate speed. Level offsets within
+    a slot are CLOSED FORM (ops/shading._level_geom), so sampling needs
+    no offset tables. Slot bases are 256-entry aligned: base>>8 stays
+    exact in f32, letting the resolve kernel carry it through the
+    attribute image. Slot 0 is the 1×1-white analogue; sizes[s,0:2] is
+    the actual (w,h) footprint for REPEAT wrap."""
 
-    pairs: Array              # (N, 2) uint32 RGBA8 — all slots, flat
+    quads: Array              # (N, 4) uint32 RGBA8 — all slots, flat
     sizes: Array              # (S,4) i32: actual w, actual h,
                               #   flat base >> 8, pow2 edge E_s
     max_level: Array          # () i32 — log2(max slot edge): mip clamp
