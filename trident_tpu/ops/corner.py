@@ -6,11 +6,11 @@ corner gathers for setup/planes — ~32 ms of pure gather before any math.
 This path trades memory for gathers: the EXPANDED corner table
 (T, 3 corners, pos+nrm+uv+col) is built once per draw-plan topology,
 kept on device pre-transposed to (36, T) so every per-frame operation is
-full-lane planar math, and the only per-frame gather is ONE (T, 32) row
+full-lane planar math, and the only per-frame gather is ONE (T, 48) row
 of per-draw constants:
 
     draw_row = [ (P·V·M row0+row3)·W/2 | (row1+row3)·H/2 | row3 | row2 |
-                 cof(M) | uv_scale·tiling | uv_offset | pad ]
+                 cof(M) | uv_scale·tiling | uv_offset | shading consts ]
 
 i.e. the viewport transform, clip rows, normal matrix and UV transform
 are all folded per DRAW (D tiny) inside the jit, then broadcast to
@@ -35,7 +35,8 @@ from trident_tpu.render.types import CameraParams, DrawParams
 
 Array = jax.Array
 
-DRAW_ROW = 32
+DRAW_ROW = 48        # 29 transform/normal/uv floats + optional 12 shading
+                     # consts (build_resolve_rows skips its own gather)
 
 
 def build_corner_table(attr_table: np.ndarray, vtx_src: np.ndarray,
@@ -57,8 +58,12 @@ def _cofactor3_batched(m: Array) -> Array:
 
 
 def build_draw_rows(params: DrawParams, camera: CameraParams,
-                    width: int, height: int) -> Array:
-    """(D, 32) per-draw constant rows (in-jit; D is tiny)."""
+                    width: int, height: int,
+                    draw_consts: Optional[Array] = None) -> Array:
+    """(D, 48) per-draw constant rows (in-jit; D is tiny). When
+    `draw_consts` (D,12 — shade row + texture row) is given it rides in
+    columns 32:44, saving the resolve-record builder a second (T,) row
+    gather."""
     hp = jax.lax.Precision.HIGHEST
     d = params.xform_a.shape[0]
     model = jnp.concatenate([params.xform_a, params.xform_b[:, 0:4]],
@@ -72,9 +77,12 @@ def build_draw_rows(params: DrawParams, camera: CameraParams,
     cof = _cofactor3_batched(model[:, :3, :3]).reshape(d, 9)
     uv_scale = params.xform_b[:, 4:6] * params.xform_b[:, 8:9]
     uv_offset = params.xform_b[:, 6:8]
+    consts = (jnp.zeros((d, 12), jnp.float32) if draw_consts is None
+              else draw_consts)
     return jnp.concatenate([
         row_sx, row_sy, row_w, row_z, cof, uv_scale, uv_offset,
-        jnp.zeros((d, DRAW_ROW - 29), jnp.float32)], axis=1)
+        jnp.zeros((d, 3), jnp.float32), consts,
+        jnp.zeros((d, DRAW_ROW - 44), jnp.float32)], axis=1)
 
 
 class CornerStageOut(NamedTuple):
@@ -82,6 +90,8 @@ class CornerStageOut(NamedTuple):
     corner_nrm: Array          # (T,3,3) world-space, normalized
     corner_uv: Array           # (T,3,2) atlas-transformed
     corner_col: Optional[Array]  # (T,3,3) or None
+    consts: Array              # (T,12) per-draw shading consts (cols 32:44
+                               # of the one draw-row gather)
 
 
 def corner_stage(corner_t: Array, draw_rows: Array, tri_draw: Array,
@@ -92,8 +102,8 @@ def corner_stage(corner_t: Array, draw_rows: Array, tri_draw: Array,
     on (T,) lanes. Matches ops/vertex.vertex_stage + triangle_setup
     semantics for rigid draws (Default.vert minus skinning)."""
     t = corner_t.shape[1]
-    xf = draw_rows[tri_draw]                        # (T,32) — THE gather
-    xt = xf.T                                       # (32,T) one relayout
+    xf = draw_rows[tri_draw]                        # (T,48) — THE gather
+    xt = xf.T                                       # (48,T) one relayout
 
     def g(j):
         return xt[j]
@@ -155,4 +165,5 @@ def corner_stage(corner_t: Array, draw_rows: Array, tri_draw: Array,
     corner_col = (jnp.stack(col_cols, axis=-1).reshape(t, 3, 3)
                   if vertex_colors else None)
     return CornerStageOut(setup=setup, corner_nrm=corner_nrm,
-                          corner_uv=corner_uv, corner_col=corner_col)
+                          corner_uv=corner_uv, corner_col=corner_col,
+                          consts=xf[:, 32:44])

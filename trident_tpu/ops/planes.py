@@ -137,7 +137,8 @@ RR_WIDTH, RR_WIDTH_VCOLOR = 32, 40
 
 def build_resolve_rows(setup: TriangleSetup, corner_nrm: Array,
                        corner_uv: Array, tri_draw: Array, draw_consts: Array,
-                       corner_col: Optional[Array] = None) -> Array:
+                       corner_col: Optional[Array] = None,
+                       consts_rows: Optional[Array] = None) -> Array:
     """Unchunked (T, RW) resolve rows: all interpolation planes + shading
     constants per triangle. Pure per-triangle math — shardable over the
     triangle dim (multi-chip geometry phase, parallel/framebuffer.py).
@@ -155,7 +156,9 @@ def build_resolve_rows(setup: TriangleSetup, corner_nrm: Array,
                           precision=jax.lax.Precision.HIGHEST)
 
     g1 = jnp.sum(edge, axis=1)
-    consts = draw_consts[tri_draw]                 # (T,12)
+    # corner-major callers pass pre-gathered consts (they ride in the one
+    # draw-row gather); otherwise ONE (T,12) gather here
+    consts = draw_consts[tri_draw] if consts_rows is None else consts_rows
     cols = [g1, plane(corner_nrm[..., 0]), plane(corner_nrm[..., 1]),
             plane(corner_nrm[..., 2]),
             plane(corner_uv[..., 0]), plane(corner_uv[..., 1]), consts]

@@ -157,13 +157,20 @@ def render_frame_banded(mesh: Mesh, axis: str, geometry, plan, tri_draw,
             return jax.tree.map(
                 lambda v: jax.lax.all_gather(v, axis, axis=0, tiled=True), x)
 
+        draw_consts = None
+        if use_kernel_shading:
+            tex_row = textures.sizes[params.texture_slot].astype(jnp.float32)
+            draw_consts = jnp.concatenate([shade_table, tex_row], axis=1)
+
         # ---- phase 1: sharded geometry (full-frame coordinates) ----
+        cs = None
         if use_corner:
             # corner-major (ops/corner.py): the static corner table is
             # sharded over triangles; no vertex phase at all
             from trident_tpu.ops.corner import build_draw_rows, corner_stage
 
-            draw_rows = build_draw_rows(params, camera, rw, rh)
+            draw_rows = build_draw_rows(params, camera, rw, rh,
+                                        draw_consts=draw_consts)
             cs = corner_stage(corner_sl, draw_rows, tri_draw, tri_valid,
                               rw, rh, vertex_colors=vertex_colors)
             setup_sl, c_nrm, c_uv, c_col = (cs.setup, cs.corner_nrm,
@@ -179,10 +186,9 @@ def render_frame_banded(mesh: Mesh, axis: str, geometry, plan, tri_draw,
 
         records = planes = None
         if use_kernel_shading:
-            tex_row = textures.sizes[params.texture_slot].astype(jnp.float32)
-            draw_consts = jnp.concatenate([shade_table, tex_row], axis=1)
-            rows_sl = build_resolve_rows(setup_sl, c_nrm, c_uv, tri_draw,
-                                         draw_consts, c_col)
+            rows_sl = build_resolve_rows(
+                setup_sl, c_nrm, c_uv, tri_draw, draw_consts, c_col,
+                consts_rows=None if cs is None else cs.consts)
             rows = jax.lax.all_gather(rows_sl, axis, axis=0, tiled=True)
             records = chunk_resolve_rows(rows, chunk)
         else:

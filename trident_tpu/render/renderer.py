@@ -132,13 +132,26 @@ def _render_frame_impl(geometry, plan, tri_draw, params, palette, shade_table,
     from trident_tpu.ops.deferred import apply_ai_blend
 
     rw, rh = width * supersample, height * supersample
+    interpret0 = jax.default_backend() == "cpu"
+    use_kernel_shading = raster == "pallas" and forward_shading
+    draw_consts = None
+    if use_kernel_shading:
+        # per-draw consts = shade row + the texture sizes row (w, h,
+        # base>>8, edge): mip levels AND flat texel addressing then need
+        # zero per-pixel table lookups
+        tex_row = textures.sizes[params.texture_slot].astype(jnp.float32)
+        draw_consts = jnp.concatenate([shade_table, tex_row], axis=1)
+
+    cs = None
     if corner_t is not None and not skinned:
         # corner-major fast path (ops/corner.py): the static (36,T) corner
-        # table replaces the per-frame vertex+corner gathers; ONE (T,32)
-        # per-draw-row gather feeds planar setup + world attributes
+        # table replaces the per-frame vertex+corner gathers; ONE (T,48)
+        # per-draw-row gather (shading consts ride along) feeds planar
+        # setup + world attributes
         from trident_tpu.ops.corner import build_draw_rows, corner_stage
 
-        draw_rows = build_draw_rows(params, camera, rw, rh)
+        draw_rows = build_draw_rows(params, camera, rw, rh,
+                                    draw_consts=draw_consts)
         cs = corner_stage(corner_t, draw_rows, tri_draw, plan.tri_valid,
                           rw, rh, vertex_colors=vertex_colors)
         setup = cs.setup
@@ -156,8 +169,7 @@ def _render_frame_impl(geometry, plan, tri_draw, params, palette, shade_table,
         c_col = corners[..., 9:12] if vertex_colors else None
     # on CPU (tests, banded dryruns) the production kernels run under the
     # Pallas interpreter — same binning, same kernel logic
-    interpret = jax.default_backend() == "cpu"
-    use_kernel_shading = raster == "pallas" and forward_shading
+    interpret = interpret0
 
     shadow = None
     if shadow_size and light_camera is not None:
@@ -179,14 +191,11 @@ def _render_frame_impl(geometry, plan, tri_draw, params, palette, shade_table,
         from trident_tpu.ops.planes import (
             build_resolve_rows, chunk_resolve_rows)
 
-        # per-draw consts = shade row + the texture sizes row (w, h,
-        # base>>8, edge): mip levels AND flat texel addressing then need
-        # zero per-pixel table lookups
-        tex_row = textures.sizes[params.texture_slot].astype(jnp.float32)
-        draw_consts = jnp.concatenate([shade_table, tex_row], axis=1)
         records = chunk_resolve_rows(
             build_resolve_rows(setup, c_nrm, c_uv, tri_draw, draw_consts,
-                               c_col), chunk)
+                               c_col,
+                               consts_rows=None if cs is None else cs.consts),
+            chunk)
     else:
         from trident_tpu.ops.planes import build_planes_corners
 
