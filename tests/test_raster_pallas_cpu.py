@@ -110,9 +110,12 @@ def test_big_chunk_drop_is_counted_not_garbage(rng, monkeypatch):
 
 
 def test_pair_budget_truncation_is_clean(rng, monkeypatch):
-    """With PAIR_BUDGET shrunk below the real pair count, the highest-
-    sorted tiles lose geometry — they must come back as BACKGROUND (the
-    round-1 bug left them as uninitialized memory) and aux[0] must count."""
+    """With PAIR_BUDGET shrunk below the real pair count, overflow drops
+    whole (tile, chunk) pairs — every pixel must be the untruncated
+    result, background, or FARTHER real geometry (a dropped nearer
+    winner). The round-1 bug left uninitialized memory: depths nearer
+    than the true render, ids beyond the triangle count. aux[0] counts
+    the dropped pairs, and the degradation is deterministic."""
     setup = _random_scene(rng, 256, spread=0.95, size=0.3)
     full = visibility_pallas(setup, W, H, interpret=True)
     n_real = int(np.asarray(build_bins(setup, W, H).n_real))
@@ -124,11 +127,15 @@ def test_pair_budget_truncation_is_clean(rng, monkeypatch):
     assert aux[0] == n_real - budget
     pt, ft = np.asarray(pal.tri_id), np.asarray(full.tri_id)
     pd, fd = np.asarray(pal.depth), np.asarray(full.depth)
-    # kept-prefix tiles match the untruncated render; the rest is background
     match = (pt == ft) & (pd == fd)
     background = (pt == -1) & (pd == 1.0)
-    assert (match | background).all()
-    assert background.any() and match.any()
+    # missing geometry can only REVEAL what is behind it: never a depth
+    # nearer than the true render, never an out-of-range triangle id
+    farther = (pd >= fd) & (pt >= -1) & (pt < setup.edge.shape[0])
+    assert (match | background | farther).all()
+    assert (~match).any() and match.any()   # truncation actually bit
+    pal2 = visibility_pallas(setup, W, H, interpret=True)
+    np.testing.assert_array_equal(pt, np.asarray(pal2.tri_id))
 
 
 def test_visibility_under_jit(rng):
