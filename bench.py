@@ -85,6 +85,17 @@ def main() -> None:
 
     config = os.environ.get("BENCH_CONFIG", "spheres1080_1m")
     iters = int(os.environ.get("BENCH_ITERS", "30"))
+    # BENCH_AI=1: neural 2x reconstruction mode — render at half res and
+    # let the upscaler net (ai/upscaler.py) rebuild the full frame. Needs
+    # the trained checkpoint; reports PSNR vs the native render in extra.
+    use_ai = os.environ.get("BENCH_AI", "") not in ("", "0")
+    upscale_params = None
+    if use_ai:
+        from trident_tpu.ai.upscaler import load_upscaler
+
+        upscale_params, _bc = load_upscaler(
+            os.environ.get("BENCH_AI_CKPT", "assets_out/upscaler_2x"))
+        upscale_params = jax.device_put(upscale_params)
 
     renderer, registry, (w, h) = build_scene(config)
     entities = [e for e, _ in registry.view(TransformComponent)]
@@ -117,12 +128,14 @@ def main() -> None:
                  blend=jnp.asarray(0.0, jnp.float32))
     raster = renderer._raster_mode()
     corner_t = renderer._plan_cache.corner_table(packed)
+    rw, rh = (w // 2, h // 2) if use_ai else (w, h)
 
     def frame(token, plan, tri_draw, params, palette, shade):
         return render_frame(
             geo, plan, tri_draw, params, palette, shade,
             CameraParams(cam.view, cam.proj, cam.position + token * 0),
-            lights, tex, sky, ai, corner_t=corner_t, width=w, height=h,
+            lights, tex, sky, ai, corner_t=corner_t,
+            upscale_params=upscale_params, width=rw, height=rh,
             clear_color=tuple(renderer.config.render.clear_color),
             raster=raster, chunk=64, skinned=False,
             bloom=renderer.config.render.bloom)
@@ -144,7 +157,7 @@ def main() -> None:
         f32b, i32b, shape = pack_frame(p_, np.asarray(pal_), np.asarray(sh_),
                                        cam, lights, None, 0.0)
         bundles.append((f32b, i32b))
-    statics = dict(shape=shape, width=w, height=h,
+    statics = dict(shape=shape, width=rw, height=rh,
                    clear_color=tuple(renderer.config.render.clear_color),
                    raster=raster, chunk=64, skinned=False,
                    bloom=renderer.config.render.bloom)
@@ -154,7 +167,7 @@ def main() -> None:
     def frame_b(token, f32b, i32b):
         return render_frame_bundled(geo, plan0, tri_draw0, f32b + token * 0,
                                     i32b, tex, sky, ai_img, corner_t,
-                                    **statics)
+                                    upscale_params, **statics)
 
     out = frame_b(jnp.zeros((), jnp.float32), *bundles[0])
     np.asarray(out.color.ravel()[:1])
@@ -176,7 +189,8 @@ def main() -> None:
             o = render_frame(
                 geo, plan0, tri_draw0, params_k, palette0, shade0,
                 CameraParams(cam.view, cam.proj, cam.position + token * 0),
-                lights, tex, sky, ai, corner_t=corner_t, width=w, height=h,
+                lights, tex, sky, ai, corner_t=corner_t,
+                upscale_params=upscale_params, width=rw, height=rh,
                 clear_color=tuple(renderer.config.render.clear_color),
                 raster=raster, chunk=64, skinned=False,
                 bloom=renderer.config.render.bloom)
@@ -190,10 +204,25 @@ def main() -> None:
     np.asarray(scan_jit(stacked))
     scan_fps = iters / (time.perf_counter() - t0)
 
+    extra_quality = {}
+    if use_ai:
+        native = render_frame(
+            geo, *plans[0][:2], *plans[0][2:], cam, lights, tex, sky, ai,
+            corner_t=corner_t, width=w, height=h,
+            clear_color=tuple(renderer.config.render.clear_color),
+            raster=raster, chunk=64, skinned=False,
+            bloom=renderer.config.render.bloom)
+        recon = frame(jnp.zeros((), jnp.float32), *plans[0])
+        a = np.asarray(native.color[..., :3]).astype(np.float32) / 255.0
+        b = np.asarray(recon.color[..., :3]).astype(np.float32) / 255.0
+        mse = float(np.mean(np.square(a - b)))
+        extra_quality["psnr_vs_native_db"] = round(
+            -10.0 * np.log10(max(mse, 1e-10)), 2)
+
     fps = scan_fps
     mpix = fps * w * h / 1e6
     print(json.dumps({
-        "metric": f"render_fps_{config}_{w}x{h}",
+        "metric": f"render_fps_{config}{'_ai' if use_ai else ''}_{w}x{h}",
         "value": round(fps, 2),
         "unit": "frames/s",
         "vs_baseline": round(fps / 60.0, 3),
@@ -201,7 +230,7 @@ def main() -> None:
                   "triangles": int(n_tris),
                   "interactive_fps": round(chain_fps, 2),
                   "raster": raster,
-                  "backend": jax.default_backend()},
+                  "backend": jax.default_backend(), **extra_quality},
     }))
 
 

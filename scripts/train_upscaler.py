@@ -1,0 +1,177 @@
+#!/usr/bin/env python
+"""Train the 2× super-resolution net (ai/upscaler.py) on procedurally
+generated render pairs — no dataset needed: the renderer IS the data
+generator, and both run on the same chip.
+
+Each sample renders one random scene twice with the same camera: the
+target at full resolution and the input at half resolution (a real
+half-res render, aliasing and all — exactly what the ai_upscale mode
+feeds the net at runtime). Reports PSNR vs the bilinear baseline on a
+held-out set and saves an orbax checkpoint.
+
+    python scripts/train_upscaler.py --pairs 192 --steps 1500 \
+        --out assets_out/upscaler_2x
+"""
+from __future__ import annotations
+
+import argparse
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+
+def build_pool(res: int, seed: int):
+    """One scene topology (retrace-free across samples); randomness lives
+    in transforms/camera/lights/texture assignment."""
+    from trident_tpu.core.config import EngineConfig, RenderConfig
+    from trident_tpu.ecs.components import (
+        LightComponent, LightType, MeshComponent, TextureComponent,
+        TransformComponent)
+    from trident_tpu.ecs.registry import Registry
+    from trident_tpu.geometry.primitives import PrimitiveType
+    from trident_tpu.io.image import checkerboard
+    from trident_tpu.render.renderer import Renderer
+
+    rng = np.random.default_rng(seed)
+    r = Renderer(EngineConfig(render=RenderConfig(
+        width=res, height=res, shadows=True, shadow_map_size=256)))
+    reg = Registry()
+    r.set_active_registry(reg)
+    # texture pool: checkers at several frequencies + hue noise
+    for i in range(6):
+        if i < 3:
+            img = checkerboard(128, 4 << i)
+        else:
+            img = (rng.random((64, 64, 4)) * 255).astype(np.uint8)
+            img[..., 3] = 255
+        r.acquire_texture(f"t{i}", img)
+    sphere = r.ensure_primitive(PrimitiveType.SPHERE)
+    cube = r.ensure_primitive(PrimitiveType.CUBE)
+    ents = []
+    for i in range(6):
+        for j in range(6):
+            e = reg.create()
+            reg.add(e, TransformComponent())
+            reg.add(e, MeshComponent(
+                mesh_index=sphere if (i + j) % 2 else cube))
+            reg.add(e, TextureComponent(path="t0", slot=1))
+            ents.append(e)
+    sun = reg.create()
+    reg.add(sun, TransformComponent())
+    reg.add(sun, LightComponent(light_type=LightType.DIRECTIONAL,
+                                cast_shadows=True))
+    return r, reg, ents, sun, rng
+
+
+def randomize(r, reg, ents, sun, rng):
+    from trident_tpu.ecs.components import (
+        LightComponent, TextureComponent, TransformComponent)
+
+    for e in ents:
+        t = reg.get(e, TransformComponent)
+        t.position = rng.uniform(-4.5, 4.5, 3).astype(np.float32)
+        t.rotation = rng.uniform(0, 360, 3).astype(np.float32)
+        t.scale = np.full(3, rng.uniform(0.4, 1.4), np.float32)
+        reg.get(e, TextureComponent).slot = int(rng.integers(1, 7))
+    lc = reg.get(sun, LightComponent)
+    d = rng.normal(size=3)
+    d[1] = -abs(d[1]) - 0.3
+    lc.direction = (d / np.linalg.norm(d)).astype(np.float32)
+    lc.intensity = float(rng.uniform(2.0, 5.0))
+    ang = rng.uniform(0, 2 * np.pi)
+    dist = rng.uniform(6.0, 11.0)
+    r.editor_camera.set_position([np.sin(ang) * dist,
+                                  rng.uniform(0.5, 4.0),
+                                  np.cos(ang) * dist])
+    r.editor_camera.look_at_target(rng.uniform(-1, 1, 3))
+
+
+def render_pairs(n_pairs: int, res: int, seed: int):
+    """→ (inputs (N,res/2,res/2,3), targets (N,res,res,3)) float32."""
+    r, reg, ents, sun, rng = build_pool(res, seed)
+    inputs, targets = [], []
+    t0 = time.time()
+    for k in range(n_pairs):
+        randomize(r, reg, ents, sun, rng)
+        r.set_viewport(0, res, res)
+        targets.append(np.asarray(r.read_frame())[..., :3])
+        r.set_viewport(0, res // 2, res // 2)
+        inputs.append(np.asarray(r.read_frame())[..., :3])
+        if (k + 1) % 32 == 0:
+            print(f"  rendered {k + 1}/{n_pairs} pairs "
+                  f"({time.time() - t0:.0f}s)", flush=True)
+    return (np.stack(inputs).astype(np.float32) / 255.0,
+            np.stack(targets).astype(np.float32) / 255.0)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pairs", type=int, default=192)
+    ap.add_argument("--res", type=int, default=256)
+    ap.add_argument("--steps", type=int, default=1500)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--lr", type=float, default=2e-3)
+    ap.add_argument("--channels", type=int, default=32)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--out", default="assets_out/upscaler_2x")
+    args = ap.parse_args()
+
+    from trident_tpu.ai.upscaler import (
+        UpscalerNet, init_upscaler, psnr, save_upscaler)
+
+    print("rendering training pairs…", flush=True)
+    inputs, targets = render_pairs(args.pairs, args.res, args.seed)
+    n_val = max(args.pairs // 8, 4)
+    val_in, val_tg = inputs[:n_val], targets[:n_val]
+    tr_in, tr_tg = inputs[n_val:], targets[n_val:]
+
+    model = UpscalerNet(base_channels=args.channels)
+    _, variables = init_upscaler(jax.random.PRNGKey(args.seed),
+                                 args.channels)
+    params = variables["params"]
+    tx = optax.adam(args.lr)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, opt_state, x, y):
+        def loss_fn(p):
+            out = model.apply({"params": p}, x)
+            return jnp.mean(jnp.abs(out - y))
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    @jax.jit
+    def evaluate(params, x, y):
+        out = model.apply({"params": params}, x)
+        base = jax.image.resize(x, y.shape, "bilinear")
+        return psnr(out, y), psnr(base, y)
+
+    rng = np.random.default_rng(args.seed)
+    t0 = time.time()
+    for s in range(args.steps):
+        idx = rng.integers(0, tr_in.shape[0], args.batch)
+        params, opt_state, loss = step(params, opt_state,
+                                       jnp.asarray(tr_in[idx]),
+                                       jnp.asarray(tr_tg[idx]))
+        if (s + 1) % 100 == 0:
+            net_p, base_p = evaluate(params, jnp.asarray(val_in),
+                                     jnp.asarray(val_tg))
+            print(f"step {s + 1}: L1={float(loss):.4f} "
+                  f"val PSNR net={float(net_p):.2f}dB "
+                  f"bilinear={float(base_p):.2f}dB "
+                  f"({time.time() - t0:.0f}s)", flush=True)
+
+    net_p, base_p = evaluate(params, jnp.asarray(val_in),
+                             jnp.asarray(val_tg))
+    path = save_upscaler(jax.device_get(params), args.out, args.channels)
+    print(f"saved {path}: val PSNR net={float(net_p):.2f}dB vs "
+          f"bilinear={float(base_p):.2f}dB (+{float(net_p - base_p):.2f})")
+
+
+if __name__ == "__main__":
+    main()

@@ -55,6 +55,9 @@ class RenderConfig:
     bloom: bool = False
     bloom_threshold: float = 1.0     # linear HDR threshold
     bloom_strength: float = 0.6
+    ai_upscale: bool = False         # render at half res + neural 2x
+                                     # reconstruction (ai/upscaler.py);
+                                     # needs a trained checkpoint
 
 
 @dataclass
@@ -68,6 +71,8 @@ class AiConfig:
     net_resolution: Tuple[int, int] = (256, 256)
     cadence_ms: float = 66.0              # inference throttle (≈15 Hz)
     base_channels: int = 32
+    upscaler_path: Optional[str] = None   # 2x super-resolution checkpoint
+                                          # (default assets_out/upscaler_2x)
 
 
 @dataclass

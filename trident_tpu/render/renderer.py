@@ -18,6 +18,7 @@ host-side state management:
 from __future__ import annotations
 
 import functools
+import os
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Tuple
 
@@ -115,6 +116,7 @@ def _visibility_and_shade(setup, records, planes, textures, camera, lights,
 
 def _render_frame_impl(geometry, plan, tri_draw, params, palette, shade_table,
                        camera, lights, textures, skybox, ai, corner_t=None,
+                       upscale_params=None,
                        *, width: int, height: int, clear_color,
                        raster: str, chunk: int, skinned: bool,
                        sampling: str = "bilinear",
@@ -216,11 +218,23 @@ def _render_frame_impl(geometry, plan, tri_draw, params, palette, shade_table,
         frame = jnp.concatenate(
             [tonemap_reinhard_gamma(hdr), frame[..., 3:4]], axis=-1)
     frame = post.resolve_supersample(frame, supersample)
+    if upscale_params is not None:
+        # neural 2x reconstruction (ai/upscaler.py): width/height here are
+        # the HALF-res render dims; the output frame is full size. The AI
+        # blend then applies at display resolution.
+        from trident_tpu.ai.upscaler import apply_upscaler
+
+        rgb = apply_upscaler(upscale_params, frame[..., :3])
+        alpha = jnp.repeat(jnp.repeat(frame[..., 3:4], 2, axis=0), 2, axis=1)
+        frame = jnp.concatenate([rgb, alpha], axis=-1)
     frame = jnp.clip(apply_ai_blend(frame, ai), 0.0, 1.0)
 
     # depth/tri surfaced at render resolution's top-left sample for tooling
     depth_out = gbuf.depth[::supersample, ::supersample]
     tri_out = gbuf.tri_id[::supersample, ::supersample]
+    if upscale_params is not None:
+        depth_out = jnp.repeat(jnp.repeat(depth_out, 2, axis=0), 2, axis=1)
+        tri_out = jnp.repeat(jnp.repeat(tri_out, 2, axis=0), 2, axis=1)
     return FrameOutput(color=pack_rgba8(frame), depth=depth_out,
                        tri_id=tri_out, aux=gbuf.aux)
 
@@ -236,7 +250,7 @@ def _render_frame_impl(geometry, plan, tri_draw, params, palette, shade_table,
                                              "bloom_strength"))
 def render_frame(geometry, plan, tri_draw, params, palette, shade_table,
                  camera, lights, textures, skybox, ai, light_camera=None,
-                 corner_t=None,
+                 corner_t=None, upscale_params=None,
                  *, width, height, clear_color, raster, chunk, skinned,
                  sampling="bilinear", vertex_colors=False, plane_f16=True,
                  forward_shading=True, shadow_size=0,
@@ -245,7 +259,8 @@ def render_frame(geometry, plan, tri_draw, params, palette, shade_table,
                  bloom_strength=0.6) -> FrameOutput:
     return _render_frame_impl(
         geometry, plan, tri_draw, params, palette, shade_table, camera,
-        lights, textures, skybox, ai, corner_t, width=width, height=height,
+        lights, textures, skybox, ai, corner_t, upscale_params,
+        width=width, height=height,
         clear_color=clear_color, raster=raster, chunk=chunk, skinned=skinned,
         sampling=sampling, vertex_colors=vertex_colors, plane_f16=plane_f16,
         forward_shading=forward_shading,
@@ -261,7 +276,8 @@ def render_frame(geometry, plan, tri_draw, params, palette, shade_table,
     "shadow_size", "shadow_pcf", "supersample", "bloom", "bloom_threshold",
     "bloom_strength"))
 def render_frame_bundled(geometry, plan, tri_draw, f32, i32, textures,
-                         skybox, ai_image, corner_t=None, *, shape, width, height,
+                         skybox, ai_image, corner_t=None, upscale_params=None,
+                         *, shape, width, height,
                          clear_color, raster, chunk, skinned,
                          sampling="bilinear", vertex_colors=False,
                          plane_f16=True, forward_shading=True,
@@ -279,7 +295,8 @@ def render_frame_bundled(geometry, plan, tri_draw, f32, i32, textures,
     ai = AiBlend(image=ai_image, blend=ai_blend)
     return _render_frame_impl(
         geometry, plan, tri_draw, params, palette, shade_table, camera,
-        lights, textures, skybox, ai, corner_t, width=width, height=height,
+        lights, textures, skybox, ai, corner_t, upscale_params,
+        width=width, height=height,
         clear_color=clear_color, raster=raster, chunk=chunk, skinned=skinned,
         sampling=sampling, vertex_colors=vertex_colors, plane_f16=plane_f16,
         forward_shading=forward_shading,
@@ -333,6 +350,8 @@ class Renderer:
         self._vertex_colors_version = -1
         self._banded_jit = None
         self._banded_n = 0
+        self._upscaler_params = None
+        self._upscaler_tried = False
         self._last_records: List = []
         self._last_tri_draw = None
         self.stats_models = 0
@@ -407,6 +426,26 @@ class Renderer:
                 logger.warning("pallas raster kernel unavailable; using ref path")
                 use_pallas = False
         return "pallas" if use_pallas else "ref"
+
+    def _upscale_params(self):
+        """Device-resident 2x super-resolution params, or None (load
+        failure logs once and disables — the AI-frame-path pattern)."""
+        if not self.config.render.ai_upscale:
+            return None
+        if not self._upscaler_tried:
+            self._upscaler_tried = True
+            path = (self.config.ai.upscaler_path
+                    or os.path.join("assets_out", "upscaler_2x"))
+            try:
+                from trident_tpu.ai.upscaler import load_upscaler
+
+                params, _bc = load_upscaler(path)
+                self._upscaler_params = jax.device_put(params)
+                logger.info("ai_upscale: loaded %s", path)
+            except Exception as exc:
+                logger.warning("ai_upscale disabled (checkpoint %s): %s",
+                               path, exc)
+        return self._upscaler_params
 
     def _banded_render_fn(self):
         """Jitted multi-chip banded frame function over the first
@@ -521,10 +560,17 @@ class Renderer:
                                          ai_blend)
             corner_t = (None if skinned
                         else self._plan_cache.corner_table(packed))
+            up = self._upscale_params()
+            w_r, h_r = ctx.width, ctx.height
+            if up is not None:
+                if ctx.width % 2 or ctx.height % 2:
+                    up = None      # odd target: reconstruction can't hit it
+                else:
+                    w_r, h_r = ctx.width // 2, ctx.height // 2
             out = render_frame_bundled(
                 device_geo, plan, tri_draw, f32, i32, textures, skybox,
-                ai_image, corner_t, shape=shape,
-                width=ctx.width, height=ctx.height,
+                ai_image, corner_t, up, shape=shape,
+                width=w_r, height=h_r,
                 clear_color=tuple(rc.clear_color),
                 raster=self._raster_mode(), chunk=64, skinned=skinned,
                 sampling=rc.sampling,
