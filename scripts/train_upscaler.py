@@ -114,6 +114,8 @@ def main():
     ap.add_argument("--steps", type=int, default=1500)
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--lr", type=float, default=2e-3)
+    ap.add_argument("--edge-weight", type=float, default=0.25,
+                    help="extra L1 on image gradients (sharpens edges)")
     ap.add_argument("--channels", type=int, default=32)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out", default="assets_out/upscaler_2x")
@@ -132,14 +134,22 @@ def main():
     _, variables = init_upscaler(jax.random.PRNGKey(args.seed),
                                  args.channels)
     params = variables["params"]
-    tx = optax.adam(args.lr)
+    schedule = optax.cosine_decay_schedule(args.lr, args.steps, 0.02)
+    tx = optax.adam(schedule)
     opt_state = tx.init(params)
+    ew = args.edge_weight
 
     @jax.jit
     def step(params, opt_state, x, y):
         def loss_fn(p):
             out = model.apply({"params": p}, x)
-            return jnp.mean(jnp.abs(out - y))
+            l1 = jnp.mean(jnp.abs(out - y))
+            # gradient (edge) term: penalize blurred detail specifically
+            gx = jnp.mean(jnp.abs((out[:, :, 1:] - out[:, :, :-1])
+                                  - (y[:, :, 1:] - y[:, :, :-1])))
+            gy = jnp.mean(jnp.abs((out[:, 1:] - out[:, :-1])
+                                  - (y[:, 1:] - y[:, :-1])))
+            return l1 + ew * (gx + gy)
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
         updates, opt_state = tx.update(grads, opt_state)
