@@ -128,3 +128,30 @@ def test_draw_frame_telemetry():
     assert stats.avg_ms > 0
     assert r.stats_models == 1
     assert r.stats_triangles == 12
+
+
+def test_idle_frame_cache_reuses_output():
+    """Unchanged inputs skip the dispatch entirely (editor-idle path);
+    any mutation invalidates."""
+    import numpy as np
+
+    from trident_tpu.core.config import EngineConfig, RenderConfig
+    from trident_tpu.ecs.components import MeshComponent, TransformComponent
+    from trident_tpu.ecs.registry import Registry
+    from trident_tpu.geometry.primitives import PrimitiveType
+    from trident_tpu.render.renderer import Renderer
+
+    r = Renderer(EngineConfig(render=RenderConfig(width=32, height=32)))
+    reg = Registry()
+    r.set_active_registry(reg)
+    e = reg.create()
+    t = reg.add(e, TransformComponent())
+    reg.add(e, MeshComponent(mesh_index=r.ensure_primitive(PrimitiveType.CUBE)))
+    a = r.render_viewport(0)
+    b = r.render_viewport(0)
+    assert b is a                       # cached, no new dispatch
+    t.rotation = np.array([0.0, 10.0, 0.0], np.float32)
+    c = r.render_viewport(0)
+    assert c is not a                   # transform change invalidates
+    d = r.render_viewport(0)
+    assert d is c
