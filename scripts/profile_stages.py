@@ -156,15 +156,34 @@ def profile(width, height, grid, label, n=10):
     timeit_chain("deferred_attrs[bilinear]", f7, lambda o: o[0, 0, 0] * 0,
                  gbuf, attrs, n=n)
 
-    for fwd in (False, True):
-        f_full = jax.jit(lambda tok, _f=fwd: render_frame(
+    # -- corner-major geometry (the production single-chip path) ---------------
+    from trident_tpu.ops.corner import build_draw_rows, corner_stage
+
+    corner_t = r._plan_cache.corner_table(packed)
+    tex_wh2 = tex.sizes[params.texture_slot].astype(jnp.float32)
+    dc = jnp.concatenate([shade, tex_wh2], axis=1)
+
+    def corner_fn(tok, ct):
+        rows = build_draw_rows(params, CameraParams(
+            cam.view, cam.proj, cam.position + tok * 0), width, height,
+            draw_consts=dc)
+        return corner_stage(ct, rows, tri_draw, plan.tri_valid,
+                            width, height)
+
+    fc = jax.jit(corner_fn)
+    timeit_chain("corner stage (geom+setup+attrs)", fc,
+                 lambda o: o.setup.edge[0, 0, 0] * 0, corner_t, n=n)
+
+    for label, fwd, ct in (("gather", False, None), ("forward", True, None),
+                           ("forward+corner", True, corner_t)):
+        f_full = jax.jit(lambda tok, _f=fwd, _c=ct: render_frame(
             geo, plan, tri_draw, params, palette, shade,
             CameraParams(cam.view, cam.proj, cam.position + tok * 0),
-            lights, tex, sky, ai, width=width, height=height,
+            lights, tex, sky, ai, corner_t=_c, width=width, height=height,
             clear_color=(0.05, 0.05, 0.08, 1.0), raster="pallas", chunk=64,
             skinned=False, sampling="bilinear", vertex_colors=False,
             forward_shading=_f))
-        timeit_chain(f"FULL[{'forward' if fwd else 'gather'}]", f_full,
+        timeit_chain(f"FULL[{label}]", f_full,
                      lambda o: o.depth[0, 0] * 0, n=n)
         out = f_full(jnp.zeros(()))
         print(f"  covered={(np.asarray(out.tri_id) >= 0).sum()}", flush=True)
