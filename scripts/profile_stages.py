@@ -74,7 +74,7 @@ def profile(width, height, grid, label, n=10):
     packed = r.geometry.packed()
     geo = geometry_to_device(packed)
     records = gather_mesh_draws(reg, r.geometry)
-    plan, tri_draw = build_draw_plan(packed, records)
+    plan, tri_draw = r._plan_cache.plan(packed, records, r.geometry.version)
     params, palette, shade = build_draw_params(
         records, plan.num_draws, material_table=r.geometry.material_table())
     lights = gather_lights(reg)

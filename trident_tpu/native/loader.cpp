@@ -347,7 +347,12 @@ TTModel* tt_load_obj(const char* path) {
                     s = skip_ws(s, line_end);
                     if (s >= line_end || !(std::isdigit((unsigned char)*s) || *s == '-')) break;
                     long vi = 0, ti = 0, ni = 0;
+                    const char* before = s;
                     s = parse_int(s, line_end, &vi);
+                    if (s == before) break;  // bare '-' (no digits): strtol
+                                             // makes no progress — a stuck
+                                             // cursor here loops forever
+                                             // on malformed files
                     bool has_t = false, has_n = false;
                     if (s < line_end && *s == '/') {
                         ++s;
