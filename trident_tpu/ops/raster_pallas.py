@@ -64,8 +64,8 @@ MAX_GLOBAL = 64      # wide-span chunks broadcast to all tiles
 CHUNK_BITS = 18      # chunk-slot bits in the packed pair
 CHUNK_MASK = (1 << CHUNK_BITS) - 1
 PAIR_BUDGET = 65536  # scalar-prefetch arrays live in SMEM (~1MB); cap them.
-                     # Real pairs are a sorted prefix; overflow drops the
-                     # highest-numbered chunks' pairs (counted in `aux`).
+                     # Real pairs are a sorted prefix; overflow truncates the
+                     # farthest-sorted tiles' geometry (counted in `aux`).
 DEPTH_SENTINEL = 4.0
 
 
@@ -175,22 +175,21 @@ def build_bins(setup: TriangleSetup, width: int, height: int) -> PallasBins:
         (tile_ids[None, :] << CHUNK_BITS) | (gsel[:, None] + 1),
         n_tiles << CHUNK_BITS).astype(jnp.int32)
 
-    slots = jnp.concatenate([small_pairs.reshape(-1), big_pairs.reshape(-1)])
-    # ~95% of the span/broadcast slots are empty — compact the real pairs
-    # with a linear cumsum+scatter BEFORE sorting, so the sort runs on the
-    # PAIR_BUDGET-capped list instead of the full slot array (the sort was
-    # the binning stage's dominant cost at 1M triangles)
-    is_real = slots < (n_tiles << CHUNK_BITS)
-    n_real_total = jnp.sum(is_real).astype(jnp.int32)
-    dest = jnp.where(is_real, jnp.cumsum(is_real) - 1, PAIR_BUDGET)
-    sentinel = jnp.int32(0x7FFFFFFF)
-    compact = jnp.full((PAIR_BUDGET,), sentinel, jnp.int32).at[dest].set(
-        slots, mode="drop")
-    pairs = jnp.sort(compact)
+    # One sort of the full slot array (mostly empty-sentinel slots) orders
+    # AND compacts: real pairs form the sorted prefix. Measured note: a
+    # cumsum+scatter compaction before a smaller sort looked cheaper on
+    # paper but jnp.cumsum over a 1-D ~650k array lowers pathologically on
+    # TPU (binning 9.8 → 38 ms at 1M) — XLA's sort is the fast path here.
+    pairs = jnp.concatenate([small_pairs.reshape(-1), big_pairs.reshape(-1)])
+    pairs = jnp.sort(pairs)
     # real pairs form a sorted prefix; padding slots clamp to
     # (last tile, sentinel chunk 0) and sit beyond the dynamic grid bound
-    pairs = jnp.where(pairs == sentinel, ((n_tiles - 1) << CHUNK_BITS), pairs)
-    n_real = jnp.minimum(n_real_total, PAIR_BUDGET)
+    overflow = pairs >= (n_tiles << CHUNK_BITS)
+    n_real_total = jnp.sum(~overflow).astype(jnp.int32)
+    pairs = jnp.where(overflow, ((n_tiles - 1) << CHUNK_BITS), pairs)
+    if pairs.shape[0] > PAIR_BUDGET:
+        pairs = pairs[:PAIR_BUDGET]
+    n_real = jnp.minimum(n_real_total, pairs.shape[0])
     n_truncated = n_real_total - n_real
     # unpack for the scalar-prefetch index maps (plain array reads lower
     # reliably in Mosaic index maps; bit ops there hung the compiler)
