@@ -42,6 +42,9 @@ def main(argv=None) -> int:
     parser.add_argument("--ai-checkpoint", default=None,
                         help="orbax dir: enable frame interpolation blending")
     parser.add_argument("--ai-blend", type=float, default=0.35)
+    parser.add_argument("--ai-upscale", action="store_true",
+                        help="render at half res + neural 2x reconstruction "
+                             "(assets_out/upscaler_2x checkpoint)")
     args = parser.parse_args(argv)
 
     from trident_tpu.app import Application
@@ -57,7 +60,8 @@ def main(argv=None) -> int:
         render=RenderConfig(width=args.width, height=args.height,
                             shadows=args.shadows, shadow_pcf=args.pcf, bloom=args.bloom,
                             supersample=args.supersample,
-                            sampling=args.sampling),
+                            sampling=args.sampling,
+                            ai_upscale=args.ai_upscale),
         ai=AiConfig(model_path=args.ai_checkpoint,
                     enabled=bool(args.ai_checkpoint), blend=args.ai_blend),
     )
