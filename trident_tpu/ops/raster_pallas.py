@@ -73,6 +73,14 @@ class PallasBins(NamedTuple):
     records: Array      # ((NC+1)*C, 16) f32; chunk slot 0 = empty sentinel
     pair_tile: Array    # (NPAIR,) i32 tile per pair (sorted, tile-major)
     pair_chunk: Array   # (NPAIR,) i32 chunk slot per pair (0 = sentinel)
+    half_bb: Array      # ((NC+1)*4,) i32 — per HALF-chunk tile bbox,
+                        # packed [ty0*65536+ty1, tx0*65536+tx1] × 2 halves
+                        # at [chunk*4 ...]: the kernel skips a 32-triangle
+                        # half whose bbox misses the tile (empty half =
+                        # (32767, 0) → never hits). FLAT 1-D on purpose —
+                        # 2-D scalar-prefetch arrays get lane-padded in
+                        # SMEM (measured: 27 KB ballooned past the 1 MB
+                        # SMEM budget at 110k tris)
     n_real: Array       # () i32 — real pairs (sorted prefix; rest is padding)
     n_pairs: int        # static capacity (== NPAIR)
     aux: Array          # (2,) i32 — [truncated real pairs, dropped big chunks]
@@ -140,6 +148,24 @@ def build_bins(setup: TriangleSetup, width: int, height: int) -> PallasBins:
     cty0 = jnp.clip(y0 // TILE_H, 0, nty - 1)
     ctx1 = jnp.clip((x1 - 1) // TILE_W, 0, ntx - 1)
     cty1 = jnp.clip((y1 - 1) // TILE_H, 0, nty - 1)
+
+    # per HALF-chunk tile bboxes (the kernel's sub-block skip): packed as
+    # hi*65536+lo so the kernel decodes with // and % — bit-ops in Mosaic
+    # are avoided on principle here, and 32767*65536 stays inside i32
+    hc = CHUNK // 2
+    hx0 = jnp.where(valid, bbox[:, 0], big).reshape(n_chunks, 2, hc).min(axis=2)
+    hy0 = jnp.where(valid, bbox[:, 1], big).reshape(n_chunks, 2, hc).min(axis=2)
+    hx1 = jnp.where(valid, bbox[:, 2], 0).reshape(n_chunks, 2, hc).max(axis=2)
+    hy1 = jnp.where(valid, bbox[:, 3], 0).reshape(n_chunks, 2, hc).max(axis=2)
+    h_nonempty = (hx1 > hx0) & (hy1 > hy0)
+    hty0 = jnp.where(h_nonempty, jnp.clip(hy0 // TILE_H, 0, nty - 1), 32767)
+    hty1 = jnp.where(h_nonempty, jnp.clip((hy1 - 1) // TILE_H, 0, nty - 1), 0)
+    htx0 = jnp.where(h_nonempty, jnp.clip(hx0 // TILE_W, 0, ntx - 1), 32767)
+    htx1 = jnp.where(h_nonempty, jnp.clip((hx1 - 1) // TILE_W, 0, ntx - 1), 0)
+    half_bb = jnp.stack([hty0 * 65536 + hty1, htx0 * 65536 + htx1],
+                        axis=-1).reshape(n_chunks * 4).astype(jnp.int32)
+    half_bb = jnp.concatenate(
+        [jnp.full((4,), 32767 * 65536, jnp.int32), half_bb])  # sentinel 0
     span_x = ctx1 - ctx0 + 1
     span_y = cty1 - cty0 + 1
     small = nonempty & (span_x <= SPAN_X) & (span_y <= SPAN_Y)
@@ -197,13 +223,13 @@ def build_bins(setup: TriangleSetup, width: int, height: int) -> PallasBins:
     pair_chunk = pairs & CHUNK_MASK
 
     return PallasBins(records=records, pair_tile=pair_tile,
-                      pair_chunk=pair_chunk, n_real=n_real,
+                      pair_chunk=pair_chunk, half_bb=half_bb, n_real=n_real,
                       n_pairs=int(pairs.shape[0]),
                       aux=jnp.stack([n_truncated, n_big_dropped]))
 
 
-def _visibility_kernel(band_ref, pair_tile_ref, pair_chunk_ref, rec_ref,
-                       depth_out, tri_out, *, ntx: int):
+def _visibility_kernel(band_ref, pair_tile_ref, pair_chunk_ref, half_bb_ref,
+                       rec_ref, depth_out, tri_out, *, ntx: int):
     """Layouts chosen for Mosaic: triangles on sublanes (C,1), pixels on
     lanes (1,npx); outputs are flat (1,1,npx) tile rows — no in-kernel
     reshapes or transposes.
@@ -212,16 +238,26 @@ def _visibility_kernel(band_ref, pair_tile_ref, pair_chunk_ref, rec_ref,
     multi-chip framebuffer (parallel/framebuffer.py) evaluates the SAME
     global-pixel arithmetic as a single-chip render of the full frame, so
     band seams are bit-exact. (It is a scalar-prefetch input because under
-    shard_map the offset is a traced per-device value, not a constant.)"""
+    shard_map the offset is a traced per-device value, not a constant.)
+
+    Each pair evaluates its chunk in TWO 32-triangle halves, and a half
+    whose tile bbox (half_bb_ref, SMEM) misses this tile is skipped
+    entirely — Morton order makes halves spatially compact, so a chunk
+    overlapping a tile often does it with only one half (~6-10× VPU waste
+    at 1M tris came from evaluating all 64 triangles per visited tile).
+    The merge keeps LESS_OR_EQUAL later-wins semantics exactly: half 1
+    carries higher triangle ids and overwrites equal depths."""
     i = pl.program_id(0)
     tile = pair_tile_ref[i]
     prev = pair_tile_ref[jnp.maximum(i - 1, 0)]
     first = jnp.logical_or(i == 0, tile != prev)
     cid = pair_chunk_ref[i]
-    ty = tile // ntx + band_ref[0]
+    tly = tile // ntx                              # band-local tile row
+    ty = tly + band_ref[0]
     tx = jax.lax.rem(tile, ntx)
 
     npx = TILE_H * TILE_W
+    hc = CHUNK // 2
 
     @pl.when(first)
     def _():
@@ -232,32 +268,42 @@ def _visibility_kernel(band_ref, pair_tile_ref, pair_chunk_ref, rec_ref,
     pxf = (tx * TILE_W + jax.lax.rem(r, TILE_W)).astype(jnp.float32) + 0.5
     pyf = (ty * TILE_H + r // TILE_W).astype(jnp.float32) + 0.5
 
-    rec = rec_ref[:]                               # (C, 16) auto-pipelined
+    for h in (0, 1):
+        tyy = half_bb_ref[cid * 4 + 2 * h]
+        txx = half_bb_ref[cid * 4 + 2 * h + 1]
+        hit = ((tly >= tyy // 65536) & (tly <= jax.lax.rem(tyy, 65536))
+               & (tx >= txx // 65536) & (tx <= jax.lax.rem(txx, 65536)))
 
-    def col(j):
-        return rec[:, j:j + 1]                     # (C, 1)
+        @pl.when(hit)
+        def _(h=h):
+            rec = rec_ref[h * hc:(h + 1) * hc, :]  # (hc, 16) auto-pipelined
 
-    e0 = col(0) * pxf + col(1) * pyf + col(2)      # (C, npx)
-    e1 = col(3) * pxf + col(4) * pyf + col(5)
-    e2 = col(6) * pxf + col(7) * pyf + col(8)
-    zi = e0 * col(9) + e1 * col(10) + e2 * col(11)
-    wi = e0 * col(12) + e1 * col(13) + e2 * col(14)
-    # depth range test in cross-multiplied form (no divide): with wi>0,
-    # 0 ≤ zi/wi ≤ 1 ⇔ zi ≥ 0 and zi ≤ wi
-    cover = ((e0 >= 0.0) & (e1 >= 0.0) & (e2 >= 0.0) & (wi > 1e-12)
-             & (zi >= 0.0) & (zi <= wi))
-    d = zi * pl.reciprocal(jnp.where(cover, wi, 1.0), approx=False)
-    dm = jnp.where(cover, d, DEPTH_SENTINEL)
+            def col(j):
+                return rec[:, j:j + 1]             # (hc, 1)
 
-    cmin = jnp.min(dm, axis=0, keepdims=True)      # (1, npx)
-    tid = (cid - 1) * CHUNK + jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0)
-    win = jnp.max(jnp.where(dm <= cmin, tid, -1), axis=0, keepdims=True)
+            e0 = col(0) * pxf + col(1) * pyf + col(2)   # (hc, npx)
+            e1 = col(3) * pxf + col(4) * pyf + col(5)
+            e2 = col(6) * pxf + col(7) * pyf + col(8)
+            zi = e0 * col(9) + e1 * col(10) + e2 * col(11)
+            wi = e0 * col(12) + e1 * col(13) + e2 * col(14)
+            # depth range test in cross-multiplied form (no divide): with
+            # wi>0, 0 ≤ zi/wi ≤ 1 ⇔ zi ≥ 0 and zi ≤ wi
+            cover = ((e0 >= 0.0) & (e1 >= 0.0) & (e2 >= 0.0) & (wi > 1e-12)
+                     & (zi >= 0.0) & (zi <= wi))
+            d = zi * pl.reciprocal(jnp.where(cover, wi, 1.0), approx=False)
+            dm = jnp.where(cover, d, DEPTH_SENTINEL)
 
-    acc_d = depth_out[0]
-    acc_t = tri_out[0]
-    better = (cmin <= acc_d) & (win >= 0)
-    depth_out[0] = jnp.where(better, cmin, acc_d)
-    tri_out[0] = jnp.where(better, win, acc_t)
+            cmin = jnp.min(dm, axis=0, keepdims=True)      # (1, npx)
+            tid = ((cid - 1) * CHUNK + h * hc
+                   + jax.lax.broadcasted_iota(jnp.int32, (hc, 1), 0))
+            win = jnp.max(jnp.where(dm <= cmin, tid, -1), axis=0,
+                          keepdims=True)
+
+            acc_d = depth_out[0]
+            acc_t = tri_out[0]
+            better = (cmin <= acc_d) & (win >= 0)
+            depth_out[0] = jnp.where(better, cmin, acc_d)
+            tri_out[0] = jnp.where(better, win, acc_t)
 
 
 def untile_frame(flat: Array, ntx: int, nty: int) -> Array:
@@ -296,21 +342,21 @@ def visibility_pallas_tiled(setup: TriangleSetup, width: int, height: int,
     band = jnp.asarray(tile_y_offset, jnp.int32).reshape(1)
     kernel = functools.partial(_visibility_kernel, ntx=ntx)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         # dynamic: only real pairs execute (≥1 — pair 0 degenerates to the
         # empty sentinel chunk when the frame has no pairs at all)
         grid=(jnp.maximum(bins.n_real, 1),),
         in_specs=[
             pl.BlockSpec((CHUNK, 16),
-                         lambda i, band, tiles, chunks: (chunks[i], 0),
+                         lambda i, band, tiles, chunks, hbb: (chunks[i], 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((1, 1, npx),
-                         lambda i, band, tiles, chunks: (tiles[i], 0, 0),
+                         lambda i, band, tiles, chunks, hbb: (tiles[i], 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, npx),
-                         lambda i, band, tiles, chunks: (tiles[i], 0, 0),
+                         lambda i, band, tiles, chunks, hbb: (tiles[i], 0, 0),
                          memory_space=pltpu.VMEM),
         ],
     )
@@ -324,7 +370,7 @@ def visibility_pallas_tiled(setup: TriangleSetup, width: int, height: int,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         interpret=interpret,
-    )(band, bins.pair_tile, bins.pair_chunk, bins.records)
+    )(band, bins.pair_tile, bins.pair_chunk, bins.half_bb, bins.records)
 
     # tiles no executed pair touched keep uninitialized VMEM garbage —
     # mask them to background from the pair list itself (one tiny scatter)
