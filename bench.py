@@ -140,10 +140,24 @@ def main() -> None:
             raster=raster, chunk=64, skinned=False,
             bloom=renderer.config.render.bloom)
 
+    def check_aux(aux, where: str) -> np.ndarray:
+        """Fail the bench on raster capacity overflow: a silently
+        truncating bench would report inflated FPS on missing geometry."""
+        if aux is None:
+            return np.zeros(2, np.int64)
+        a = np.asarray(aux).reshape(-1, 2).sum(axis=0)
+        if a[0] or a[1]:
+            raise SystemExit(
+                f"bench invalid ({where}): raster overflow — {int(a[0])} "
+                f"pairs truncated, {int(a[1])} big chunks dropped; the "
+                "rendered geometry is incomplete")
+        return a
+
     # warmup/compile
     token = jnp.zeros((), jnp.float32)
     out = frame(token, *plans[0])
     np.asarray(out.color.ravel()[:1])
+    aux_counts = check_aux(out.aux, "warmup frame")
 
     # interactive mode: one dispatch per frame through the BUNDLED path
     # (render/bundle.py — per-frame host state ships as 2 blob uploads,
@@ -194,14 +208,20 @@ def main() -> None:
                 clear_color=tuple(renderer.config.render.clear_color),
                 raster=raster, chunk=64, skinned=False,
                 bloom=renderer.config.render.bloom)
-            return o.depth[0, 0] * 0.0, o.color[0, 0, 0]
-        token, samples = jax.lax.scan(body, jnp.zeros((), jnp.float32), params_seq)
-        return samples
+            aux = (jnp.zeros((2,), jnp.int32) if o.aux is None
+                   else jnp.asarray(o.aux).reshape(-1, 2).sum(axis=0))
+            return o.depth[0, 0] * 0.0, (o.color[0, 0, 0], aux)
+        token, (samples, aux) = jax.lax.scan(
+            body, jnp.zeros((), jnp.float32), params_seq)
+        return samples, aux.sum(axis=0)
 
     scan_jit = jax.jit(scan_bench)
-    np.asarray(scan_jit(stacked))          # compile + run once
+    _, aux_all = scan_jit(stacked)         # compile + run once
+    np.asarray(aux_all)
+    check_aux(aux_all, f"scan over all {iters} frames")
     t0 = time.perf_counter()
-    np.asarray(scan_jit(stacked))
+    samples, aux_all = scan_jit(stacked)
+    np.asarray(samples)
     scan_fps = iters / (time.perf_counter() - t0)
 
     extra_quality = {}
@@ -230,6 +250,7 @@ def main() -> None:
                   "triangles": int(n_tris),
                   "interactive_fps": round(chain_fps, 2),
                   "raster": raster,
+                  "aux": [int(aux_counts[0]), int(aux_counts[1])],
                   "backend": jax.default_backend(), **extra_quality},
     }))
 

@@ -162,3 +162,28 @@ def test_non_pow2_non_square_sampling():
     assert out[0, 0] > 0.9 and out[0, 2] < 0.1     # left red
     assert out[1, 2] > 0.9 and out[1, 0] < 0.1     # right blue
     np.testing.assert_allclose(out[2], out[0], atol=1e-5)  # REPEAT wrap
+
+
+def test_small_slot_minified_past_own_pyramid():
+    """Regression (round-3 advisor): a slot smaller than the largest one,
+    sampled at a mip past its OWN pyramid depth, must clamp to its 1×1
+    tail — not walk into alignment padding or the next slot's texels."""
+    slots = TextureSlots(max_slots=8, edge=1024)
+    small = np.full((8, 8, 4), 0, np.uint8)
+    small[..., 1] = 200                      # green 8×8 → tail level 3
+    s_small = slots.acquire("small", small)
+    big = np.full((1024, 1024, 4), 0, np.uint8)
+    big[..., 0] = 255                        # red 1024² → max_level 10
+    slots.acquire("big", big)
+    tex = slots.device_arrays()
+    assert int(np.asarray(tex.max_level)) == 10
+
+    uv = jnp.asarray([[0.5, 0.5]], jnp.float32)
+    sl = jnp.full(1, s_small, jnp.int32)
+    tail = np.asarray(sample_texture(
+        tex, sl, uv, jnp.full(1, 3.0), mode="bilinear"))[0]
+    for lvl in (4.0, 7.0, 10.0):
+        out = np.asarray(sample_texture(
+            tex, sl, uv, jnp.full(1, lvl), mode="bilinear"))[0]
+        np.testing.assert_allclose(out, tail, atol=1e-5, err_msg=f"mip {lvl}")
+        assert out[1] > 0.5 and out[0] < 0.1  # still the green slot

@@ -58,6 +58,14 @@ TILE_H = int(_os.environ.get("TRIDENT_TILE_H", "8"))
 TILE_W = 128
 CHUNK = int(_os.environ.get("TRIDENT_CHUNK", "64"))
                      # triangles per record block
+if CHUNK < 4 or CHUNK % 4 != 0:
+    raise ValueError(
+        f"TRIDENT_CHUNK={CHUNK} must be a positive multiple of 4: the kernel "
+        "splits each chunk into quarter sub-blocks")
+if TILE_H < 1 or 128 % TILE_H != 0:
+    raise ValueError(
+        f"TRIDENT_TILE_H={TILE_H} must divide 128: SPAN_Y = 128//TILE_H must "
+        "stay consistent with the binning span")
 SPAN_X = 2           # max tile cols a binned chunk may cover (128px tiles)
 SPAN_Y = 128 // TILE_H   # max tile rows — chunks are ~square pixel patches
 MAX_GLOBAL = 64      # wide-span chunks broadcast to all tiles

@@ -170,8 +170,14 @@ def _level_geom(tex, slot: Array, level: Array, size_hint=None):
     lh = jnp.maximum(jnp.right_shift(h0, level), 1)
     es = jnp.maximum(jnp.right_shift(edge, level), 1)
     stride = es + 1
+    # clamp the additive level term to the slot's OWN pyramid depth: `level`
+    # is only clipped to the GLOBAL max level upstream, so a small slot
+    # minified past its own tail must not walk into the alignment padding /
+    # next slot. edge is pow2, so log2 via f32 is exact (edge ≤ 2^23).
+    tail = jnp.log2(jnp.maximum(edge, 1).astype(jnp.float32)).astype(level.dtype)
     base = ((base8 << 8)
-            + (edge * edge - es * es) * 4 // 3 + (edge - es) * 4 + level)
+            + (edge * edge - es * es) * 4 // 3 + (edge - es) * 4
+            + jnp.minimum(level, tail))
     return lw, lh, stride, base
 
 

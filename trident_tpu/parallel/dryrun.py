@@ -97,11 +97,17 @@ def _dryrun_explicit_collectives(n_devices: int, inputs_np, targets_np,
     # tile the batch up to the 1-D mesh size: EVENLY duplicated samples
     # leave the mean loss and the BatchNorm moments unchanged, so parity
     # still holds (batch = dp·k and dp divides n, so this is always even)
-    if n_devices % inputs_np.shape[0] == 0:
-        reps = n_devices // inputs_np.shape[0]
+    batch = inputs_np.shape[0]
+    if batch % n_devices != 0:
+        # tile to lcm(batch, n_devices): even duplication of every sample,
+        # so loss/BN parity still holds for any batch/device combination
+        reps = int(np.lcm(batch, n_devices)) // batch
         inputs_np = np.tile(inputs_np, (reps, 1, 1, 1))
         targets_np = np.tile(targets_np, (reps, 1, 1, 1))
-    assert inputs_np.shape[0] % n_devices == 0, inputs_np.shape
+    if inputs_np.shape[0] % n_devices != 0:
+        raise ValueError(
+            f"batch {inputs_np.shape[0]} is not divisible by n_devices "
+            f"{n_devices} even after lcm tiling — this should be impossible")
 
     step = shard_map(
         functools.partial(train_step, axis_name="dp"),

@@ -128,6 +128,9 @@ class DrawPlanCache:
         self._plan: Optional[DrawPlan] = None
         self._tri_draw: Optional[jnp.ndarray] = None
         self._corner_t: Optional[jnp.ndarray] = None
+        # monotone rebuild counter: cache signatures key on this instead of
+        # id(plan) (CPython recycles ids of freed objects)
+        self.version = 0
 
     def plan(self, packed: PackedGeometry, records: List[DrawRecord],
              geometry_version: int) -> Tuple[DrawPlan, jnp.ndarray]:
@@ -137,6 +140,7 @@ class DrawPlanCache:
         plan, tri_draw = build_draw_plan(packed, records)
         self._key, self._plan, self._tri_draw = key, plan, tri_draw
         self._corner_t = None
+        self.version += 1
         return plan, tri_draw
 
     def corner_table(self, packed: PackedGeometry) -> jnp.ndarray:

@@ -408,6 +408,7 @@ class Renderer:
     def set_ai_frame(self, image: Optional[np.ndarray], blend: float) -> None:
         self._ai_image = None if image is None else jnp.asarray(image, jnp.float32)
         self.ai_blend = float(blend)
+        self._ai_version = getattr(self, "_ai_version", 0) + 1
 
     # -- frame ------------------------------------------------------------------
     def _device_state(self):
@@ -535,6 +536,12 @@ class Renderer:
         rc = self.config.render
         banded = self._banded_render_fn() if rc.bands > 1 else None
         if banded is not None:
+            if rc.ai_upscale and not getattr(self, "_banded_upscale_warned",
+                                             False):
+                self._banded_upscale_warned = True
+                logger.warning(
+                    "ai_upscale is not supported with bands > 1 — the banded "
+                    "multi-chip path renders at native resolution")
             ai = AiBlend(image=ai_image,
                          blend=jnp.asarray(ai_blend, jnp.float32))
             corner_t = (None if skinned
@@ -575,7 +582,12 @@ class Renderer:
             sig = (f32.tobytes(), i32.tobytes(), shape, w_r, h_r,
                    self.geometry.version, self.textures.version,
                    getattr(self, "_skybox_version", 0),
-                   id(ai_image), id(plan), id(tri_draw),
+                   # monotone versions, NOT id()s: CPython recycles ids of
+                   # freed objects, which could hand a new AI frame or plan
+                   # a stale cache hit
+                   (getattr(self, "_ai_version", 0)
+                    if ai_image is not self._ai_zero else -1),
+                   self._plan_cache.version,
                    skinned, shadow_size, self._vertex_colors,
                    up is not None, self._raster_mode(),
                    rc.sampling, rc.plane_f16, rc.forward_shading,
