@@ -16,6 +16,16 @@ if not os.environ.get("TRIDENT_TPU_TESTS"):
 
     jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: the SPMD tests are compile-bound (the
+# banded shard_map graphs take 1-4 min EACH to build on a loaded machine);
+# cached repeat runs bring the whole suite back under the documented ~6 min.
+import jax as _jax
+
+_jax.config.update("jax_compilation_cache_dir",
+                   os.environ.get("TRIDENT_JAX_CACHE",
+                                  "/tmp/trident_jax_cache"))
+_jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
 import numpy as np
 import pytest
 

@@ -97,12 +97,15 @@ def test_banded_render_matches_single_exactly(eight_devices, raster, forward):
                                np.asarray(single.depth), atol=1e-5)
 
 
-@pytest.mark.parametrize("corner", [False, True])
+@pytest.mark.parametrize("corner", [True])
 def test_banded_render_full_featureset(eight_devices, corner):
     """Banded path with the whole pipeline on: pallas raster + in-kernel
     forward resolve + directional shadow map (banded) + PCF + SSAA + bloom,
-    compared against the identical single-chip render — on both the
-    indexed and corner-major (static corner table) geometry paths."""
+    compared against the identical single-chip render, on the corner-major
+    (static corner table) PRODUCTION geometry path. (The indexed variant
+    was dropped for suite cost — each banded graph compiles for minutes —
+    and stays covered without shadows/SSAA by
+    test_banded_render_matches_single_exactly.)"""
     from jax.sharding import Mesh
     from trident_tpu.ops.shadow import light_camera, scene_bounds
     from trident_tpu.parallel.framebuffer import render_frame_banded

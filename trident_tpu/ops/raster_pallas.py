@@ -9,13 +9,16 @@ Replaces the O(T×pixels) reference path with a sort-middle design:
      Records chunk 0 is an empty sentinel.
   2. (XLA) Each chunk is binned to the framebuffer tiles its bbox overlaps
      (≤ SPAN_X×SPAN_Y slots); chunks spanning more tiles are emitted for EVERY
-     tile (rare: huge triangles). Pairs pack as
-     tile << CHUNK_BITS | chunk_slot in ONE i32 — a single sort yields the
-     tile-major pair list AND the per-tile ordering (chunks ascending =
-     draw order). Tiles nothing touches are masked to background AFTER the
-     kernel from the pair list itself (one cheap scatter), so no per-tile
-     sentinel pairs are needed and output blocks are always well-defined
-     even if the pair list saturates PAIR_BUDGET.
+     tile (rare: huge triangles). Every candidate tile is tested EXACTLY
+     against the four C/4-triangle quarter bboxes: tiles no quarter touches
+     emit nothing, and the surviving pairs carry a 4-bit quarter hit mask.
+     Pairs pack as tile << CHUNK_BITS | chunk_slot in ONE i32 — one
+     key-value sort (mask as the value) yields the tile-major pair list AND
+     the per-tile ordering (chunks ascending = draw order). Tiles nothing
+     touches are masked to background AFTER the kernel from the pair list
+     itself (one cheap scatter), so no per-tile sentinel pairs are needed
+     and output blocks are always well-defined even if the pair list
+     saturates PAIR_BUDGET.
   3. (Pallas) Grid over PAIRS: the scalar-prefetched pair array drives the
      index maps, so each pair's record block streams in with Pallas's own
      double-buffered pipeline — no manual DMA. All pairs of a tile are
@@ -81,14 +84,15 @@ class PallasBins(NamedTuple):
     records: Array      # ((NC+1)*C, 16) f32; chunk slot 0 = empty sentinel
     pair_tile: Array    # (NPAIR,) i32 tile per pair (sorted, tile-major)
     pair_chunk: Array   # (NPAIR,) i32 chunk slot per pair (0 = sentinel)
-    half_bb: Array      # ((NC+1)*4,) i32 — per HALF-chunk tile bbox,
-                        # packed [ty0*65536+ty1, tx0*65536+tx1] × 2 halves
-                        # at [chunk*4 ...]: the kernel skips a 32-triangle
-                        # half whose bbox misses the tile (empty half =
-                        # (32767, 0) → never hits). FLAT 1-D on purpose —
-                        # 2-D scalar-prefetch arrays get lane-padded in
-                        # SMEM (measured: 27 KB ballooned past the 1 MB
-                        # SMEM budget at 110k tris)
+    pair_mask: Array    # (NPAIR,) i32 ∈ [1,15] — which QUARTER (C/4-tri)
+                        # sub-blocks of the chunk have a bbox touching this
+                        # pair's tile. Computed exactly per (tile, quarter)
+                        # at binning time, so (a) a tile inside a chunk's
+                        # union bbox that intersects no quarter emits NO
+                        # pair at all, and (b) the kernel evaluates only
+                        # hit quarters (Morton order keeps quarters
+                        # spatially compact). Replaces round-2's in-kernel
+                        # SMEM half-bbox range test at 2× finer grain.
     n_real: Array       # () i32 — real pairs (sorted prefix; rest is padding)
     n_pairs: int        # static capacity (== NPAIR)
     aux: Array          # (2,) i32 — [truncated real pairs, dropped big chunks]
@@ -157,23 +161,30 @@ def build_bins(setup: TriangleSetup, width: int, height: int) -> PallasBins:
     ctx1 = jnp.clip((x1 - 1) // TILE_W, 0, ntx - 1)
     cty1 = jnp.clip((y1 - 1) // TILE_H, 0, nty - 1)
 
-    # per HALF-chunk tile bboxes (the kernel's sub-block skip): packed as
-    # hi*65536+lo so the kernel decodes with // and % — bit-ops in Mosaic
-    # are avoided on principle here, and 32767*65536 stays inside i32
-    hc = CHUNK // 2
-    hx0 = jnp.where(valid, bbox[:, 0], big).reshape(n_chunks, 2, hc).min(axis=2)
-    hy0 = jnp.where(valid, bbox[:, 1], big).reshape(n_chunks, 2, hc).min(axis=2)
-    hx1 = jnp.where(valid, bbox[:, 2], 0).reshape(n_chunks, 2, hc).max(axis=2)
-    hy1 = jnp.where(valid, bbox[:, 3], 0).reshape(n_chunks, 2, hc).max(axis=2)
-    h_nonempty = (hx1 > hx0) & (hy1 > hy0)
-    hty0 = jnp.where(h_nonempty, jnp.clip(hy0 // TILE_H, 0, nty - 1), 32767)
-    hty1 = jnp.where(h_nonempty, jnp.clip((hy1 - 1) // TILE_H, 0, nty - 1), 0)
-    htx0 = jnp.where(h_nonempty, jnp.clip(hx0 // TILE_W, 0, ntx - 1), 32767)
-    htx1 = jnp.where(h_nonempty, jnp.clip((hx1 - 1) // TILE_W, 0, ntx - 1), 0)
-    half_bb = jnp.stack([hty0 * 65536 + hty1, htx0 * 65536 + htx1],
-                        axis=-1).reshape(n_chunks * 4).astype(jnp.int32)
-    half_bb = jnp.concatenate(
-        [jnp.full((4,), 32767 * 65536, jnp.int32), half_bb])  # sentinel 0
+    # per QUARTER-chunk tile bboxes (C/4 consecutive Morton-ordered
+    # triangles): the emission below tests each candidate tile against
+    # these EXACTLY, so the per-pair mask both prunes dead pairs and tells
+    # the kernel which quarters to evaluate (empty quarter = never hits)
+    qc = CHUNK // 4
+    qx0 = jnp.where(valid, bbox[:, 0], big).reshape(n_chunks, 4, qc).min(axis=2)
+    qy0 = jnp.where(valid, bbox[:, 1], big).reshape(n_chunks, 4, qc).min(axis=2)
+    qx1 = jnp.where(valid, bbox[:, 2], 0).reshape(n_chunks, 4, qc).max(axis=2)
+    qy1 = jnp.where(valid, bbox[:, 3], 0).reshape(n_chunks, 4, qc).max(axis=2)
+    q_nonempty = (qx1 > qx0) & (qy1 > qy0)                       # (NC, 4)
+    qty0 = jnp.where(q_nonempty, jnp.clip(qy0 // TILE_H, 0, nty - 1), 32767)
+    qty1 = jnp.where(q_nonempty, jnp.clip((qy1 - 1) // TILE_H, 0, nty - 1), -1)
+    qtx0 = jnp.where(q_nonempty, jnp.clip(qx0 // TILE_W, 0, ntx - 1), 32767)
+    qtx1 = jnp.where(q_nonempty, jnp.clip((qx1 - 1) // TILE_W, 0, ntx - 1), -1)
+
+    def quarter_mask(ty, tx):
+        """Exact hit mask for candidate tiles: (..., broadcast vs (NC,4))."""
+        hit = ((ty[..., None] >= qty0[:, None, :])
+               & (ty[..., None] <= qty1[:, None, :])
+               & (tx[..., None] >= qtx0[:, None, :])
+               & (tx[..., None] <= qtx1[:, None, :]))            # (NC, K, 4)
+        weights = jnp.asarray([1, 2, 4, 8], jnp.int32)
+        return jnp.sum(hit.astype(jnp.int32) * weights, axis=-1)
+
     span_x = ctx1 - ctx0 + 1
     span_y = cty1 - cty0 + 1
     small = nonempty & (span_x <= SPAN_X) & (span_y <= SPAN_Y)
@@ -181,22 +192,23 @@ def build_bins(setup: TriangleSetup, width: int, height: int) -> PallasBins:
     # chunk slot in records = chunk index + 1 (slot 0 is the sentinel)
     slot_ids = jnp.arange(1, n_chunks + 1, dtype=jnp.int32)
 
-    # small chunks → up to SPAN_X×SPAN_Y (tile, chunk) pairs
+    # small chunks → up to SPAN_X×SPAN_Y (tile, chunk) pairs; a candidate
+    # tile no quarter touches emits nothing (tighter than the union bbox)
     k = SPAN_X * SPAN_Y
     dx = jnp.arange(k, dtype=jnp.int32) % SPAN_X
     dy = jnp.arange(k, dtype=jnp.int32) // SPAN_X
     tx = ctx0[:, None] + dx[None, :]
     ty = cty0[:, None] + dy[None, :]
-    in_range = small[:, None] & (dx[None, :] < span_x[:, None]) \
-        & (dy[None, :] < span_y[:, None])
+    small_mask = jnp.where(small[:, None], quarter_mask(ty, tx), 0)
+    in_range = small_mask > 0
     tile_of = ty * ntx + tx
     small_pairs = jnp.where(
         in_range, (tile_of << CHUNK_BITS) | slot_ids[:, None],
         n_tiles << CHUNK_BITS).astype(jnp.int32)
 
     # big chunks (rare, huge triangles): compact to ≤ MAX_GLOBAL via stable
-    # argsort, then broadcast to every tile. Chunks past the cap are DROPPED
-    # (missing geometry) and counted in aux[1] so callers can warn/fallback.
+    # argsort, then broadcast to every tile a quarter touches. Chunks past
+    # the cap are DROPPED (missing geometry) and counted in aux[1].
     gmask = nonempty & ~small
     order = jnp.argsort(~gmask, stable=True).astype(jnp.int32)
     g = min(MAX_GLOBAL, n_chunks)
@@ -204,25 +216,40 @@ def build_bins(setup: TriangleSetup, width: int, height: int) -> PallasBins:
     gvalid = gmask[gsel]
     n_big_dropped = (jnp.sum(gmask) - jnp.sum(gvalid)).astype(jnp.int32)
     tile_ids = jnp.arange(n_tiles, dtype=jnp.int32)
-    big_pairs = jnp.where(
+    g_ty = jnp.broadcast_to(tile_ids[None, :] // ntx, (g, n_tiles))
+    g_tx = jnp.broadcast_to(tile_ids[None, :] % ntx, (g, n_tiles))
+    g_hit = ((g_ty[..., None] >= qty0[gsel][:, None, :])
+             & (g_ty[..., None] <= qty1[gsel][:, None, :])
+             & (g_tx[..., None] >= qtx0[gsel][:, None, :])
+             & (g_tx[..., None] <= qtx1[gsel][:, None, :]))
+    big_mask = jnp.where(
         gvalid[:, None],
+        jnp.sum(g_hit.astype(jnp.int32)
+                * jnp.asarray([1, 2, 4, 8], jnp.int32), axis=-1), 0)
+    big_pairs = jnp.where(
+        big_mask > 0,
         (tile_ids[None, :] << CHUNK_BITS) | (gsel[:, None] + 1),
         n_tiles << CHUNK_BITS).astype(jnp.int32)
 
-    # One sort of the full slot array (mostly empty-sentinel slots) orders
-    # AND compacts: real pairs form the sorted prefix. Measured note: a
+    # One key-value sort of the full slot array (mostly empty-sentinel
+    # slots) orders AND compacts: real pairs form the sorted prefix, and
+    # the quarter masks ride along as the value operand. Measured note: a
     # cumsum+scatter compaction before a smaller sort looked cheaper on
     # paper but jnp.cumsum over a 1-D ~650k array lowers pathologically on
     # TPU (binning 9.8 → 38 ms at 1M) — XLA's sort is the fast path here.
     pairs = jnp.concatenate([small_pairs.reshape(-1), big_pairs.reshape(-1)])
-    pairs = jnp.sort(pairs)
+    masks = jnp.concatenate([small_mask.reshape(-1), big_mask.reshape(-1)])
+    pairs, masks = jax.lax.sort((pairs, masks), dimension=0, num_keys=1,
+                                is_stable=False)
     # real pairs form a sorted prefix; padding slots clamp to
     # (last tile, sentinel chunk 0) and sit beyond the dynamic grid bound
     overflow = pairs >= (n_tiles << CHUNK_BITS)
     n_real_total = jnp.sum(~overflow).astype(jnp.int32)
     pairs = jnp.where(overflow, ((n_tiles - 1) << CHUNK_BITS), pairs)
+    masks = jnp.where(overflow, 0, masks)
     if pairs.shape[0] > PAIR_BUDGET:
         pairs = pairs[:PAIR_BUDGET]
+        masks = masks[:PAIR_BUDGET]
     n_real = jnp.minimum(n_real_total, pairs.shape[0])
     n_truncated = n_real_total - n_real
     # unpack for the scalar-prefetch index maps (plain array reads lower
@@ -231,12 +258,12 @@ def build_bins(setup: TriangleSetup, width: int, height: int) -> PallasBins:
     pair_chunk = pairs & CHUNK_MASK
 
     return PallasBins(records=records, pair_tile=pair_tile,
-                      pair_chunk=pair_chunk, half_bb=half_bb, n_real=n_real,
+                      pair_chunk=pair_chunk, pair_mask=masks, n_real=n_real,
                       n_pairs=int(pairs.shape[0]),
                       aux=jnp.stack([n_truncated, n_big_dropped]))
 
 
-def _visibility_kernel(band_ref, pair_tile_ref, pair_chunk_ref, half_bb_ref,
+def _visibility_kernel(band_ref, pair_tile_ref, pair_chunk_ref, pair_mask_ref,
                        rec_ref, depth_out, tri_out, *, ntx: int):
     """Layouts chosen for Mosaic: triangles on sublanes (C,1), pixels on
     lanes (1,npx); outputs are flat (1,1,npx) tile rows — no in-kernel
@@ -248,24 +275,27 @@ def _visibility_kernel(band_ref, pair_tile_ref, pair_chunk_ref, half_bb_ref,
     band seams are bit-exact. (It is a scalar-prefetch input because under
     shard_map the offset is a traced per-device value, not a constant.)
 
-    Each pair evaluates its chunk in TWO 32-triangle halves, and a half
-    whose tile bbox (half_bb_ref, SMEM) misses this tile is skipped
-    entirely — Morton order makes halves spatially compact, so a chunk
-    overlapping a tile often does it with only one half (~6-10× VPU waste
-    at 1M tris came from evaluating all 64 triangles per visited tile).
-    The merge keeps LESS_OR_EQUAL later-wins semantics exactly: half 1
-    carries higher triangle ids and overwrites equal depths."""
+    Each pair evaluates its chunk in FOUR C/4-triangle quarters, gated by
+    the pair's precomputed quarter hit mask (build_bins tests each
+    quarter's bbox against THIS tile exactly) — Morton order makes
+    quarters spatially compact, so a chunk overlapping a tile usually
+    does it with one quarter (~6-10× VPU waste at 1M tris came from
+    evaluating all 64 triangles per visited tile; round-2's half-chunk
+    skip halved that, the mask halves it again and prunes dead pairs in
+    the binner). The merge keeps LESS_OR_EQUAL later-wins semantics
+    exactly: quarter q carries higher triangle ids than q-1 and
+    overwrites equal depths."""
     i = pl.program_id(0)
     tile = pair_tile_ref[i]
     prev = pair_tile_ref[jnp.maximum(i - 1, 0)]
     first = jnp.logical_or(i == 0, tile != prev)
     cid = pair_chunk_ref[i]
-    tly = tile // ntx                              # band-local tile row
-    ty = tly + band_ref[0]
+    mask = pair_mask_ref[i]
+    ty = tile // ntx + band_ref[0]
     tx = jax.lax.rem(tile, ntx)
 
     npx = TILE_H * TILE_W
-    hc = CHUNK // 2
+    qc = CHUNK // 4
 
     @pl.when(first)
     def _():
@@ -276,20 +306,18 @@ def _visibility_kernel(band_ref, pair_tile_ref, pair_chunk_ref, half_bb_ref,
     pxf = (tx * TILE_W + jax.lax.rem(r, TILE_W)).astype(jnp.float32) + 0.5
     pyf = (ty * TILE_H + r // TILE_W).astype(jnp.float32) + 0.5
 
-    for h in (0, 1):
-        tyy = half_bb_ref[cid * 4 + 2 * h]
-        txx = half_bb_ref[cid * 4 + 2 * h + 1]
-        hit = ((tly >= tyy // 65536) & (tly <= jax.lax.rem(tyy, 65536))
-               & (tx >= txx // 65536) & (tx <= jax.lax.rem(txx, 65536)))
+    for q in range(4):
+        # mask bit q via // and % — bit ops are avoided in Mosaic scalars
+        hit = jax.lax.rem(mask // (1 << q), 2) == 1
 
         @pl.when(hit)
-        def _(h=h):
-            rec = rec_ref[h * hc:(h + 1) * hc, :]  # (hc, 16) auto-pipelined
+        def _(q=q):
+            rec = rec_ref[q * qc:(q + 1) * qc, :]  # (qc, 16) auto-pipelined
 
             def col(j):
-                return rec[:, j:j + 1]             # (hc, 1)
+                return rec[:, j:j + 1]             # (qc, 1)
 
-            e0 = col(0) * pxf + col(1) * pyf + col(2)   # (hc, npx)
+            e0 = col(0) * pxf + col(1) * pyf + col(2)   # (qc, npx)
             e1 = col(3) * pxf + col(4) * pyf + col(5)
             e2 = col(6) * pxf + col(7) * pyf + col(8)
             zi = e0 * col(9) + e1 * col(10) + e2 * col(11)
@@ -302,8 +330,8 @@ def _visibility_kernel(band_ref, pair_tile_ref, pair_chunk_ref, half_bb_ref,
             dm = jnp.where(cover, d, DEPTH_SENTINEL)
 
             cmin = jnp.min(dm, axis=0, keepdims=True)      # (1, npx)
-            tid = ((cid - 1) * CHUNK + h * hc
-                   + jax.lax.broadcasted_iota(jnp.int32, (hc, 1), 0))
+            tid = ((cid - 1) * CHUNK + q * qc
+                   + jax.lax.broadcasted_iota(jnp.int32, (qc, 1), 0))
             win = jnp.max(jnp.where(dm <= cmin, tid, -1), axis=0,
                           keepdims=True)
 
@@ -356,15 +384,15 @@ def visibility_pallas_tiled(setup: TriangleSetup, width: int, height: int,
         grid=(jnp.maximum(bins.n_real, 1),),
         in_specs=[
             pl.BlockSpec((CHUNK, 16),
-                         lambda i, band, tiles, chunks, hbb: (chunks[i], 0),
+                         lambda i, band, tiles, chunks, masks: (chunks[i], 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((1, 1, npx),
-                         lambda i, band, tiles, chunks, hbb: (tiles[i], 0, 0),
+                         lambda i, band, tiles, chunks, masks: (tiles[i], 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, npx),
-                         lambda i, band, tiles, chunks, hbb: (tiles[i], 0, 0),
+                         lambda i, band, tiles, chunks, masks: (tiles[i], 0, 0),
                          memory_space=pltpu.VMEM),
         ],
     )
@@ -378,7 +406,7 @@ def visibility_pallas_tiled(setup: TriangleSetup, width: int, height: int,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         interpret=interpret,
-    )(band, bins.pair_tile, bins.pair_chunk, bins.half_bb, bins.records)
+    )(band, bins.pair_tile, bins.pair_chunk, bins.pair_mask, bins.records)
 
     # tiles no executed pair touched keep uninitialized VMEM garbage —
     # mask them to background from the pair list itself (one tiny scatter)

@@ -79,65 +79,70 @@ def _resolve_kernel(band_ref, pair_tile_ref, pair_chunk_ref, rec_ref, tri_ref,
     rel = win - base
     mine = (win >= 0) & (rel >= 0) & (rel < CHUNK)  # (1, npx)
 
-    # one-hot select of the winner's record row on the MXU: contract the
-    # triangle dim of the (C, RW) block against the (C, npx) one-hot —
-    # the records stay in their natural row layout (no relayout anywhere)
-    oh = (jax.lax.broadcasted_iota(jnp.int32, (CHUNK, npx), 0)
-          == rel).astype(jnp.float32)
-    rec = rec_ref[0]                               # (C, RW)
-    sel = jax.lax.dot_general(rec, oh, (((0,), (0,)), ((), ())),
-                              preferred_element_type=jnp.float32)  # (RW,npx)
+    # winner-skip: most pairs lose the whole tile to another chunk (or the
+    # background) — the per-pair cost then collapses to the tri-block read
+    # + this reduction, and the one-hot matmul/interpolant eval never runs
+    @pl.when(jnp.any(mine))
+    def _():
+        # one-hot select of the winner's record row on the MXU: contract
+        # the triangle dim of the (C, RW) block against the (C, npx)
+        # one-hot — records stay in their natural row layout (no relayout)
+        oh = (jax.lax.broadcasted_iota(jnp.int32, (CHUNK, npx), 0)
+              == rel).astype(jnp.float32)
+        rec = rec_ref[0]                           # (C, RW)
+        sel = jax.lax.dot_general(rec, oh, (((0,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
 
-    r = jax.lax.broadcasted_iota(jnp.int32, (1, npx), 1)
-    pxf = (tx * TILE_W + jax.lax.rem(r, TILE_W)).astype(jnp.float32) + 0.5
-    pyf = (ty * TILE_H + r // TILE_W).astype(jnp.float32) + 0.5
+        r = jax.lax.broadcasted_iota(jnp.int32, (1, npx), 1)
+        pxf = (tx * TILE_W + jax.lax.rem(r, TILE_W)).astype(jnp.float32) + 0.5
+        pyf = (ty * TILE_H + r // TILE_W).astype(jnp.float32) + 0.5
 
-    def row(j):
-        return sel[j:j + 1]                        # (1, npx)
+        def row(j):
+            return sel[j:j + 1]                    # (1, npx)
 
-    def plane(j):                                  # g·(px,py,1)
-        return row(j) * pxf + row(j + 1) * pyf + row(j + 2)
+        def plane(j):                              # g·(px,py,1)
+            return row(j) * pxf + row(j + 1) * pyf + row(j + 2)
 
-    P = planes_mod
-    denom = plane(P.RR_G1)
-    inv = pl.reciprocal(
-        jnp.where(jnp.abs(denom) < 1e-20, 1e-20, denom), approx=False)
+        P = planes_mod
+        denom = plane(P.RR_G1)
+        inv = pl.reciprocal(
+            jnp.where(jnp.abs(denom) < 1e-20, 1e-20, denom), approx=False)
 
-    nx = plane(P.RR_NX) * inv
-    ny = plane(P.RR_NY) * inv
-    nz = plane(P.RR_NZ) * inv
-    u_num = plane(P.RR_U)
-    v_num = plane(P.RR_V)
-    u = u_num * inv
-    v = v_num * inv
+        nx = plane(P.RR_NX) * inv
+        ny = plane(P.RR_NY) * inv
+        nz = plane(P.RR_NZ) * inv
+        u_num = plane(P.RR_U)
+        v_num = plane(P.RR_V)
+        u = u_num * inv
+        v = v_num * inv
 
-    # analytic UV screen derivatives → mip (matches ops/deferred.py)
-    g1x, g1y = row(P.RR_G1), row(P.RR_G1 + 1)
-    du_dx = (row(P.RR_U) - u * g1x) * inv
-    du_dy = (row(P.RR_U + 1) - u * g1y) * inv
-    dv_dx = (row(P.RR_V) - v * g1x) * inv
-    dv_dy = (row(P.RR_V + 1) - v * g1y) * inv
-    tsx, tsy = row(P.RR_TSX), row(P.RR_TSY)
-    rho = jnp.maximum(
-        jnp.square(du_dx * tsx) + jnp.square(dv_dx * tsy),
-        jnp.square(du_dy * tsx) + jnp.square(dv_dy * tsy))
-    mip = 0.5 * jnp.log2(jnp.maximum(rho, 1e-12))
+        # analytic UV screen derivatives → mip (matches ops/deferred.py)
+        g1x, g1y = row(P.RR_G1), row(P.RR_G1 + 1)
+        du_dx = (row(P.RR_U) - u * g1x) * inv
+        du_dy = (row(P.RR_U + 1) - u * g1y) * inv
+        dv_dx = (row(P.RR_V) - v * g1x) * inv
+        dv_dy = (row(P.RR_V + 1) - v * g1y) * inv
+        tsx, tsy = row(P.RR_TSX), row(P.RR_TSY)
+        rho = jnp.maximum(
+            jnp.square(du_dx * tsx) + jnp.square(dv_dx * tsy),
+            jnp.square(du_dy * tsx) + jnp.square(dv_dy * tsy))
+        mip = 0.5 * jnp.log2(jnp.maximum(rho, 1e-12))
 
-    cf_r, cf_g, cf_b = row(P.RR_CF), row(P.RR_CF + 1), row(P.RR_CF + 2)
-    if vertex_colors:
-        cf_r = cf_r * plane(P.RR_COL) * inv
-        cf_g = cf_g * plane(P.RR_COL + 3) * inv
-        cf_b = cf_b * plane(P.RR_COL + 6) * inv
+        cf_r, cf_g, cf_b = row(P.RR_CF), row(P.RR_CF + 1), row(P.RR_CF + 2)
+        if vertex_colors:
+            cf_r = cf_r * plane(P.RR_COL) * inv
+            cf_g = cf_g * plane(P.RR_COL + 3) * inv
+            cf_b = cf_b * plane(P.RR_COL + 6) * inv
 
-    new = jnp.concatenate([
-        nx, ny, nz, u, v, mip,
-        cf_r, cf_g, cf_b, row(P.RR_CF + 3),
-        row(P.RR_MET), row(P.RR_ROUGH), row(P.RR_AMB), row(P.RR_BASE8),
-        tsx, tsy,
-    ], axis=0)                                     # (CHANNELS, npx)
+        new = jnp.concatenate([
+            nx, ny, nz, u, v, mip,
+            cf_r, cf_g, cf_b, row(P.RR_CF + 3),
+            row(P.RR_MET), row(P.RR_ROUGH), row(P.RR_AMB), row(P.RR_BASE8),
+            tsx, tsy,
+        ], axis=0)                                 # (CHANNELS, npx)
 
-    acc = out_ref[0]
-    out_ref[0] = jnp.where(mine, new, acc)
+        acc = out_ref[0]
+        out_ref[0] = jnp.where(mine, new, acc)
 
 
 def resolve_attrs_pallas(bins: PallasBins, tri_tiles: Array, records: Array,
