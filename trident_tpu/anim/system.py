@@ -20,6 +20,7 @@ from trident_tpu.ecs.registry import Registry
 
 class AnimationSystem:
     _players: Dict[int, AnimationPlayer] = {}
+    _samplers: Dict[tuple, object] = {}
 
     @classmethod
     def _player_for(cls, entity: int, anim: AnimationComponent) -> Optional[AnimationPlayer]:
@@ -55,7 +56,26 @@ class AnimationSystem:
                 anim.bone_matrices = player.evaluate_at(anim.time).copy()
 
     @classmethod
+    def _sampler_for(cls, skeleton, clip):
+        from trident_tpu.anim.batch import BatchedClipSampler
+
+        key = (id(skeleton), id(clip))
+        sampler = cls._samplers.get(key)
+        if sampler is None or sampler.skeleton is not skeleton \
+                or sampler.clip is not clip:
+            sampler = BatchedClipSampler(clip, skeleton)
+            cls._samplers[key] = sampler
+        return sampler
+
+    @classmethod
     def update(cls, registry: Registry, dt: float) -> None:
+        """Advance every playing AnimationComponent. Clip-driven entities
+        are grouped by (skeleton, clip) and pose-sampled in ONE jitted
+        call per group (anim/batch.py) — time advance / loop policy stays
+        per-entity host state; only the state-machine path walks entities
+        individually (reference: AnimationSystem.cpp:120-165 is a
+        per-entity loop for everything)."""
+        groups: Dict[tuple, list] = {}
         for entity, (anim,) in registry.view(AnimationComponent):
             if not anim.playing:
                 continue
@@ -69,6 +89,20 @@ class AnimationSystem:
             player.speed = anim.speed
             player.looping = anim.looping
             player.playing = True
-            player.time = anim.time
-            anim.bone_matrices = player.update(dt).copy()
+            if player.clip is None:
+                player.time = anim.time
+                anim.bone_matrices = player.update(dt).copy()
+                anim.time = player.time
+                continue
+            player.time = player._wrap(anim.time + dt * anim.speed)
             anim.time = player.time
+            key = (id(player.skeleton), id(player.clip))
+            groups.setdefault(key, []).append((anim, player))
+        for items in groups.values():
+            _, player0 = items[0]
+            sampler = cls._sampler_for(player0.skeleton, player0.clip)
+            palettes = sampler(np.asarray([a.time for a, _ in items]))
+            for (anim, player), pal in zip(items, palettes):
+                pal = np.ascontiguousarray(pal)
+                anim.bone_matrices = pal
+                player._palette = pal
