@@ -306,3 +306,108 @@ def test_fbx_renders_skinned(tmp_path):
     assert (np.asarray(r.viewports[0].last_frame.tri_id) >= 0).sum() > 100
     # the animation must visibly move pixels
     assert (img0[..., :3].astype(int) - img1[..., :3].astype(int)).any()
+
+
+# -- ASCII FBX (same node trees, text container) -------------------------------
+
+def write_fbx_ascii(path: str, top_nodes) -> None:
+    """Serialize the same node-tree fixtures as FBX ASCII 7.4 text."""
+    lines = ["; FBX 7.4.0 project file",
+             "FBXHeaderExtension:  {", "\tFBXVersion: 7400", "}"]
+
+    def fmt(p):
+        if isinstance(p, bool):
+            return str(int(p))
+        if isinstance(p, str):
+            if "\x00\x01" in p:
+                name, cls = p.split("\x00\x01", 1)
+                return f'"{cls}::{name}"'
+            return f'"{p}"'
+        if isinstance(p, float):
+            return repr(p)
+        return str(int(p))
+
+    def emit(name, props, children, depth):
+        ind = "\t" * depth
+        arrays = [p for p in props if isinstance(p, np.ndarray)]
+        if arrays:
+            a = np.asarray(arrays[0]).reshape(-1)
+            if a.dtype.kind == "f":
+                body = ",".join(repr(float(v)) for v in a)
+            else:
+                body = ",".join(str(int(v)) for v in a)
+            lines.append(f"{ind}{name}: *{a.size} {{")
+            lines.append(f"{ind}\ta: {body}")
+            lines.append(f"{ind}}}")
+            return
+        head = f"{ind}{name}: " + ", ".join(fmt(p) for p in props)
+        if children:
+            lines.append(head.rstrip() + (" {" if props else "{"))
+            for c in children:
+                emit(*c, depth + 1)
+            lines.append(ind + "}")
+        else:
+            lines.append(head)
+
+    for name, props, children in top_nodes:
+        emit(name, props, children, 0)
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+
+def _write_static_cube_ascii(path):
+    import unittest.mock as mock
+    with mock.patch(f"{__name__}.write_fbx", write_fbx_ascii):
+        _write_static_cube(path)
+
+
+def test_fbx_ascii_matches_binary_static(tmp_path):
+    """The ASCII container parses into the identical document: every mesh,
+    material, and transform matches the binary load bit-for-bit."""
+    pb, pa = str(tmp_path / "b.fbx"), str(tmp_path / "a.fbx")
+    _write_static_cube(pb)
+    _write_static_cube_ascii(pa)
+    with open(pa, "rb") as f:
+        assert not f.read().startswith(b"Kaydara")   # genuinely text
+    db, da = load_model(pb), load_model(pa)
+    assert len(da.meshes) == len(db.meshes) == 1
+    np.testing.assert_array_equal(da.meshes[0].positions, db.meshes[0].positions)
+    np.testing.assert_array_equal(da.meshes[0].indices, db.meshes[0].indices)
+    np.testing.assert_array_equal(da.meshes[0].normals, db.meshes[0].normals)
+    np.testing.assert_array_equal(da.meshes[0].uvs, db.meshes[0].uvs)
+    np.testing.assert_allclose(da.instance_transforms[0],
+                               db.instance_transforms[0])
+    np.testing.assert_allclose(da.materials[0].base_color,
+                               db.materials[0].base_color)
+
+
+def test_fbx_ascii_matches_binary_skinned(tmp_path):
+    import unittest.mock as mock
+
+    pb, pa = str(tmp_path / "b.fbx"), str(tmp_path / "a.fbx")
+    _write_skinned_two_bone(pb)
+    with mock.patch(f"{__name__}.write_fbx", write_fbx_ascii):
+        _write_skinned_two_bone(pa)
+    db, da = load_model(pb), load_model(pa)
+    assert len(da.skeleton) == len(db.skeleton) == 2
+    assert [b.name for b in da.skeleton.bones] == \
+        [b.name for b in db.skeleton.bones]
+    np.testing.assert_allclose(da.skeleton.bones[1].local_bind,
+                               db.skeleton.bones[1].local_bind, atol=1e-6)
+    np.testing.assert_array_equal(da.meshes[0].bone_indices,
+                                  db.meshes[0].bone_indices)
+    np.testing.assert_allclose(da.meshes[0].bone_weights,
+                               db.meshes[0].bone_weights)
+    assert len(da.clips) == 1 and da.clips[0].name == db.clips[0].name
+    np.testing.assert_allclose(da.clips[0].channels[0].positions,
+                               db.clips[0].channels[0].positions, atol=1e-6)
+    np.testing.assert_allclose(da.clips[0].channels[0].rotations,
+                               db.clips[0].channels[0].rotations, atol=1e-6)
+
+
+def test_fbx_garbage_rejected(tmp_path):
+    p = str(tmp_path / "junk.fbx")
+    with open(p, "wb") as f:
+        f.write(b"\x89PNG not an fbx at all")
+    with pytest.raises(Exception, match="FBX"):
+        load_model(p)

@@ -131,10 +131,16 @@ def _read_node(buf: bytes, pos: int, big: bool) -> Tuple[Optional[FbxNode], int]
 
 
 def parse_fbx(buf: bytes) -> Tuple[FbxNode, int]:
-    """Parse the binary container → (virtual root node, version)."""
+    """Parse an FBX file → (virtual root node, version). Binary 7.x is the
+    primary path; ASCII 7.x (the other format Assimp ingests via the same
+    `.fbx` extension, ModelLoader.cpp:27-38) parses into the IDENTICAL
+    node tree so every downstream consumer is shared."""
     if not buf.startswith(_MAGIC):
-        raise ValueError("not a binary FBX file (ASCII FBX is not supported; "
-                         "re-export as binary)")
+        head = buf[:4096]
+        if b"FBXHeaderExtension" in head or head.lstrip()[:5] == b"; FBX":
+            return _parse_fbx_ascii(buf.decode("utf-8", "replace"))
+        raise ValueError("not an FBX file (neither the binary magic nor an "
+                         "ASCII FBX header was found)")
     version = struct.unpack_from("<I", buf, 23)[0]
     big = version >= 7500
     pos = 27
@@ -144,6 +150,145 @@ def parse_fbx(buf: bytes) -> Tuple[FbxNode, int]:
         if node is None:
             break
         root.children.append(node)
+    return root, version
+
+
+# -- ASCII container -----------------------------------------------------------
+
+import re as _re
+
+_ASCII_TOKEN = _re.compile(r"""
+    "(?P<str>[^"]*)"                                  # quoted string
+  | (?P<num>[+-]?(?:\d+\.\d*|\.\d+|\d+)(?:[eE][+-]?\d+)?)
+  | \*(?P<arr>\d+)                                    # *N array header
+  | (?P<ident>[A-Za-z_][A-Za-z0-9_|\-]*)              # bare word
+  | (?P<punct>[{}:,])
+""", _re.VERBOSE)
+
+
+def _ascii_tokens(text: str):
+    for line in text.splitlines():
+        # comments: ';' outside quotes starts one (FBX ASCII convention)
+        out, in_q = [], False
+        for ch in line:
+            if ch == '"':
+                in_q = not in_q
+            elif ch == ";" and not in_q:
+                break
+            out.append(ch)
+        for m in _ASCII_TOKEN.finditer("".join(out)):
+            yield m
+
+
+def _ascii_value(m):
+    if m.lastgroup == "str":
+        s = m.group("str")
+        # ASCII object names are "Class::Name"; the binary container (and
+        # every consumer here) uses "Name\x00\x01Class" — normalize
+        if "::" in s:
+            cls, name = s.split("::", 1)
+            return f"{name}\x00\x01{cls}"
+        return s
+    if m.lastgroup == "num":
+        t = m.group("num")
+        if any(c in t for c in ".eE"):
+            return float(t)
+        return int(t)
+    return m.group("ident")                   # bare words (T, W, Y, ...)
+
+
+def _parse_fbx_ascii(text: str) -> Tuple[FbxNode, int]:
+    toks = list(_ascii_tokens(text))
+    pos = 0
+
+    def peek(k=0):
+        return toks[pos + k] if pos + k < len(toks) else None
+
+    def tok_is(m, punct):
+        return m is not None and m.lastgroup == "punct" and m.group() == punct
+
+    def parse_nodes(depth):
+        nonlocal pos
+        nodes = []
+        while True:
+            m = peek()
+            if m is None or tok_is(m, "}"):
+                return nodes
+            if m.lastgroup not in ("ident", "str") or not tok_is(peek(1), ":"):
+                raise ValueError(
+                    f"ASCII FBX: expected 'Name:' near token {m.group()!r}")
+            name = m.group("str") if m.lastgroup == "str" else m.group("ident")
+            pos += 2
+            node = FbxNode(name=name)
+            # array form: Name: *N { a: v,v,... }
+            m = peek()
+            if m is not None and m.lastgroup == "arr":
+                pos += 1
+                node.props.append(_parse_ascii_array())
+            else:
+                # prop list: value (, value)* — a bare word followed by ':'
+                # is the NEXT sibling node, not a prop
+                first = True
+                while True:
+                    m = peek()
+                    if m is None or tok_is(m, "{") or tok_is(m, "}"):
+                        break
+                    if m.lastgroup in ("ident", "str") and tok_is(peek(1), ":"):
+                        break
+                    if not first:
+                        if tok_is(m, ","):
+                            pos += 1
+                            m = peek()
+                        else:
+                            break
+                    if m is None or m.lastgroup == "punct":
+                        break
+                    node.props.append(_ascii_value(m))
+                    pos += 1
+                    first = False
+            m = peek()
+            if tok_is(m, "{"):
+                pos += 1
+                node.children = parse_nodes(depth + 1)
+                if not tok_is(peek(), "}"):
+                    raise ValueError(f"ASCII FBX: unbalanced {{}} in {name}")
+                pos += 1
+            nodes.append(node)
+
+    def _parse_ascii_array():
+        nonlocal pos
+        if not tok_is(peek(), "{"):
+            raise ValueError("ASCII FBX: *N not followed by { a: ... }")
+        pos += 1
+        m = peek()
+        if m is None or m.group() != "a" or not tok_is(peek(1), ":"):
+            raise ValueError("ASCII FBX: array block missing 'a:'")
+        pos += 2
+        vals = []
+        is_int = True
+        while True:
+            m = peek()
+            if m is None or tok_is(m, "}"):
+                break
+            if tok_is(m, ","):
+                pos += 1
+                continue
+            v = _ascii_value(m)
+            if isinstance(v, float):
+                is_int = False
+            vals.append(v)
+            pos += 1
+        pos += 1                                       # consume '}'
+        return np.asarray(vals, np.int64 if is_int else np.float64)
+
+    root = FbxNode(name="")
+    root.children = parse_nodes(0)
+    version = 7400
+    hdr = root.child("FBXHeaderExtension")
+    if hdr is not None:
+        v = hdr.child("FBXVersion")
+        if v is not None and v.props:
+            version = int(v.props[0])
     return root, version
 
 
