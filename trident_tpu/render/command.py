@@ -95,6 +95,12 @@ class RenderCommand:
         t = cls.get_registry().get(entity, TransformComponent)
         return np.asarray(compose_trs(t.position, t.rotation, t.scale))
 
+    @classmethod
+    def pick_entity(cls, x: int, y: int, viewport_id=None):
+        """Entity under a viewport pixel, or None (viewport selection,
+        SceneViewportPanel.cpp:63-100)."""
+        return cls.renderer().pick_entity(x, y, viewport_id)
+
     # -- inspector (component editing, Panels/InspectorPanel.cpp analogue) -----
     @classmethod
     def inspect_entity(cls, entity: int):

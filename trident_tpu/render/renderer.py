@@ -653,6 +653,32 @@ class Renderer:
                     int(aux[0]), int(aux[1]))
         return frame
 
+    def pick_entity(self, x: int, y: int,
+                    viewport_id: Optional[int] = None) -> Optional[int]:
+        """Entity under the pixel (viewport coordinates) or None — the
+        ImGuizmo-selection analogue (SceneViewportPanel.cpp:63-100): the
+        frame's winner-triangle id maps through the draw plan back to the
+        ECS entity that issued the draw."""
+        vid = self.active_viewport if viewport_id is None else viewport_id
+        out = self.render_viewport(vid)
+        if self._last_tri_draw is None or not self._last_records:
+            return None
+        tri_map = np.asarray(out.tri_id)
+        ctx = self.viewports[vid]
+        # tri_id may be at a different resolution than the viewport
+        # (supersampling renders larger, ai_upscale smaller) — rescale
+        ty = int(np.clip(y * tri_map.shape[0] // max(ctx.height, 1),
+                         0, tri_map.shape[0] - 1))
+        tx = int(np.clip(x * tri_map.shape[1] // max(ctx.width, 1),
+                         0, tri_map.shape[1] - 1))
+        tri = int(tri_map[ty, tx])
+        if tri < 0 or tri >= int(self._last_tri_draw.shape[0]):
+            return None
+        draw = int(np.asarray(self._last_tri_draw)[tri])
+        if draw < 0 or draw >= len(self._last_records):
+            return None
+        return int(self._last_records[draw].entity)
+
     # -- text overlay + presentation (TextRenderer analogue) --------------------
     @property
     def text(self):
