@@ -130,12 +130,22 @@ def main() -> None:
     corner_t = renderer._plan_cache.corner_table(packed)
     rw, rh = (w // 2, h // 2) if use_ai else (w, h)
 
-    def frame(token, plan, tri_draw, params, palette, shade):
+    # temporal upscaler: chain each frame's output + view-projection into
+    # the next call as reconstruction history (renderer.prev_state analogue)
+    temporal_ai = False
+    if upscale_params is not None:
+        from trident_tpu.ai.upscaler import (
+            TEMPORAL_CHANNELS, upscaler_in_channels)
+
+        temporal_ai = upscaler_in_channels(upscale_params) == TEMPORAL_CHANNELS
+    vp_mat = jnp.asarray(np.asarray(cam.proj) @ np.asarray(cam.view))
+
+    def frame(token, plan, tri_draw, params, palette, shade, prev=None):
         return render_frame(
             geo, plan, tri_draw, params, palette, shade,
             CameraParams(cam.view, cam.proj, cam.position + token * 0),
             lights, tex, sky, ai, corner_t=corner_t,
-            upscale_params=upscale_params, width=rw, height=rh,
+            upscale_params=upscale_params, prev=prev, width=rw, height=rh,
             clear_color=tuple(renderer.config.render.clear_color),
             raster=raster, chunk=64, skinned=False,
             bloom=renderer.config.render.bloom)
@@ -178,18 +188,22 @@ def main() -> None:
     ai_img = jnp.zeros((1, 1, 3), jnp.float32)
 
     @jax.jit
-    def frame_b(token, f32b, i32b):
+    def frame_b(token, f32b, i32b, prev=None):
         return render_frame_bundled(geo, plan0, tri_draw0, f32b + token * 0,
                                     i32b, tex, sky, ai_img, corner_t,
-                                    upscale_params, **statics)
+                                    upscale_params, prev, **statics)
 
-    out = frame_b(jnp.zeros((), jnp.float32), *bundles[0])
+    prev0 = (jnp.zeros((h, w, 4), jnp.uint8), vp_mat) if temporal_ai else None
+    out = frame_b(jnp.zeros((), jnp.float32), *bundles[0], prev0)
     np.asarray(out.color.ravel()[:1])
     t0 = time.perf_counter()
     token = jnp.zeros((), jnp.float32)
+    prev = prev0
     for k in range(iters):
-        out = frame_b(token, *bundles[k])
+        out = frame_b(token, *bundles[k], prev)
         token = out.depth[0, 0] * 0.0
+        if temporal_ai:
+            prev = (out.color, vp_mat)
     np.asarray(token)                      # force the whole chain
     chain_fps = iters / (time.perf_counter() - t0)
 
@@ -199,20 +213,24 @@ def main() -> None:
     plan0, tri_draw0, _, palette0, shade0 = plans[0]
 
     def scan_bench(params_seq):
-        def body(token, params_k):
+        def body(carry, params_k):
+            token, prev = carry
             o = render_frame(
                 geo, plan0, tri_draw0, params_k, palette0, shade0,
                 CameraParams(cam.view, cam.proj, cam.position + token * 0),
                 lights, tex, sky, ai, corner_t=corner_t,
-                upscale_params=upscale_params, width=rw, height=rh,
+                upscale_params=upscale_params, prev=prev, width=rw, height=rh,
                 clear_color=tuple(renderer.config.render.clear_color),
                 raster=raster, chunk=64, skinned=False,
                 bloom=renderer.config.render.bloom)
             aux = (jnp.zeros((2,), jnp.int32) if o.aux is None
                    else jnp.asarray(o.aux).reshape(-1, 2).sum(axis=0))
-            return o.depth[0, 0] * 0.0, (o.color[0, 0, 0], aux)
-        token, (samples, aux) = jax.lax.scan(
-            body, jnp.zeros((), jnp.float32), params_seq)
+            new_prev = (o.color, vp_mat) if temporal_ai else None
+            return (o.depth[0, 0] * 0.0, new_prev), (o.color[0, 0, 0], aux)
+        init = (jnp.zeros((), jnp.float32),
+                (jnp.zeros((h, w, 4), jnp.uint8), vp_mat) if temporal_ai
+                else None)
+        (token, _), (samples, aux) = jax.lax.scan(body, init, params_seq)
         return samples, aux.sum(axis=0)
 
     scan_jit = jax.jit(scan_bench)
@@ -226,13 +244,20 @@ def main() -> None:
 
     extra_quality = {}
     if use_ai:
+        # PSNR on frame 1 of the rotation sequence; a temporal net first
+        # reconstructs frame 0 (no history) and consumes it as history —
+        # exactly the runtime recurrence
         native = render_frame(
-            geo, *plans[0][:2], *plans[0][2:], cam, lights, tex, sky, ai,
+            geo, *plans[1][:2], *plans[1][2:], cam, lights, tex, sky, ai,
             corner_t=corner_t, width=w, height=h,
             clear_color=tuple(renderer.config.render.clear_color),
             raster=raster, chunk=64, skinned=False,
             bloom=renderer.config.render.bloom)
-        recon = frame(jnp.zeros((), jnp.float32), *plans[0])
+        prev_eval = prev0
+        if temporal_ai:
+            r0 = frame(jnp.zeros((), jnp.float32), *plans[0], prev0)
+            prev_eval = (r0.color, vp_mat)
+        recon = frame(jnp.zeros((), jnp.float32), *plans[1], prev_eval)
         a = np.asarray(native.color[..., :3]).astype(np.float32) / 255.0
         b = np.asarray(recon.color[..., :3]).astype(np.float32) / 255.0
         mse = float(np.mean(np.square(a - b)))

@@ -86,7 +86,71 @@ def randomize(r, reg, ents, sun, rng):
     r.editor_camera.set_position([np.sin(ang) * dist,
                                   rng.uniform(0.5, 4.0),
                                   np.cos(ang) * dist])
-    r.editor_camera.look_at_target(rng.uniform(-1, 1, 3))
+    tgt = rng.uniform(-1, 1, 3)
+    r.editor_camera.look_at_target(tgt)
+    return tgt
+
+
+def render_sequence_pairs(n_pairs: int, res: int, seed: int):
+    """Temporal mode: per sample, render the PREVIOUS frame at full res
+    from a nearby camera, then orbit a little and render the current
+    half-res input + full-res target + half-res depth + both cameras'
+    view-projections. The warp input is built with the SAME
+    warp_previous the runtime uses, so train == inference."""
+    from trident_tpu.ai.upscaler import warp_previous
+
+    r, reg, ents, sun, rng = build_pool(res, seed)
+    xs, temporals, targets = [], [], []
+    t0 = time.time()
+    warp_j = jax.jit(warp_previous, static_argnames=("full_width",
+                                                     "full_height"))
+    for k in range(n_pairs):
+        tgt = randomize(r, reg, ents, sun, rng)
+        cam = r.editor_camera
+        # previous frame: full res at pose A
+        r.set_viewport(0, res, res)
+        prev_out = r.render_viewport(0)
+        prev_rgb = np.asarray(prev_out.color)[..., :3].astype(np.float32) / 255.0
+        pa = cam.params()
+        prev_vp = np.asarray(pa.proj) @ np.asarray(pa.view)
+        # frame-to-frame motion: mostly camera (orbit + dolly jitter), but
+        # a fraction rotates the OBJECTS under a static camera — the warp
+        # is then an identity map with stale content, the history-mismatch
+        # case animated scenes hit at runtime
+        if rng.random() < 0.3:
+            from trident_tpu.ecs.components import TransformComponent
+
+            for e in ents:
+                t = reg.get(e, TransformComponent)
+                t.rotation = t.rotation + rng.uniform(-6, 6, 3).astype(
+                    np.float32)
+        else:
+            cam.orbit(tgt, float(rng.uniform(-4, 4)),
+                      float(rng.uniform(-2, 2)))
+            cam.dolly(float(rng.uniform(-0.3, 0.3)))
+        targets.append(np.asarray(r.read_frame())[..., :3])
+        r.set_viewport(0, res // 2, res // 2)
+        cur_out = r.render_viewport(0)
+        xs.append(np.asarray(cur_out.color)[..., :3].astype(np.float32) / 255.0)
+        pb = cam.params()
+        vp = np.asarray(pb.proj) @ np.asarray(pb.view)
+        t_in = np.asarray(warp_j(
+            jnp.asarray(prev_rgb), jnp.asarray(np.asarray(cur_out.depth)),
+            jnp.asarray(np.linalg.inv(vp).astype(np.float32)),
+            jnp.asarray(prev_vp.astype(np.float32)),
+            full_width=res, full_height=res))
+        # a fraction trains with NO history (valid=0 → the first-frame /
+        # spatial-fallback case the runtime hits after scene edits)
+        if rng.random() < 0.2:
+            t_in = np.zeros_like(t_in)
+        temporals.append(t_in)
+        if (k + 1) % 32 == 0:
+            print(f"  rendered {k + 1}/{n_pairs} sequence pairs "
+                  f"({time.time() - t0:.0f}s)", flush=True)
+    x = np.stack(xs).astype(np.float32)
+    t = np.stack(temporals).astype(np.float32)
+    return (np.concatenate([x, t], axis=-1),
+            np.stack(targets).astype(np.float32) / 255.0)
 
 
 def render_pairs(n_pairs: int, res: int, seed: int):
@@ -118,6 +182,10 @@ def main():
                     help="extra L1 on image gradients (sharpens edges)")
     ap.add_argument("--channels", type=int, default=32)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--temporal", action="store_true",
+                    help="train the temporal net: previous full-res frame "
+                         "reprojected by depth rides in as 13 extra "
+                         "channels (ai/upscaler.py warp_previous)")
     ap.add_argument("--out", default="assets_out/upscaler_2x")
     args = ap.parse_args()
 
@@ -125,14 +193,19 @@ def main():
         UpscalerNet, init_upscaler, psnr, save_upscaler)
 
     print("rendering training pairs…", flush=True)
-    inputs, targets = render_pairs(args.pairs, args.res, args.seed)
+    if args.temporal:
+        inputs, targets = render_sequence_pairs(args.pairs, args.res,
+                                                args.seed)
+    else:
+        inputs, targets = render_pairs(args.pairs, args.res, args.seed)
     n_val = max(args.pairs // 8, 4)
     val_in, val_tg = inputs[:n_val], targets[:n_val]
     tr_in, tr_tg = inputs[n_val:], targets[n_val:]
 
     model = UpscalerNet(base_channels=args.channels)
     _, variables = init_upscaler(jax.random.PRNGKey(args.seed),
-                                 args.channels)
+                                 args.channels,
+                                 in_channels=inputs.shape[-1])
     params = variables["params"]
     schedule = optax.cosine_decay_schedule(args.lr, args.steps, 0.02)
     tx = optax.adam(schedule)
@@ -158,7 +231,7 @@ def main():
     @jax.jit
     def evaluate(params, x, y):
         out = model.apply({"params": params}, x)
-        base = jax.image.resize(x, y.shape, "bilinear")
+        base = jax.image.resize(x[..., :3], y.shape, "bilinear")
         return psnr(out, y), psnr(base, y)
 
     rng = np.random.default_rng(args.seed)

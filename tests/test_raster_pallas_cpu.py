@@ -89,11 +89,12 @@ def test_big_chunk_drop_is_counted_not_garbage(rng, monkeypatch):
     """With MAX_GLOBAL shrunk, excess big chunks are dropped: the output
     must stay well-formed (subset of the oracle) and aux[1] must count."""
     monkeypatch.setattr(raster_pallas, "MAX_GLOBAL", 2)
-    t = 64 * 5  # 5 chunks, all near-plane → all big
+    C = raster_pallas.CHUNK
+    t = C * 5  # 5 chunks, all near-plane → all big
     pos = rng.uniform(-0.8, 0.8, (t, 3, 3)).astype(np.float32)
     pos[:, :, 2] = rng.uniform(0.1, 0.9, (t, 3))
     ww = np.ones((t, 3), np.float32)
-    ww[::64, 0] = -0.5  # one near-crossing triangle per chunk → all 5 big
+    ww[::C, 0] = -0.5  # one near-crossing triangle per chunk → all 5 big
     setup = _setup_from_ndc(pos, ww, w=WB)
     pal = visibility_pallas(setup, WB, H, interpret=True)
     aux = np.asarray(pal.aux)
@@ -105,7 +106,7 @@ def test_big_chunk_drop_is_counted_not_garbage(rng, monkeypatch):
     # depth test may promote a farther KEPT triangle where the winner was
     # dropped, so assert ids are valid and no uninitialized garbage leaks
     assert ((pt == -1) | ((pt >= 0) & (pt < t))).all()
-    kept = np.isin(pt // 64, [0, 1]) | (pt == -1)
+    kept = np.isin(pt // C, [0, 1]) | (pt == -1)
     assert kept.all()
 
 
@@ -119,8 +120,8 @@ def test_pair_budget_truncation_is_clean(rng, monkeypatch):
     setup = _random_scene(rng, 256, spread=0.95, size=0.3)
     full = visibility_pallas(setup, W, H, interpret=True)
     n_real = int(np.asarray(build_bins(setup, W, H).n_real))
-    assert n_real > 40
-    budget = 32
+    assert n_real > 8           # enough pairs that halving the budget bites
+    budget = n_real // 2
     monkeypatch.setattr(raster_pallas, "PAIR_BUDGET", budget)
     pal = visibility_pallas(setup, W, H, interpret=True)
     aux = np.asarray(pal.aux)

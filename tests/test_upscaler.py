@@ -76,3 +76,81 @@ def test_renderer_upscale_missing_checkpoint_degrades(tmp_path):
     frame = r.read_frame()                      # native-res fallback
     assert frame.shape == (64, 64, 4)
     assert r._upscaler_params is None
+
+
+def test_temporal_net_and_warp_identity():
+    """Temporal path: with an identical camera, warp_previous must return
+    the previous frame's own 2×2 blocks (s2d identity) with valid=1 on
+    geometry pixels, and the temporal net must accept the 16-ch input."""
+    from trident_tpu.ai.upscaler import (
+        TEMPORAL_CHANNELS, apply_upscaler, init_upscaler, warp_previous)
+    from trident_tpu.render.camera import EditorCamera
+
+    cam = EditorCamera()
+    cam.set_viewport_size(32, 32)
+    cam.set_position([0, 0, 3])
+    cam.look_at_target([0, 0, 0])
+    p = cam.params()
+    vp = np.asarray(p.proj) @ np.asarray(p.view)
+
+    rng = np.random.default_rng(7)
+    prev = rng.random((32, 32, 3)).astype(np.float32)
+    depth = np.full((16, 16), 0.5, np.float32)   # geometry everywhere
+    out = np.asarray(warp_previous(
+        jnp.asarray(prev), jnp.asarray(depth),
+        jnp.asarray(np.linalg.inv(vp).astype(np.float32)),
+        jnp.asarray(vp.astype(np.float32)), 32, 32))
+    assert out.shape == (16, 16, 13)
+    np.testing.assert_allclose(out[..., 12], 1.0)          # all valid
+    s2d = prev.reshape(16, 2, 16, 2, 3).transpose(0, 2, 1, 3, 4) \
+        .reshape(16, 16, 12)
+    np.testing.assert_allclose(out[..., :12], s2d, atol=1e-5)
+
+    # background pixels (depth==1) are invalid → zeros
+    out_bg = np.asarray(warp_previous(
+        jnp.asarray(prev), jnp.ones((16, 16), np.float32),
+        jnp.asarray(np.linalg.inv(vp).astype(np.float32)),
+        jnp.asarray(vp.astype(np.float32)), 32, 32))
+    np.testing.assert_allclose(out_bg, 0.0)
+
+    # the temporal net consumes the concatenated input
+    _, variables = init_upscaler(jax.random.PRNGKey(0), base_channels=8,
+                                 in_channels=TEMPORAL_CHANNELS)
+    up = apply_upscaler(variables["params"], jnp.asarray(prev[::2, ::2]),
+                        jnp.asarray(out))
+    assert up.shape == (32, 32, 3)
+    # zero-init head: no-history call equals the bilinear base path too
+    up_nohist = apply_upscaler(variables["params"],
+                               jnp.asarray(prev[::2, ::2]))
+    np.testing.assert_allclose(np.asarray(up), np.asarray(up_nohist),
+                               atol=1e-6)
+
+
+def test_temporal_checkpoint_roundtrip(tmp_path):
+    from trident_tpu.ai.upscaler import (
+        TEMPORAL_CHANNELS, init_upscaler, load_upscaler, save_upscaler,
+        upscaler_in_channels)
+
+    _, variables = init_upscaler(jax.random.PRNGKey(3), base_channels=8,
+                                 in_channels=TEMPORAL_CHANNELS)
+    save_upscaler(jax.device_get(variables["params"]), str(tmp_path), 8)
+    params, _bc = load_upscaler(str(tmp_path))
+    assert upscaler_in_channels(params) == TEMPORAL_CHANNELS
+
+
+def test_renderer_temporal_upscale_chains_frames(tmp_path):
+    """Renderer plumbing: a temporal checkpoint renders frame-to-frame,
+    the second frame consuming the first as history (prev_state)."""
+    from trident_tpu.ai.upscaler import (
+        TEMPORAL_CHANNELS, init_upscaler, save_upscaler)
+
+    _, variables = init_upscaler(jax.random.PRNGKey(4), base_channels=8,
+                                 in_channels=TEMPORAL_CHANNELS)
+    save_upscaler(jax.device_get(variables["params"]), str(tmp_path), 8)
+    r = _scene(tmp_path, str(tmp_path))
+    f0 = r.read_frame()
+    assert r.viewports[0].prev_state is not None
+    r.editor_camera.orbit([0, 0, 0], 10.0, 0.0)
+    f1 = r.read_frame()
+    assert f1.shape == (64, 64, 4)
+    assert (f0 != f1).any()

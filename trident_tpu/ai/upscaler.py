@@ -29,8 +29,11 @@ Array = jax.Array
 
 
 class UpscalerNet(nn.Module):
-    """(B, h, w, 3) in [0,1] → (B, 2h, 2w, 3): bilinear base + learned
-    residual detail via depth-to-space."""
+    """(B, h, w, C) in [0,1] → (B, 2h, 2w, 3): bilinear base + learned
+    residual detail via depth-to-space. C = 3 (spatial-only) or 16
+    (temporal: current 3 + warped previous full-res 2×2 block 12 +
+    validity 1 — see warp_previous). The bilinear base always comes from
+    the first 3 channels (the current half-res render)."""
 
     base_channels: int = 32
     dtype: Any = jnp.float32
@@ -49,24 +52,82 @@ class UpscalerNet(nn.Module):
         b, hh, ww, _ = h.shape
         detail = h.reshape(b, hh, ww, 2, 2, 3).transpose(0, 1, 3, 2, 4, 5)
         detail = detail.reshape(b, hh * 2, ww * 2, 3).astype(jnp.float32)
-        base = jax.image.resize(x.astype(jnp.float32),
+        base = jax.image.resize(x[..., :3].astype(jnp.float32),
                                 (b, hh * 2, ww * 2, 3), "bilinear")
         return jnp.clip(base + detail, 0.0, 1.0)
 
 
-def init_upscaler(rng: Array, base_channels: int = 32, dtype=jnp.float32):
+TEMPORAL_CHANNELS = 16   # 3 current + 12 warped-s2d + 1 validity
+
+
+def init_upscaler(rng: Array, base_channels: int = 32, dtype=jnp.float32,
+                  in_channels: int = 3):
     model = UpscalerNet(base_channels=base_channels, dtype=dtype)
-    dummy = jnp.zeros((1, 32, 32, 3), jnp.float32)
+    dummy = jnp.zeros((1, 32, 32, in_channels), jnp.float32)
     variables = model.init(rng, dummy)
     return model, variables
 
 
-def apply_upscaler(params, image: Array) -> Array:
+def upscaler_in_channels(params) -> int:
+    """3 = spatial-only net, 16 = temporal net (from the first conv)."""
+    return int(params["Conv_0"]["kernel"].shape[-2])
+
+
+def warp_previous(prev_rgb: Array, cur_depth: Array, cur_vp_inv: Array,
+                  prev_vp: Array, full_width: int, full_height: int) -> Array:
+    """Reproject the previous FULL-res frame into the current view at the
+    half-res grid → (h, w, 13): the 2×2 full-res block under each
+    reprojected point (space-to-depth, so full-res detail survives) + a
+    validity channel (0 where the reprojection leaves the frame or the
+    pixel is background).
+
+    ONE 48-byte row gather per half-res pixel — XLA gather cost is per ROW
+    (~8 ns regardless of width ≤48 B, PERF.md), so packing the 2×2 block
+    into the row makes the temporal input effectively free vs a bilinear
+    4-gather warp. prev_rgb (H, W, 3) f32 in [0,1]; cur_depth (h, w) from
+    the half-res render; matrices are the full-frame view·proj (current
+    inverted). Block alignment is ≤1 full-res pixel off — subpixel
+    placement is the net's job (it predicts per-output-pixel residuals)."""
+    h, w = cur_depth.shape
+    hp = jax.lax.Precision.HIGHEST
+    # half-res pixel centers in FULL-frame NDC
+    ys = (jnp.arange(h, dtype=jnp.float32) + 0.5) * (2.0 / h) - 1.0
+    xs = (jnp.arange(w, dtype=jnp.float32) + 0.5) * (2.0 / w) - 1.0
+    ndc_y, ndc_x = jnp.meshgrid(ys, xs, indexing="ij")
+    ndc = jnp.stack([ndc_x, ndc_y, cur_depth, jnp.ones_like(ndc_x)], axis=-1)
+    world = jnp.matmul(ndc, cur_vp_inv.T, precision=hp)
+    prev_clip = jnp.matmul(world, prev_vp.T, precision=hp)
+    pw = prev_clip[..., 3]
+    safe_w = jnp.where(jnp.abs(pw) < 1e-8, 1e-8, pw)
+    px = (prev_clip[..., 0] / safe_w + 1.0) * 0.5 * full_width
+    py = (prev_clip[..., 1] / safe_w + 1.0) * 0.5 * full_height
+
+    hh, ww2 = prev_rgb.shape[0] // 2, prev_rgb.shape[1] // 2
+    s2d = prev_rgb[:hh * 2, :ww2 * 2].reshape(hh, 2, ww2, 2, 3) \
+        .transpose(0, 2, 1, 3, 4).reshape(hh, ww2, 12)
+    bx = jnp.round(px * 0.5 - 0.5).astype(jnp.int32)
+    by = jnp.round(py * 0.5 - 0.5).astype(jnp.int32)
+    in_bounds = ((bx >= 0) & (bx < ww2) & (by >= 0) & (by < hh)
+                 & (pw > 1e-6) & (cur_depth < 1.0))
+    block = s2d[jnp.clip(by, 0, hh - 1), jnp.clip(bx, 0, ww2 - 1)]
+    valid = in_bounds[..., None].astype(jnp.float32)
+    return jnp.concatenate([block * valid, valid], axis=-1)
+
+
+def apply_upscaler(params, image: Array, temporal: Array = None) -> Array:
     """(H, W, 3) [0,1] → (2H, 2W, 3). Pure — safe inside the frame jit.
-    The channel width is inferred from the params, so no static config
-    has to ride along."""
+    Channel widths are inferred from the params, so no static config has
+    to ride along. `temporal`: the (H, W, 13) warp_previous output; pass
+    None (or omit) for a spatial-only net — a temporal net with no
+    history gets zeros + valid=0, which training teaches it to treat as
+    'fall back to spatial'."""
     bc = params["Conv_0"]["kernel"].shape[-1]
     model = UpscalerNet(base_channels=bc)
+    if upscaler_in_channels(params) == TEMPORAL_CHANNELS:
+        if temporal is None:
+            temporal = jnp.zeros(
+                (*image.shape[:2], TEMPORAL_CHANNELS - 3), jnp.float32)
+        image = jnp.concatenate([image, temporal], axis=-1)
     return model.apply({"params": params}, image[None])[0]
 
 
@@ -78,7 +139,8 @@ def save_upscaler(params, directory: str, base_channels: int = 32) -> str:
     ckptr.save(path, {"params": params}, force=True)
     ckptr.wait_until_finished()
     with open(os.path.join(directory, "meta.json"), "w") as f:
-        json.dump({"base_channels": base_channels, "scale": 2}, f)
+        json.dump({"base_channels": base_channels, "scale": 2,
+                   "in_channels": upscaler_in_channels(params)}, f)
     return path
 
 
@@ -90,7 +152,9 @@ def load_upscaler(directory: str):
     with open(os.path.join(directory, "meta.json")) as f:
         meta = json.load(f)
     bc = int(meta.get("base_channels", 32))
-    _, template = init_upscaler(jax.random.PRNGKey(0), bc)
+    in_ch = int(meta.get("in_channels", 3))
+    _, template = init_upscaler(jax.random.PRNGKey(0), bc,
+                                in_channels=in_ch)
     ckptr = ocp.StandardCheckpointer()
     restored = ckptr.restore(
         os.path.abspath(os.path.join(directory, "params")),

@@ -10,8 +10,8 @@ Replaces the O(T×pixels) reference path with a sort-middle design:
   2. (XLA) Each chunk is binned to the framebuffer tiles its bbox overlaps
      (≤ SPAN_X×SPAN_Y slots); chunks spanning more tiles are emitted for EVERY
      tile (rare: huge triangles). Every candidate tile is tested EXACTLY
-     against the four C/4-triangle quarter bboxes: tiles no quarter touches
-     emit nothing, and the surviving pairs carry a 4-bit quarter hit mask.
+     against the 16-triangle sub-block bboxes: tiles no sub-block touches
+     emit nothing, and the surviving pairs carry a per-sub-block hit mask.
      Pairs pack as tile << CHUNK_BITS | chunk_slot in ONE i32 — one
      key-value sort (mask as the value) yields the tile-major pair list AND
      the per-tile ordering (chunks ascending = draw order). Tiles nothing
@@ -61,10 +61,15 @@ TILE_H = int(_os.environ.get("TRIDENT_TILE_H", "8"))
 TILE_W = 128
 CHUNK = int(_os.environ.get("TRIDENT_CHUNK", "64"))
                      # triangles per record block
-if CHUNK < 4 or CHUNK % 4 != 0:
+SUB = 16             # triangles per maskable sub-block (fixed: Morton-
+                     # compact 16-tri groups have ~tile-sized bboxes)
+if CHUNK < SUB or CHUNK % SUB != 0:
     raise ValueError(
-        f"TRIDENT_CHUNK={CHUNK} must be a positive multiple of 4: the kernel "
-        "splits each chunk into quarter sub-blocks")
+        f"TRIDENT_CHUNK={CHUNK} must be a positive multiple of {SUB}: the "
+        "kernel splits each chunk into 16-triangle sub-blocks")
+NSUB = CHUNK // SUB  # sub-blocks per chunk == bits in the pair hit mask
+if NSUB > 30:
+    raise ValueError(f"TRIDENT_CHUNK={CHUNK} overflows the i32 hit mask")
 if TILE_H < 1 or 128 % TILE_H != 0:
     raise ValueError(
         f"TRIDENT_TILE_H={TILE_H} must divide 128: SPAN_Y = 128//TILE_H must "
@@ -84,15 +89,15 @@ class PallasBins(NamedTuple):
     records: Array      # ((NC+1)*C, 16) f32; chunk slot 0 = empty sentinel
     pair_tile: Array    # (NPAIR,) i32 tile per pair (sorted, tile-major)
     pair_chunk: Array   # (NPAIR,) i32 chunk slot per pair (0 = sentinel)
-    pair_mask: Array    # (NPAIR,) i32 ∈ [1,15] — which QUARTER (C/4-tri)
+    pair_mask: Array    # (NPAIR,) i32, NSUB bits — which 16-triangle
                         # sub-blocks of the chunk have a bbox touching this
-                        # pair's tile. Computed exactly per (tile, quarter)
+                        # pair's tile. Computed exactly per (tile, sub)
                         # at binning time, so (a) a tile inside a chunk's
-                        # union bbox that intersects no quarter emits NO
+                        # union bbox that intersects no sub-block emits NO
                         # pair at all, and (b) the kernel evaluates only
-                        # hit quarters (Morton order keeps quarters
+                        # hit sub-blocks (Morton order keeps them
                         # spatially compact). Replaces round-2's in-kernel
-                        # SMEM half-bbox range test at 2× finer grain.
+                        # SMEM half-bbox range test at finer grain.
     n_real: Array       # () i32 — real pairs (sorted prefix; rest is padding)
     n_pairs: int        # static capacity (== NPAIR)
     aux: Array          # (2,) i32 — [truncated real pairs, dropped big chunks]
@@ -161,29 +166,32 @@ def build_bins(setup: TriangleSetup, width: int, height: int) -> PallasBins:
     ctx1 = jnp.clip((x1 - 1) // TILE_W, 0, ntx - 1)
     cty1 = jnp.clip((y1 - 1) // TILE_H, 0, nty - 1)
 
-    # per QUARTER-chunk tile bboxes (C/4 consecutive Morton-ordered
-    # triangles): the emission below tests each candidate tile against
-    # these EXACTLY, so the per-pair mask both prunes dead pairs and tells
-    # the kernel which quarters to evaluate (empty quarter = never hits)
-    qc = CHUNK // 4
-    qx0 = jnp.where(valid, bbox[:, 0], big).reshape(n_chunks, 4, qc).min(axis=2)
-    qy0 = jnp.where(valid, bbox[:, 1], big).reshape(n_chunks, 4, qc).min(axis=2)
-    qx1 = jnp.where(valid, bbox[:, 2], 0).reshape(n_chunks, 4, qc).max(axis=2)
-    qy1 = jnp.where(valid, bbox[:, 3], 0).reshape(n_chunks, 4, qc).max(axis=2)
-    q_nonempty = (qx1 > qx0) & (qy1 > qy0)                       # (NC, 4)
+    # per SUB-block (16 consecutive Morton-ordered triangles) tile bboxes:
+    # the emission below tests each candidate tile against these EXACTLY,
+    # so the per-pair mask both prunes dead pairs and tells the kernel
+    # which sub-blocks to evaluate (empty sub-block = never hits)
+    qx0 = jnp.where(valid, bbox[:, 0], big).reshape(
+        n_chunks, NSUB, SUB).min(axis=2)
+    qy0 = jnp.where(valid, bbox[:, 1], big).reshape(
+        n_chunks, NSUB, SUB).min(axis=2)
+    qx1 = jnp.where(valid, bbox[:, 2], 0).reshape(
+        n_chunks, NSUB, SUB).max(axis=2)
+    qy1 = jnp.where(valid, bbox[:, 3], 0).reshape(
+        n_chunks, NSUB, SUB).max(axis=2)
+    q_nonempty = (qx1 > qx0) & (qy1 > qy0)                       # (NC, NSUB)
     qty0 = jnp.where(q_nonempty, jnp.clip(qy0 // TILE_H, 0, nty - 1), 32767)
     qty1 = jnp.where(q_nonempty, jnp.clip((qy1 - 1) // TILE_H, 0, nty - 1), -1)
     qtx0 = jnp.where(q_nonempty, jnp.clip(qx0 // TILE_W, 0, ntx - 1), 32767)
     qtx1 = jnp.where(q_nonempty, jnp.clip((qx1 - 1) // TILE_W, 0, ntx - 1), -1)
+    _weights = (1 << jnp.arange(NSUB, dtype=jnp.int32))
 
     def quarter_mask(ty, tx):
-        """Exact hit mask for candidate tiles: (..., broadcast vs (NC,4))."""
+        """Exact hit mask for candidate tiles (broadcast vs (NC,NSUB))."""
         hit = ((ty[..., None] >= qty0[:, None, :])
                & (ty[..., None] <= qty1[:, None, :])
                & (tx[..., None] >= qtx0[:, None, :])
-               & (tx[..., None] <= qtx1[:, None, :]))            # (NC, K, 4)
-        weights = jnp.asarray([1, 2, 4, 8], jnp.int32)
-        return jnp.sum(hit.astype(jnp.int32) * weights, axis=-1)
+               & (tx[..., None] <= qtx1[:, None, :]))            # (NC,K,NSUB)
+        return jnp.sum(hit.astype(jnp.int32) * _weights, axis=-1)
 
     span_x = ctx1 - ctx0 + 1
     span_y = cty1 - cty0 + 1
@@ -225,7 +233,7 @@ def build_bins(setup: TriangleSetup, width: int, height: int) -> PallasBins:
     big_mask = jnp.where(
         gvalid[:, None],
         jnp.sum(g_hit.astype(jnp.int32)
-                * jnp.asarray([1, 2, 4, 8], jnp.int32), axis=-1), 0)
+                * _weights, axis=-1), 0)
     big_pairs = jnp.where(
         big_mask > 0,
         (tile_ids[None, :] << CHUNK_BITS) | (gsel[:, None] + 1),
@@ -295,7 +303,7 @@ def _visibility_kernel(band_ref, pair_tile_ref, pair_chunk_ref, pair_mask_ref,
     tx = jax.lax.rem(tile, ntx)
 
     npx = TILE_H * TILE_W
-    qc = CHUNK // 4
+
 
     @pl.when(first)
     def _():
@@ -306,18 +314,18 @@ def _visibility_kernel(band_ref, pair_tile_ref, pair_chunk_ref, pair_mask_ref,
     pxf = (tx * TILE_W + jax.lax.rem(r, TILE_W)).astype(jnp.float32) + 0.5
     pyf = (ty * TILE_H + r // TILE_W).astype(jnp.float32) + 0.5
 
-    for q in range(4):
+    for q in range(NSUB):
         # mask bit q via // and % — bit ops are avoided in Mosaic scalars
         hit = jax.lax.rem(mask // (1 << q), 2) == 1
 
         @pl.when(hit)
         def _(q=q):
-            rec = rec_ref[q * qc:(q + 1) * qc, :]  # (qc, 16) auto-pipelined
+            rec = rec_ref[q * SUB:(q + 1) * SUB, :]  # auto-pipelined
 
             def col(j):
-                return rec[:, j:j + 1]             # (qc, 1)
+                return rec[:, j:j + 1]             # (SUB, 1)
 
-            e0 = col(0) * pxf + col(1) * pyf + col(2)   # (qc, npx)
+            e0 = col(0) * pxf + col(1) * pyf + col(2)   # (SUB, npx)
             e1 = col(3) * pxf + col(4) * pyf + col(5)
             e2 = col(6) * pxf + col(7) * pyf + col(8)
             zi = e0 * col(9) + e1 * col(10) + e2 * col(11)
@@ -330,8 +338,8 @@ def _visibility_kernel(band_ref, pair_tile_ref, pair_chunk_ref, pair_mask_ref,
             dm = jnp.where(cover, d, DEPTH_SENTINEL)
 
             cmin = jnp.min(dm, axis=0, keepdims=True)      # (1, npx)
-            tid = ((cid - 1) * CHUNK + q * qc
-                   + jax.lax.broadcasted_iota(jnp.int32, (qc, 1), 0))
+            tid = ((cid - 1) * CHUNK + q * SUB
+                   + jax.lax.broadcasted_iota(jnp.int32, (SUB, 1), 0))
             win = jnp.max(jnp.where(dm <= cmin, tid, -1), axis=0,
                           keepdims=True)
 

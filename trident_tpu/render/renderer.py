@@ -116,7 +116,7 @@ def _visibility_and_shade(setup, records, planes, textures, camera, lights,
 
 def _render_frame_impl(geometry, plan, tri_draw, params, palette, shade_table,
                        camera, lights, textures, skybox, ai, corner_t=None,
-                       upscale_params=None,
+                       upscale_params=None, prev=None,
                        *, width: int, height: int, clear_color,
                        raster: str, chunk: int, skinned: bool,
                        sampling: str = "bilinear",
@@ -190,14 +190,18 @@ def _render_frame_impl(geometry, plan, tri_draw, params, palette, shade_table,
 
     records = planes = None
     if use_kernel_shading:
+        from trident_tpu.ops import raster_pallas
         from trident_tpu.ops.planes import (
             build_resolve_rows, chunk_resolve_rows)
 
+        # the resolve pass walks the SAME pair list as the visibility
+        # kernel — records must chunk at its (env-overridable) CHUNK, not
+        # the ref-path `chunk` argument
         records = chunk_resolve_rows(
             build_resolve_rows(setup, c_nrm, c_uv, tri_draw, draw_consts,
                                c_col,
                                consts_rows=None if cs is None else cs.consts),
-            chunk)
+            raster_pallas.CHUNK)
     else:
         from trident_tpu.ops.planes import build_planes_corners
 
@@ -222,9 +226,25 @@ def _render_frame_impl(geometry, plan, tri_draw, params, palette, shade_table,
         # neural 2x reconstruction (ai/upscaler.py): width/height here are
         # the HALF-res render dims; the output frame is full size. The AI
         # blend then applies at display resolution.
-        from trident_tpu.ai.upscaler import apply_upscaler
+        from trident_tpu.ai.upscaler import (
+            TEMPORAL_CHANNELS, apply_upscaler, upscaler_in_channels,
+            warp_previous)
 
-        rgb = apply_upscaler(upscale_params, frame[..., :3])
+        temporal = None
+        if (prev is not None
+                and upscaler_in_channels(upscale_params) == TEMPORAL_CHANNELS):
+            # prev = (previous full-res FrameOutput.color, previous
+            # view-projection): reproject its detail into this view
+            prev_color, prev_vp = prev
+            prev_rgb = prev_color[..., :3]
+            if prev_rgb.dtype == jnp.uint8:
+                prev_rgb = prev_rgb.astype(jnp.float32) * (1.0 / 255.0)
+            hp = jax.lax.Precision.HIGHEST
+            vp = jnp.matmul(camera.proj, camera.view, precision=hp)
+            d_half = gbuf.depth[::supersample, ::supersample]
+            temporal = warp_previous(prev_rgb, d_half, jnp.linalg.inv(vp),
+                                     prev_vp, width * 2, height * 2)
+        rgb = apply_upscaler(upscale_params, frame[..., :3], temporal)
         alpha = jnp.repeat(jnp.repeat(frame[..., 3:4], 2, axis=0), 2, axis=1)
         frame = jnp.concatenate([rgb, alpha], axis=-1)
     frame = jnp.clip(apply_ai_blend(frame, ai), 0.0, 1.0)
@@ -250,7 +270,7 @@ def _render_frame_impl(geometry, plan, tri_draw, params, palette, shade_table,
                                              "bloom_strength"))
 def render_frame(geometry, plan, tri_draw, params, palette, shade_table,
                  camera, lights, textures, skybox, ai, light_camera=None,
-                 corner_t=None, upscale_params=None,
+                 corner_t=None, upscale_params=None, prev=None,
                  *, width, height, clear_color, raster, chunk, skinned,
                  sampling="bilinear", vertex_colors=False, plane_f16=True,
                  forward_shading=True, shadow_size=0,
@@ -259,7 +279,7 @@ def render_frame(geometry, plan, tri_draw, params, palette, shade_table,
                  bloom_strength=0.6) -> FrameOutput:
     return _render_frame_impl(
         geometry, plan, tri_draw, params, palette, shade_table, camera,
-        lights, textures, skybox, ai, corner_t, upscale_params,
+        lights, textures, skybox, ai, corner_t, upscale_params, prev,
         width=width, height=height,
         clear_color=clear_color, raster=raster, chunk=chunk, skinned=skinned,
         sampling=sampling, vertex_colors=vertex_colors, plane_f16=plane_f16,
@@ -277,6 +297,7 @@ def render_frame(geometry, plan, tri_draw, params, palette, shade_table,
     "bloom_strength"))
 def render_frame_bundled(geometry, plan, tri_draw, f32, i32, textures,
                          skybox, ai_image, corner_t=None, upscale_params=None,
+                         prev=None,
                          *, shape, width, height,
                          clear_color, raster, chunk, skinned,
                          sampling="bilinear", vertex_colors=False,
@@ -295,7 +316,7 @@ def render_frame_bundled(geometry, plan, tri_draw, f32, i32, textures,
     ai = AiBlend(image=ai_image, blend=ai_blend)
     return _render_frame_impl(
         geometry, plan, tri_draw, params, palette, shade_table, camera,
-        lights, textures, skybox, ai, corner_t, upscale_params,
+        lights, textures, skybox, ai, corner_t, upscale_params, prev,
         width=width, height=height,
         clear_color=clear_color, raster=raster, chunk=chunk, skinned=skinned,
         sampling=sampling, vertex_colors=vertex_colors, plane_f16=plane_f16,
@@ -317,6 +338,8 @@ class ViewportContext:
     camera: Optional[Camera] = None
     last_frame: Optional[FrameOutput] = None
     last_sig: Optional[tuple] = None   # idle-frame cache key
+    prev_state: Optional[tuple] = None  # (color, view·proj) for the
+                                        # temporal upscaler (device arrays)
 
 
 class Renderer:
@@ -597,9 +620,10 @@ class Renderer:
             if ctx.last_frame is not None and ctx.last_sig == sig:
                 return ctx.last_frame
             ctx.last_sig = sig
+            prev = ctx.prev_state if up is not None else None
             out = render_frame_bundled(
                 device_geo, plan, tri_draw, f32, i32, textures, skybox,
-                ai_image, corner_t, up, shape=shape,
+                ai_image, corner_t, up, prev, shape=shape,
                 width=w_r, height=h_r,
                 clear_color=tuple(rc.clear_color),
                 raster=self._raster_mode(), chunk=64, skinned=skinned,
@@ -613,6 +637,11 @@ class Renderer:
                 bloom=rc.bloom,
                 bloom_threshold=rc.bloom_threshold,
                 bloom_strength=rc.bloom_strength)
+            if up is not None:
+                hp = jax.lax.Precision.HIGHEST
+                p = cam.params()
+                ctx.prev_state = (out.color,
+                                  jnp.matmul(p.proj, p.view, precision=hp))
         ctx.last_frame = out
         return out
 
