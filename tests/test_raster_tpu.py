@@ -37,3 +37,98 @@ def test_pallas_matches_oracle_on_hardware():
     assert (rt != pt).sum() == 0
     np.testing.assert_allclose(np.asarray(ref.depth), np.asarray(pal.depth),
                                atol=1e-6)
+
+
+@pytest.mark.skipif(jax.default_backend() == "cpu",
+                    reason="needs real TPU (conftest forces CPU)")
+def test_bench_scale_oracle_parity_on_hardware():
+    """110k triangles at 1080p — bench-scale oracle-vs-Pallas on the real
+    chip (round-2 proved TPU-only divergence exists: CHUNK=32 resolve hit
+    a runtime FailedPrecondition CPU interpret could not see)."""
+    import jax.numpy as jnp
+
+    from trident_tpu.ops.raster_pallas import visibility_pallas
+    from trident_tpu.ops.raster_ref import visibility_ref
+    from trident_tpu.ops.vertex import triangle_setup
+
+    w, h = 1920, 1080
+    rng = np.random.default_rng(11)
+    t = 110_000
+    pos = (rng.uniform(-1, 1, (t, 1, 3)) * [0.95, 0.95, 0.4]
+           + rng.uniform(-0.02, 0.02, (t, 3, 3)))
+    ww = np.ones((t, 3, 1), np.float32) * rng.uniform(0.5, 2.0, (t, 1, 1))
+    clip = np.concatenate(
+        [pos[..., :2] * ww, (pos[..., 2:3] * 0.5 + 0.5) * ww, ww],
+        axis=-1).astype(np.float32)
+    tri_vtx = jnp.arange(t * 3, dtype=jnp.int32).reshape(t, 3)
+    setup = triangle_setup(jnp.asarray(clip.reshape(t * 3, 4)), tri_vtx,
+                           jnp.ones(t, bool), w, h)
+    ref = visibility_ref(setup, w, h)
+    pal = visibility_pallas(setup, w, h)
+    rt, pt = np.asarray(ref.tri_id), np.asarray(pal.tri_id)
+    mism = (rt != pt).sum()
+    assert mism == 0, f"{mism} winner mismatches vs oracle at bench scale"
+    np.testing.assert_allclose(np.asarray(ref.depth), np.asarray(pal.depth),
+                               atol=1e-6)
+    aux = np.asarray(pal.aux)
+    assert aux.sum() == 0, f"capacity overflow at bench scale: {aux}"
+
+
+@pytest.mark.skipif(jax.default_backend() == "cpu",
+                    reason="needs real TPU (conftest forces CPU)")
+def test_golden_flavors_on_hardware():
+    """All nine golden pipeline flavors rendered ON THE CHIP through the
+    production Pallas raster, against the CPU-generated goldens. TPU↔CPU
+    frame diff is 0.4-0.7 LSB mean (PERF.md round-2), so the gate is a
+    small multiple of the CPU-CI gate."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    import test_golden_flavors as tg
+    from trident_tpu.io.image import load_rgba8
+
+    orig_make = tg._make
+
+    def pallas_make(**kw):
+        kw.setdefault("use_pallas", True)     # production path on hardware
+        return orig_make(**kw)
+
+    tg._make = pallas_make
+    try:
+        failures = []
+        for name, builder in sorted(tg.FLAVORS.items()):
+            img = builder().read_frame()
+            golden = load_rgba8(
+                os.path.join(tg.GOLDEN_DIR, f"flavor_{name}.png"))
+            diff = np.abs(img.astype(int) - golden.astype(int))
+            frac = (diff > 3).mean()
+            mean = float(diff.mean())
+            print(f"flavor {name}: >3LSB frac={frac:.5f} mean={mean:.3f}",
+                  flush=True)
+            if frac > 0.01 or mean > 1.0:
+                failures.append((name, frac, mean))
+        assert not failures, f"hardware flavor drift: {failures}"
+    finally:
+        tg._make = orig_make
+
+
+@pytest.mark.skipif(jax.default_backend() == "cpu",
+                    reason="needs real TPU (conftest forces CPU)")
+def test_bench_configs_zero_overflow_on_hardware():
+    """aux == [0,0] at every bench config on the chip — the capacity
+    headroom guarantee behind the published FPS numbers."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    import bench
+
+    for config in ("cube512", "spheres1080", "spheres1080_1m", "ultra4k"):
+        renderer, registry, (w, h) = bench.build_scene(config)
+        out = renderer.render_viewport(renderer.active_viewport)
+        aux = (np.zeros(2, np.int64) if out.aux is None
+               else np.asarray(out.aux).reshape(-1, 2).sum(axis=0))
+        print(f"{config}: aux={aux.tolist()}", flush=True)
+        assert aux.sum() == 0, f"{config}: overflow {aux.tolist()}"
