@@ -127,7 +127,7 @@ def profile(width, height, grid, label, n=10):
     # -- forward (in-kernel resolve) path stages --------------------------------
     from trident_tpu.ops.deferred import deferred_shade_attrs
     from trident_tpu.ops.planes import build_resolve_records
-    from trident_tpu.ops.raster_pallas import visibility_pallas_tiled
+    from trident_tpu.ops.raster_pallas import CHUNK, visibility_pallas_tiled
     from trident_tpu.ops.resolve_pallas import resolve_attrs_pallas
 
     tex_wh = tex.sizes[params.texture_slot].astype(jnp.float32)
@@ -135,14 +135,14 @@ def profile(width, height, grid, label, n=10):
 
     frr = jax.jit(lambda tok, s: build_resolve_records(
         s._replace(edge=s.edge + tok * 0), verts, plan.tri_vtx, tri_draw,
-        draw_consts, 64))
+        draw_consts, CHUNK))
     timeit_chain("resolve records", frr, lambda o: o[0, 0, 0] * 0, setup, n=n)
 
     def vis_resolve(tok, s):
         s = s._replace(edge=s.edge + tok * 0)
         bins, _dep, tri_tiles, _ = visibility_pallas_tiled(s, width, height)
         rec = build_resolve_records(s, verts, plan.tri_vtx, tri_draw,
-                                    draw_consts, 64)
+                                    draw_consts, CHUNK)
         return resolve_attrs_pallas(bins, tri_tiles, rec, width, height)
 
     f6 = jax.jit(vis_resolve)

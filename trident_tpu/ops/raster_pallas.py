@@ -239,31 +239,49 @@ def build_bins(setup: TriangleSetup, width: int, height: int) -> PallasBins:
         (tile_ids[None, :] << CHUNK_BITS) | (gsel[:, None] + 1),
         n_tiles << CHUNK_BITS).astype(jnp.int32)
 
-    # One key-value sort of the full slot array (mostly empty-sentinel
-    # slots) orders AND compacts: real pairs form the sorted prefix, and
-    # the quarter masks ride along as the value operand. Measured note: a
-    # cumsum+scatter compaction before a smaller sort looked cheaper on
-    # paper but jnp.cumsum over a 1-D ~650k array lowers pathologically on
-    # TPU (binning 9.8 → 38 ms at 1M) — XLA's sort is the fast path here.
+    # One sort of the full slot array (mostly empty-sentinel slots) orders
+    # AND compacts: real pairs form the sorted prefix. The sub-block hit
+    # masks are NOT carried through the sort (a key-value sort doubles the
+    # sorted bytes on the frame's critical path) — they are recomputed for
+    # the ≤PAIR_BUDGET survivors below with one bbox-table gather per
+    # pair. Measured note: a cumsum+scatter compaction before a smaller
+    # sort looked cheaper on paper but jnp.cumsum over a 1-D ~650k array
+    # lowers pathologically on TPU (binning 9.8 → 38 ms at 1M) — XLA's
+    # sort is the fast path here.
     pairs = jnp.concatenate([small_pairs.reshape(-1), big_pairs.reshape(-1)])
-    masks = jnp.concatenate([small_mask.reshape(-1), big_mask.reshape(-1)])
-    pairs, masks = jax.lax.sort((pairs, masks), dimension=0, num_keys=1,
-                                is_stable=False)
+    pairs = jnp.sort(pairs)
     # real pairs form a sorted prefix; padding slots clamp to
     # (last tile, sentinel chunk 0) and sit beyond the dynamic grid bound
     overflow = pairs >= (n_tiles << CHUNK_BITS)
     n_real_total = jnp.sum(~overflow).astype(jnp.int32)
     pairs = jnp.where(overflow, ((n_tiles - 1) << CHUNK_BITS), pairs)
-    masks = jnp.where(overflow, 0, masks)
     if pairs.shape[0] > PAIR_BUDGET:
         pairs = pairs[:PAIR_BUDGET]
-        masks = masks[:PAIR_BUDGET]
     n_real = jnp.minimum(n_real_total, pairs.shape[0])
     n_truncated = n_real_total - n_real
     # unpack for the scalar-prefetch index maps (plain array reads lower
     # reliably in Mosaic index maps; bit ops there hung the compiler)
     pair_tile = pairs >> CHUNK_BITS
     pair_chunk = pairs & CHUNK_MASK
+
+    # recompute each surviving pair's sub-block mask: one (4·NSUB)-int row
+    # gather from the per-chunk bbox table + vector compares (sentinel
+    # chunk 0 → all-miss row → mask 0)
+    qtab = jnp.concatenate([
+        jnp.stack([jnp.full((1, NSUB), 32767, jnp.int32),
+                   jnp.full((1, NSUB), -1, jnp.int32),
+                   jnp.full((1, NSUB), 32767, jnp.int32),
+                   jnp.full((1, NSUB), -1, jnp.int32)], axis=1),
+        jnp.stack([qty0, qty1, qtx0, qtx1], axis=1).astype(jnp.int32),
+    ], axis=0)                                       # (NC+1, 4, NSUB)
+    rows = qtab[pair_chunk]                          # (NPAIR, 4, NSUB)
+    p_ty = (pair_tile // ntx)[:, None]
+    p_tx = (pair_tile % ntx)[:, None]
+    hit = ((p_ty >= rows[:, 0]) & (p_ty <= rows[:, 1])
+           & (p_tx >= rows[:, 2]) & (p_tx <= rows[:, 3]))
+    masks = jnp.sum(hit.astype(jnp.int32) * _weights[None, :], axis=-1)
+    masks = jnp.where(
+        jnp.arange(pairs.shape[0], dtype=jnp.int32) < n_real, masks, 0)
 
     return PallasBins(records=records, pair_tile=pair_tile,
                       pair_chunk=pair_chunk, pair_mask=masks, n_real=n_real,
