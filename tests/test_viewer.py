@@ -45,8 +45,11 @@ def _post(srv, path, body=None):
     req = urllib.request.Request(
         f"http://127.0.0.1:{srv.port}{path}",
         data=json.dumps(body or {}).encode(), method="POST")
-    with urllib.request.urlopen(req) as r:
-        return json.loads(r.read())
+    try:
+        with urllib.request.urlopen(req, timeout=300) as r:
+            return json.loads(r.read())
+    except urllib.error.HTTPError as exc:  # surface the server's error body
+        raise AssertionError(f"{path}: {exc} — {exc.read().decode()}")
 
 
 def test_page_and_frame(server):

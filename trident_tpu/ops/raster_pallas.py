@@ -59,8 +59,12 @@ import os as _os
 TILE_H = int(_os.environ.get("TRIDENT_TILE_H", "8"))
                      # short tiles measured fastest (43.6 vs 55 ms @1M/1080p)
 TILE_W = 128
-CHUNK = int(_os.environ.get("TRIDENT_CHUNK", "64"))
-                     # triangles per record block
+CHUNK = int(_os.environ.get("TRIDENT_CHUNK", "256"))
+                     # triangles per record block. Hardware sweep (round 3,
+                     # 1M/1080p): 64→13.5 FPS, 128→14.9, 256→15.9, 480→16.0
+                     # — fewer grid steps / output read-modify-writes at
+                     # constant vector work (sub-block masks keep the
+                     # evaluated-triangle count flat); 256 is the knee.
 SUB = 16             # triangles per maskable sub-block (fixed: Morton-
                      # compact 16-tri groups have ~tile-sized bboxes)
 if CHUNK < SUB or CHUNK % SUB != 0:
@@ -76,7 +80,13 @@ if TILE_H < 1 or 128 % TILE_H != 0:
         "stay consistent with the binning span")
 SPAN_X = 2           # max tile cols a binned chunk may cover (128px tiles)
 SPAN_Y = 128 // TILE_H   # max tile rows — chunks are ~square pixel patches
-MAX_GLOBAL = 64      # wide-span chunks broadcast to all tiles
+MAX_GLOBAL = int(_os.environ.get("TRIDENT_MAX_GLOBAL", "64"))
+                     # wide-span chunk slots: each costs an (n_tiles,) row in
+                     # the bin sort whether used or not (64 rows ≈ half the
+                     # sorted array at 1080p/CHUNK=256). Overflow degrades to
+                     # counted drops (aux[1]), never garbage.
+if MAX_GLOBAL < 1:
+    raise ValueError(f"TRIDENT_MAX_GLOBAL={MAX_GLOBAL} must be >= 1")
 CHUNK_BITS = 18      # chunk-slot bits in the packed pair
 CHUNK_MASK = (1 << CHUNK_BITS) - 1
 PAIR_BUDGET = 65536  # scalar-prefetch arrays live in SMEM (~1MB); cap them.

@@ -190,7 +190,11 @@ def render_frame_banded(mesh: Mesh, axis: str, geometry, plan, tri_draw,
                 setup_sl, c_nrm, c_uv, tri_draw, draw_consts, c_col,
                 consts_rows=None if cs is None else cs.consts)
             rows = jax.lax.all_gather(rows_sl, axis, axis=0, tiled=True)
-            records = chunk_resolve_rows(rows, chunk)
+            # the resolve pass walks the SAME pair list as the visibility
+            # kernel — records must chunk at its (env-overridable) CHUNK,
+            # not the ref-path `chunk` argument (renderer.py does the same)
+            from trident_tpu.ops.raster_pallas import CHUNK as _KCHUNK
+            records = chunk_resolve_rows(rows, _KCHUNK)
         else:
             planes_sl = build_planes_corners(
                 setup_sl, c_nrm, c_uv, tri_draw, shade_table,
