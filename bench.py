@@ -140,6 +140,8 @@ def main() -> None:
         temporal_ai = upscaler_in_channels(upscale_params) == TEMPORAL_CHANNELS
     vp_mat = jnp.asarray(np.asarray(cam.proj) @ np.asarray(cam.view))
 
+    stride_kw = renderer._stride_kwargs(skinned=False)
+
     def frame(token, plan, tri_draw, params, palette, shade, prev=None):
         return render_frame(
             geo, plan, tri_draw, params, palette, shade,
@@ -148,7 +150,7 @@ def main() -> None:
             upscale_params=upscale_params, prev=prev, width=rw, height=rh,
             clear_color=tuple(renderer.config.render.clear_color),
             raster=raster, chunk=64, skinned=False,
-            bloom=renderer.config.render.bloom)
+            bloom=renderer.config.render.bloom, **stride_kw)
 
     def check_aux(aux, where: str) -> np.ndarray:
         """Fail the bench on raster capacity overflow: a silently
@@ -184,7 +186,7 @@ def main() -> None:
     statics = dict(shape=shape, width=rw, height=rh,
                    clear_color=tuple(renderer.config.render.clear_color),
                    raster=raster, chunk=64, skinned=False,
-                   bloom=renderer.config.render.bloom)
+                   bloom=renderer.config.render.bloom, **stride_kw)
     ai_img = jnp.zeros((1, 1, 3), jnp.float32)
 
     @jax.jit
@@ -222,7 +224,7 @@ def main() -> None:
                 upscale_params=upscale_params, prev=prev, width=rw, height=rh,
                 clear_color=tuple(renderer.config.render.clear_color),
                 raster=raster, chunk=64, skinned=False,
-                bloom=renderer.config.render.bloom)
+                bloom=renderer.config.render.bloom, **stride_kw)
             aux = (jnp.zeros((2,), jnp.int32) if o.aux is None
                    else jnp.asarray(o.aux).reshape(-1, 2).sum(axis=0))
             new_prev = (o.color, vp_mat) if temporal_ai else None
@@ -252,7 +254,7 @@ def main() -> None:
             corner_t=corner_t, width=w, height=h,
             clear_color=tuple(renderer.config.render.clear_color),
             raster=raster, chunk=64, skinned=False,
-            bloom=renderer.config.render.bloom)
+            bloom=renderer.config.render.bloom, **stride_kw)
         prev_eval = prev0
         if temporal_ai:
             r0 = frame(jnp.zeros((), jnp.float32), *plans[0], prev0)

@@ -174,15 +174,18 @@ def profile(width, height, grid, label, n=10):
     timeit_chain("corner stage (geom+setup+attrs)", fc,
                  lambda o: o.setup.edge[0, 0, 0] * 0, corner_t, n=n)
 
-    for label, fwd, ct in (("gather", False, None), ("forward", True, None),
-                           ("forward+corner", True, corner_t)):
-        f_full = jax.jit(lambda tok, _f=fwd, _c=ct: render_frame(
+    stride_kw = r._stride_kwargs(skinned=False)
+    for label, fwd, ct, skw in (
+            ("gather", False, None, {}), ("forward", True, None, {}),
+            ("forward+corner", True, corner_t, {}),
+            ("forward+corner+stride", True, corner_t, stride_kw)):
+        f_full = jax.jit(lambda tok, _f=fwd, _c=ct, _s=skw: render_frame(
             geo, plan, tri_draw, params, palette, shade,
             CameraParams(cam.view, cam.proj, cam.position + tok * 0),
             lights, tex, sky, ai, corner_t=_c, width=width, height=height,
             clear_color=(0.05, 0.05, 0.08, 1.0), raster="pallas", chunk=64,
             skinned=False, sampling="bilinear", vertex_colors=False,
-            forward_shading=_f))
+            forward_shading=_f, **_s))
         timeit_chain(f"FULL[{label}]", f_full,
                      lambda o: o.depth[0, 0] * 0, n=n)
         out = f_full(jnp.zeros(()))

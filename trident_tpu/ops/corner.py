@@ -96,14 +96,43 @@ class CornerStageOut(NamedTuple):
 
 def corner_stage(corner_t: Array, draw_rows: Array, tri_draw: Array,
                  tri_valid: Array, width: int, height: int,
-                 vertex_colors: bool = False) -> CornerStageOut:
+                 vertex_colors: bool = False,
+                 draw_stride: int = 0, real_draws: int = 0) -> CornerStageOut:
     """Planar triangle setup + world corner attributes from the static
     corner table. ONE gather (draw_rows[tri_draw]); everything else runs
     on (T,) lanes. Matches ops/vertex.vertex_stage + triangle_setup
-    semantics for rigid draws (Default.vert minus skinning)."""
+    semantics for rigid draws (Default.vert minus skinning).
+
+    `draw_stride` > 0 (static) declares the UNIFORM plan layout: draw d
+    owns triangles [d·stride, (d+1)·stride) for d < real_draws, the rest
+    is padding (tri_valid False). The per-triangle draw-row lookup then
+    becomes a broadcast + minor-dim reshape — a layout no-op XLA fuses
+    into the planar math, deleting the (T,48) gather (~8 ns/row ≈ 8 ms at
+    1M triangles) that instanced scenes otherwise pay every frame.
+    DrawPlanCache.draw_stride computes this host-side (one mesh repeated
+    over all draws — the instancing case)."""
     t = corner_t.shape[1]
-    xf = draw_rows[tri_draw]                        # (T,48) — THE gather
-    xt = xf.T                                       # (48,T) one relayout
+    if draw_stride > 0:
+        used_t = draw_rows[:real_draws].T           # (48, D) — tiny
+        body = jnp.broadcast_to(
+            used_t[:, :, None], (DRAW_ROW, real_draws, draw_stride)
+        ).reshape(DRAW_ROW, real_draws * draw_stride)
+        pad = t - real_draws * draw_stride
+        if pad < 0:
+            raise ValueError(
+                f"draw_stride {draw_stride} x real_draws {real_draws} "
+                f"exceeds the corner table's {t} triangles")
+        if pad:
+            xt = jnp.concatenate(
+                [body, jnp.broadcast_to(draw_rows[0:1].T, (DRAW_ROW, pad))],
+                axis=1)
+        else:
+            xt = body
+        xf_consts = xt[32:44].T                     # (T,12) for records
+    else:
+        xf = draw_rows[tri_draw]                    # (T,48) — THE gather
+        xt = xf.T                                   # (48,T) one relayout
+        xf_consts = xf[:, 32:44]
 
     def g(j):
         return xt[j]
@@ -166,4 +195,4 @@ def corner_stage(corner_t: Array, draw_rows: Array, tri_draw: Array,
                   if vertex_colors else None)
     return CornerStageOut(setup=setup, corner_nrm=corner_nrm,
                           corner_uv=corner_uv, corner_col=corner_col,
-                          consts=xf[:, 32:44])
+                          consts=xf_consts)

@@ -74,7 +74,8 @@ def render_shadow_map(geometry: GeometryBuffers, plan: DrawPlan,
                       params: DrawParams, light_cam: CameraParams,
                       palette: Array, size: int, skinned: bool,
                       raster: str = "pallas", corner_t=None,
-                      tri_draw=None) -> Array:
+                      tri_draw=None, draw_stride: int = 0,
+                      real_draws: int = 0) -> Array:
     """Depth-only render from the light: (S,S) f32 in [0,1]. With a
     static corner table (ops/corner.py) the light-view setup is planar
     and gather-free, same as the main view."""
@@ -83,7 +84,8 @@ def render_shadow_map(geometry: GeometryBuffers, plan: DrawPlan,
 
         draw_rows = build_draw_rows(params, light_cam, size, size)
         setup = corner_stage(corner_t, draw_rows, tri_draw, plan.tri_valid,
-                             size, size).setup
+                             size, size, draw_stride=draw_stride,
+                             real_draws=real_draws).setup
     else:
         verts = vertex_stage(geometry, plan, params, light_cam, palette,
                              skinned=skinned)

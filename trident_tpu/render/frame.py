@@ -131,6 +131,11 @@ class DrawPlanCache:
         # monotone rebuild counter: cache signatures key on this instead of
         # id(plan) (CPython recycles ids of freed objects)
         self.version = 0
+        # uniform instancing layout (all draws one mesh): draw d owns
+        # triangles [d*draw_stride, (d+1)*draw_stride). 0 = non-uniform —
+        # corner_stage then falls back to the (T,48) draw-row gather.
+        self.draw_stride = 0
+        self.real_draws = 0
 
     def plan(self, packed: PackedGeometry, records: List[DrawRecord],
              geometry_version: int) -> Tuple[DrawPlan, jnp.ndarray]:
@@ -141,6 +146,14 @@ class DrawPlanCache:
         self._key, self._plan, self._tri_draw = key, plan, tri_draw
         self._corner_t = None
         self.version += 1
+        tri_counts = {packed.draw_infos[r.mesh_index].index_count // 3
+                      for r in records}
+        if records and len(tri_counts) == 1:
+            self.draw_stride = tri_counts.pop()
+            self.real_draws = len(records)
+        else:
+            self.draw_stride = 0
+            self.real_draws = 0
         return plan, tri_draw
 
     def corner_table(self, packed: PackedGeometry) -> jnp.ndarray:

@@ -129,7 +129,9 @@ def _render_frame_impl(geometry, plan, tri_draw, params, palette, shade_table,
                        supersample: int = 1,
                        bloom: bool = False,
                        bloom_threshold: float = 1.0,
-                       bloom_strength: float = 0.6) -> FrameOutput:
+                       bloom_strength: float = 0.6,
+                       draw_stride: int = 0,
+                       real_draws: int = 0) -> FrameOutput:
     from trident_tpu.ops import post
     from trident_tpu.ops.deferred import apply_ai_blend
 
@@ -155,7 +157,8 @@ def _render_frame_impl(geometry, plan, tri_draw, params, palette, shade_table,
         draw_rows = build_draw_rows(params, camera, rw, rh,
                                     draw_consts=draw_consts)
         cs = corner_stage(corner_t, draw_rows, tri_draw, plan.tri_valid,
-                          rw, rh, vertex_colors=vertex_colors)
+                          rw, rh, vertex_colors=vertex_colors,
+                          draw_stride=draw_stride, real_draws=real_draws)
         setup = cs.setup
         c_nrm, c_uv, c_col = cs.corner_nrm, cs.corner_uv, cs.corner_col
     else:
@@ -180,7 +183,9 @@ def _render_frame_impl(geometry, plan, tri_draw, params, palette, shade_table,
 
         depth_map = render_shadow_map(geometry, plan, params, light_camera,
                                       palette, shadow_size, skinned, raster,
-                                      corner_t=corner_t, tri_draw=tri_draw)
+                                      corner_t=corner_t, tri_draw=tri_draw,
+                                      draw_stride=draw_stride,
+                                      real_draws=real_draws)
         shadow = ShadowParams(
             depth=depth_map,
             light_vp=jnp.matmul(light_camera.proj, light_camera.view,
@@ -267,7 +272,8 @@ def _render_frame_impl(geometry, plan, tri_draw, params, palette, shade_table,
                                              "shadow_pcf",
                                              "supersample", "bloom",
                                              "bloom_threshold",
-                                             "bloom_strength"))
+                                             "bloom_strength",
+                                             "draw_stride", "real_draws"))
 def render_frame(geometry, plan, tri_draw, params, palette, shade_table,
                  camera, lights, textures, skybox, ai, light_camera=None,
                  corner_t=None, upscale_params=None, prev=None,
@@ -276,7 +282,8 @@ def render_frame(geometry, plan, tri_draw, params, palette, shade_table,
                  forward_shading=True, shadow_size=0,
                  shadow_bias=2e-3, shadow_pcf=False, supersample=1,
                  bloom=False, bloom_threshold=1.0,
-                 bloom_strength=0.6) -> FrameOutput:
+                 bloom_strength=0.6, draw_stride=0,
+                 real_draws=0) -> FrameOutput:
     return _render_frame_impl(
         geometry, plan, tri_draw, params, palette, shade_table, camera,
         lights, textures, skybox, ai, corner_t, upscale_params, prev,
@@ -287,14 +294,15 @@ def render_frame(geometry, plan, tri_draw, params, palette, shade_table,
         light_camera=light_camera, shadow_size=shadow_size,
         shadow_bias=shadow_bias, shadow_pcf=shadow_pcf,
         supersample=supersample, bloom=bloom,
-        bloom_threshold=bloom_threshold, bloom_strength=bloom_strength)
+        bloom_threshold=bloom_threshold, bloom_strength=bloom_strength,
+        draw_stride=draw_stride, real_draws=real_draws)
 
 
 @functools.partial(jax.jit, static_argnames=(
     "shape", "width", "height", "clear_color", "raster", "chunk", "skinned",
     "sampling", "vertex_colors", "plane_f16", "forward_shading",
     "shadow_size", "shadow_pcf", "supersample", "bloom", "bloom_threshold",
-    "bloom_strength"))
+    "bloom_strength", "draw_stride", "real_draws"))
 def render_frame_bundled(geometry, plan, tri_draw, f32, i32, textures,
                          skybox, ai_image, corner_t=None, upscale_params=None,
                          prev=None,
@@ -304,7 +312,8 @@ def render_frame_bundled(geometry, plan, tri_draw, f32, i32, textures,
                          plane_f16=True, forward_shading=True,
                          shadow_size=0, shadow_pcf=False, supersample=1,
                          bloom=False, bloom_threshold=1.0,
-                         bloom_strength=0.6) -> FrameOutput:
+                         bloom_strength=0.6, draw_stride=0,
+                         real_draws=0) -> FrameOutput:
     """render_frame with every per-frame host value arriving in TWO packed
     blobs (render/bundle.py) — the interactive path. Uploads per frame:
     f32 blob + i32 blob (+ the AI image at its own cadence); everything
@@ -324,7 +333,8 @@ def render_frame_bundled(geometry, plan, tri_draw, f32, i32, textures,
         light_camera=light_cam if shadow_size else None,
         shadow_size=shadow_size, shadow_bias=shadow_bias,
         shadow_pcf=shadow_pcf, supersample=supersample, bloom=bloom,
-        bloom_threshold=bloom_threshold, bloom_strength=bloom_strength)
+        bloom_threshold=bloom_threshold, bloom_strength=bloom_strength,
+        draw_stride=draw_stride, real_draws=real_draws)
 
 
 @dataclass
@@ -636,7 +646,8 @@ class Renderer:
                 supersample=max(int(rc.supersample), 1),
                 bloom=rc.bloom,
                 bloom_threshold=rc.bloom_threshold,
-                bloom_strength=rc.bloom_strength)
+                bloom_strength=rc.bloom_strength,
+                **self._stride_kwargs(skinned))
             if up is not None:
                 hp = jax.lax.Precision.HIGHEST
                 p = cam.params()
@@ -644,6 +655,17 @@ class Renderer:
                                   jnp.matmul(p.proj, p.view, precision=hp))
         ctx.last_frame = out
         return out
+
+    def _stride_kwargs(self, skinned: bool) -> dict:
+        """Static draw_stride/real_draws kwargs for the uniform-instancing
+        broadcast path (ops/corner.py). Gated to ≥64k-triangle plans: the
+        values are jit statics, so small editor scenes (where the (T,48)
+        gather is cheap anyway) keep shape-stable recompile behavior when
+        entities spawn."""
+        stride, nd = self._plan_cache.draw_stride, self._plan_cache.real_draws
+        if skinned or not stride or stride * nd < 65536:
+            return {"draw_stride": 0, "real_draws": 0}
+        return {"draw_stride": stride, "real_draws": nd}
 
     def draw_frame(self) -> FrameOutput:
         """Render all viewports (active last), with frames-in-flight pacing
