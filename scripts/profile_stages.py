@@ -104,7 +104,9 @@ def profile(width, height, grid, label, n=10):
         s._replace(edge=s.edge + tok * 0), width, height))
     timeit_chain("bins", f3, lambda o: o.pair_tile[0].astype(jnp.float32) * 0,
                  setup, n=n)
-    print(f"  pairs={f3(jnp.zeros(()), setup).n_pairs}", flush=True)
+    b = f3(jnp.zeros(()), setup)
+    print(f"  pairs={int(b.n_real)}/{b.n_pairs} aux={np.asarray(b.aux)}",
+          flush=True)
 
     f4 = jax.jit(lambda tok, s: visibility_pallas(
         s._replace(edge=s.edge + tok * 0), width, height))

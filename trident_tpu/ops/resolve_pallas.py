@@ -35,8 +35,6 @@ from jax.experimental.pallas import tpu as pltpu
 from trident_tpu.ops import planes as planes_mod
 from trident_tpu.ops.raster_pallas import (
     CHUNK,
-    NSUB,
-    SUB,
     TILE_H,
     TILE_W,
     PallasBins,
@@ -60,7 +58,7 @@ CHANNELS = 16
 
 
 def _resolve_kernel(band_ref, pair_tile_ref, pair_chunk_ref, rec_ref, tri_ref,
-                    out_ref, sel_ref, *, ntx: int, vertex_colors: bool):
+                    out_ref, *, ntx: int, vertex_colors: bool):
     i = pl.program_id(0)
     tile = pair_tile_ref[i]
     prev = pair_tile_ref[jnp.maximum(i - 1, 0)]
@@ -86,27 +84,19 @@ def _resolve_kernel(band_ref, pair_tile_ref, pair_chunk_ref, rec_ref, tri_ref,
     # + this reduction, and the one-hot matmul/interpolant eval never runs
     @pl.when(jnp.any(mine))
     def _():
-        # one-hot select of the winner's record rows on the MXU, gated per
-        # 16-triangle sub-block: the winners a tile keeps are Morton-local,
-        # so they usually sit in 1–2 of the chunk's NSUB sub-blocks — the
-        # other sub-blocks' one-hot build + (SUB, RW)·(SUB, npx) matmul
-        # never run. Disjoint one-hots sum exactly (each pixel's winner
-        # row lives in exactly one sub-block), so the scratch accumulator
-        # equals the full-chunk one-hot contraction on `mine` pixels.
-        sel_ref[...] = jnp.zeros(sel_ref.shape, sel_ref.dtype)
-        subpix = jnp.where(mine, rel // SUB, -1)   # (1, npx)
-        for q in range(NSUB):
-            @pl.when(jnp.any(subpix == q))
-            def _(q=q):
-                oh = jnp.where(
-                    mine,
-                    (jax.lax.broadcasted_iota(jnp.int32, (SUB, npx), 0)
-                     == rel - q * SUB).astype(jnp.float32), 0.0)
-                blk = rec_ref[0, q * SUB:(q + 1) * SUB, :]   # (SUB, RW)
-                sel_ref[...] += jax.lax.dot_general(
-                    blk, oh, (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
-        sel = sel_ref[...]                         # (RW, npx)
+        # one-hot select of the winner's record row on the MXU: contract
+        # the triangle dim of the (C, RW) block against the (C, npx)
+        # one-hot — records stay in their natural row layout (no relayout).
+        # MEASURED dead end (round 3): gating this per 16-triangle
+        # sub-block (scratch-accumulated (SUB,RW)·(SUB,npx) dots) was 3×
+        # SLOWER — a one-hot select's MXU time scales with the OUTPUT
+        # columns, not the contraction dim, and winners average ~5
+        # sub-blocks per owning pair, so 5 small dots lose to one big one.
+        oh = (jax.lax.broadcasted_iota(jnp.int32, (CHUNK, npx), 0)
+              == rel).astype(jnp.float32)
+        rec = rec_ref[0]                           # (C, RW)
+        sel = jax.lax.dot_general(rec, oh, (((0,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
 
         r = jax.lax.broadcasted_iota(jnp.int32, (1, npx), 1)
         pxf = (tx * TILE_W + jax.lax.rem(r, TILE_W)).astype(jnp.float32) + 0.5
@@ -196,7 +186,6 @@ def resolve_attrs_pallas(bins: PallasBins, tri_tiles: Array, records: Array,
                          lambda i, band, tiles, chunks: (tiles[i], 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        scratch_shapes=[pltpu.VMEM((rw, npx), jnp.float32)],
     )
     (attrs,) = pl.pallas_call(
         kernel,
