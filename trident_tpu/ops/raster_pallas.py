@@ -80,6 +80,10 @@ if TILE_H < 1 or 128 % TILE_H != 0:
         "stay consistent with the binning span")
 SPAN_X = 2           # max tile cols a binned chunk may cover (128px tiles)
 SPAN_Y = 128 // TILE_H   # max tile rows — chunks are ~square pixel patches
+COVER_GATE = _os.environ.get("TRIDENT_COVER_GATE", "1") == "1"
+                     # skip a sub-block's reciprocal/reductions/merge when
+                     # every edge test missed (bbox hit, no pixel covered);
+                     # A/B knob while the win is being measured
 MAX_GLOBAL = int(_os.environ.get("TRIDENT_MAX_GLOBAL", "64"))
                      # wide-span chunk slots: each costs an (n_tiles,) row in
                      # the bin sort whether used or not (64 rows ≈ half the
@@ -362,20 +366,33 @@ def _visibility_kernel(band_ref, pair_tile_ref, pair_chunk_ref, pair_mask_ref,
             # wi>0, 0 ≤ zi/wi ≤ 1 ⇔ zi ≥ 0 and zi ≤ wi
             cover = ((e0 >= 0.0) & (e1 >= 0.0) & (e2 >= 0.0) & (wi > 1e-12)
                      & (zi >= 0.0) & (zi <= wi))
-            d = zi * pl.reciprocal(jnp.where(cover, wi, 1.0), approx=False)
-            dm = jnp.where(cover, d, DEPTH_SENTINEL)
 
-            cmin = jnp.min(dm, axis=0, keepdims=True)      # (1, npx)
-            tid = ((cid - 1) * CHUNK + q * SUB
-                   + jax.lax.broadcasted_iota(jnp.int32, (SUB, 1), 0))
-            win = jnp.max(jnp.where(dm <= cmin, tid, -1), axis=0,
-                          keepdims=True)
+            def merge():
+                d = zi * pl.reciprocal(jnp.where(cover, wi, 1.0),
+                                       approx=False)
+                dm = jnp.where(cover, d, DEPTH_SENTINEL)
 
-            acc_d = depth_out[0]
-            acc_t = tri_out[0]
-            better = (cmin <= acc_d) & (win >= 0)
-            depth_out[0] = jnp.where(better, cmin, acc_d)
-            tri_out[0] = jnp.where(better, win, acc_t)
+                cmin = jnp.min(dm, axis=0, keepdims=True)  # (1, npx)
+                tid = ((cid - 1) * CHUNK + q * SUB
+                       + jax.lax.broadcasted_iota(jnp.int32, (SUB, 1), 0))
+                win = jnp.max(jnp.where(dm <= cmin, tid, -1), axis=0,
+                              keepdims=True)
+
+                acc_d = depth_out[0]
+                acc_t = tri_out[0]
+                better = (cmin <= acc_d) & (win >= 0)
+                depth_out[0] = jnp.where(better, cmin, acc_d)
+                tri_out[0] = jnp.where(better, win, acc_t)
+
+            if COVER_GATE:
+                # bbox-hit sub-blocks that cover NO pixel of this tile (the
+                # conservative tile-bbox test fires but every edge test
+                # misses) skip the reciprocal + both reductions + the
+                # accumulator read-modify-write — only the edge/z/w setup
+                # above was spent
+                pl.when(jnp.any(cover))(merge)
+            else:
+                merge()
 
 
 def untile_frame(flat: Array, ntx: int, nty: int) -> Array:

@@ -43,6 +43,23 @@ from trident_tpu.ops.raster_pallas import (
 
 Array = jax.Array
 
+import os as _os
+
+# TRIDENT_RESOLVE_HALF=1: run the winner select as two gated half-chunk
+# (K=CHUNK/2) contractions instead of one K=CHUNK — a dev-sweep knob (a
+# K=128 one-hot dot costs half the K=256 one when winners sit in one half)
+RESOLVE_HALF = _os.environ.get("TRIDENT_RESOLVE_HALF", "0") == "1"
+
+# TRIDENT_RESOLVE_COMPACT=0 disables the owning-pair compaction (A/B knob):
+# by default the resolve grid runs only over pairs whose chunk actually WON
+# at least one pixel of its tile — loser pairs (the majority: every tile's
+# pairs lose to its few front chunks) would each still pay a (C, RW) record
+# DMA and a grid step despite the in-kernel winner-skip. One fused XLA
+# gather+any over the winner map finds the owners and a stable sort keeps
+# them tile-major (draw order within a tile is irrelevant post-visibility;
+# only 'first pair of tile' reset semantics matter).
+RESOLVE_COMPACT = _os.environ.get("TRIDENT_RESOLVE_COMPACT", "1") == "1"
+
 # attribute-image channel layout (CH = 16): everything deferred shading
 # needs per pixel except the texels themselves
 CH_NX, CH_NY, CH_NZ = 0, 1, 2    # world normal (unnormalized)
@@ -79,25 +96,9 @@ def _resolve_kernel(band_ref, pair_tile_ref, pair_chunk_ref, rec_ref, tri_ref,
     rel = win - base
     mine = (win >= 0) & (rel >= 0) & (rel < CHUNK)  # (1, npx)
 
-    # winner-skip: most pairs lose the whole tile to another chunk (or the
-    # background) — the per-pair cost then collapses to the tri-block read
-    # + this reduction, and the one-hot matmul/interpolant eval never runs
-    @pl.when(jnp.any(mine))
-    def _():
-        # one-hot select of the winner's record row on the MXU: contract
-        # the triangle dim of the (C, RW) block against the (C, npx)
-        # one-hot — records stay in their natural row layout (no relayout).
-        # MEASURED dead end (round 3): gating this per 16-triangle
-        # sub-block (scratch-accumulated (SUB,RW)·(SUB,npx) dots) was 3×
-        # SLOWER — a one-hot select's MXU time scales with the OUTPUT
-        # columns, not the contraction dim, and winners average ~5
-        # sub-blocks per owning pair, so 5 small dots lose to one big one.
-        oh = (jax.lax.broadcasted_iota(jnp.int32, (CHUNK, npx), 0)
-              == rel).astype(jnp.float32)
-        rec = rec_ref[0]                           # (C, RW)
-        sel = jax.lax.dot_general(rec, oh, (((0,), (0,)), ((), ())),
-                                  preferred_element_type=jnp.float32)
-
+    def interpolants(sel, write_mask):
+        """Evaluate every interpolant from the selected (RW, npx) record
+        rows and merge into the output on `write_mask` pixels."""
         r = jax.lax.broadcasted_iota(jnp.int32, (1, npx), 1)
         pxf = (tx * TILE_W + jax.lax.rem(r, TILE_W)).astype(jnp.float32) + 0.5
         pyf = (ty * TILE_H + r // TILE_W).astype(jnp.float32) + 0.5
@@ -147,7 +148,46 @@ def _resolve_kernel(band_ref, pair_tile_ref, pair_chunk_ref, rec_ref, tri_ref,
         ], axis=0)                                 # (CHANNELS, npx)
 
         acc = out_ref[0]
-        out_ref[0] = jnp.where(mine, new, acc)
+        out_ref[0] = jnp.where(write_mask, new, acc)
+
+    # winner-skip: most pairs lose the whole tile to another chunk (or the
+    # background) — the per-pair cost then collapses to the tri-block read
+    # + this reduction, and the one-hot matmul/interpolant eval never runs.
+    #
+    # One-hot select of the winner's record row on the MXU: contract the
+    # triangle dim of the (C, RW) block against the (C, npx) one-hot —
+    # records stay in their natural row layout (no relayout). MEASURED dead
+    # end (round 3): gating this per 16-triangle sub-block
+    # (scratch-accumulated (SUB,RW)·(SUB,npx) dots) was 3× SLOWER — a
+    # one-hot select's MXU time scales with the OUTPUT columns, not the
+    # contraction dim, and winners average ~5 sub-blocks per owning pair,
+    # so 5 small dots lose to one big one. RESOLVE_HALF (K=C/2, exactly one
+    # MXU contraction tile at CHUNK=256) is the one grain where gating can
+    # still pay; dev-sweep knob.
+    if RESOLVE_HALF:
+        hc = CHUNK // 2
+        for h in (0, 1):
+            mine_h = mine & (rel // hc == h)
+
+            @pl.when(jnp.any(mine_h))
+            def _(h=h, mine_h=mine_h):
+                oh = jnp.where(
+                    mine_h,
+                    (jax.lax.broadcasted_iota(jnp.int32, (hc, npx), 0)
+                     == rel - h * hc).astype(jnp.float32), 0.0)
+                blk = rec_ref[0, h * hc:(h + 1) * hc, :]
+                sel = jax.lax.dot_general(blk, oh, (((0,), (0,)), ((), ())),
+                                          preferred_element_type=jnp.float32)
+                interpolants(sel, mine_h)
+    else:
+        @pl.when(jnp.any(mine))
+        def _():
+            oh = (jax.lax.broadcasted_iota(jnp.int32, (CHUNK, npx), 0)
+                  == rel).astype(jnp.float32)
+            rec = rec_ref[0]                       # (C, RW)
+            sel = jax.lax.dot_general(rec, oh, (((0,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
+            interpolants(sel, mine)
 
 
 def resolve_attrs_pallas(bins: PallasBins, tri_tiles: Array, records: Array,
@@ -167,12 +207,29 @@ def resolve_attrs_pallas(bins: PallasBins, tri_tiles: Array, records: Array,
     npx = TILE_H * TILE_W
     rw = records.shape[2]
 
+    pair_tile, pair_chunk, n_grid = bins.pair_tile, bins.pair_chunk, bins.n_real
+    if RESOLVE_COMPACT:
+        # owning-pair compaction: a pair owns pixels iff some winner id in
+        # its tile falls in its chunk's id range. The gather feeds straight
+        # into the compare+any reduction (XLA fuses it; the (NPAIR, npx)
+        # intermediate never materializes), then one stable argsort moves
+        # owners to the front preserving tile-major order, so the kernel's
+        # first-pair-of-tile reset logic is unchanged.
+        rows = tri_tiles[pair_tile, 0, :]              # (NPAIR, npx) i32
+        rel = rows - ((pair_chunk - 1) * CHUNK)[:, None]
+        owns = ((rows >= 0) & (rel >= 0) & (rel < CHUNK)).any(axis=1)
+        owns &= jnp.arange(bins.n_pairs, dtype=jnp.int32) < bins.n_real
+        order = jnp.argsort(~owns, stable=True).astype(jnp.int32)
+        pair_tile = pair_tile[order]
+        pair_chunk = pair_chunk[order]
+        n_grid = jnp.sum(owns).astype(jnp.int32)
+
     band = jnp.asarray(tile_y_offset, jnp.int32).reshape(1)
     kernel = functools.partial(_resolve_kernel, ntx=ntx,
                                vertex_colors=vertex_colors)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(jnp.maximum(bins.n_real, 1),),
+        grid=(jnp.maximum(n_grid, 1),),
         in_specs=[
             pl.BlockSpec((1, CHUNK, rw),
                          lambda i, band, tiles, chunks: (chunks[i], 0, 0),
@@ -194,13 +251,13 @@ def resolve_attrs_pallas(bins: PallasBins, tri_tiles: Array, records: Array,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         interpret=interpret,
-    )(band, bins.pair_tile, bins.pair_chunk, records, tri_tiles)
+    )(band, pair_tile, pair_chunk, records, tri_tiles)
 
     # untouched tiles hold garbage; deferred masks them via tri_id == -1,
     # but zero them anyway so NaNs can't leak through masked selects
     touched_idx = jnp.where(
-        jnp.arange(bins.n_pairs, dtype=jnp.int32) < bins.n_real,
-        bins.pair_tile, n_tiles)
+        jnp.arange(bins.n_pairs, dtype=jnp.int32) < n_grid,
+        pair_tile, n_tiles)
     written = jnp.zeros((n_tiles + 1,), jnp.bool_).at[touched_idx].set(
         True, mode="drop")[:n_tiles]
     attrs = jnp.where(written[:, None, None], attrs, 0.0)
