@@ -58,7 +58,12 @@ import os as _os
 # constants on hardware without editing source; production defaults below)
 TILE_H = int(_os.environ.get("TRIDENT_TILE_H", "8"))
                      # short tiles measured fastest (43.6 vs 55 ms @1M/1080p)
-TILE_W = 128
+TILE_W = int(_os.environ.get("TRIDENT_TILE_W", "128"))
+                     # tile width need not be the 128-lane width: the kernels
+                     # only use flat (1, TILE_H·TILE_W) pixel rows, so a
+                     # 32×32 tile (same 1024 px) is legal — squarer tiles
+                     # overlap fewer ~square Morton sub-block bboxes per
+                     # pair at equal vector work (dev-sweep knob)
 CHUNK = int(_os.environ.get("TRIDENT_CHUNK", "256"))
                      # triangles per record block. Hardware sweep (round 3,
                      # 1M/1080p): 64→13.5 FPS, 128→14.9, 256→15.9, 480→16.0
@@ -78,8 +83,13 @@ if TILE_H < 1 or 128 % TILE_H != 0:
     raise ValueError(
         f"TRIDENT_TILE_H={TILE_H} must divide 128: SPAN_Y = 128//TILE_H must "
         "stay consistent with the binning span")
-SPAN_X = 2           # max tile cols a binned chunk may cover (128px tiles)
-SPAN_Y = 128 // TILE_H   # max tile rows — chunks are ~square pixel patches
+if TILE_W < 1 or 256 % TILE_W != 0:
+    raise ValueError(
+        f"TRIDENT_TILE_W={TILE_W} must divide 256: SPAN_X = 256//TILE_W must "
+        "stay consistent with the binning span")
+SPAN_X = 256 // TILE_W   # max tile cols a binned chunk may cover — the
+SPAN_Y = 128 // TILE_H   # small-chunk span always covers 256×128 px, so
+                         # tile shape changes never reclassify chunks as big
 COVER_GATE = _os.environ.get("TRIDENT_COVER_GATE", "1") == "1"
                      # skip a sub-block's reciprocal/reductions/merge when
                      # every edge test missed (bbox hit, no pixel covered);
