@@ -56,14 +56,15 @@ import os as _os
 
 # TRIDENT_TILE_H / TRIDENT_CHUNK: dev-sweep overrides (scripts measure
 # constants on hardware without editing source; production defaults below)
-TILE_H = int(_os.environ.get("TRIDENT_TILE_H", "8"))
-                     # short tiles measured fastest (43.6 vs 55 ms @1M/1080p)
-TILE_W = int(_os.environ.get("TRIDENT_TILE_W", "128"))
+TILE_H = int(_os.environ.get("TRIDENT_TILE_H", "32"))
+TILE_W = int(_os.environ.get("TRIDENT_TILE_W", "32"))
                      # tile width need not be the 128-lane width: the kernels
                      # only use flat (1, TILE_H·TILE_W) pixel rows, so a
                      # 32×32 tile (same 1024 px) is legal — squarer tiles
                      # overlap fewer ~square Morton sub-block bboxes per
-                     # pair at equal vector work (dev-sweep knob)
+                     # pair at equal vector work. Hardware sweep (round 3,
+                     # 1M/1080p, gate off): 128×8→17.0, 64×16→18.5,
+                     # 32×32→18.9 FPS — square is best.
 CHUNK = int(_os.environ.get("TRIDENT_CHUNK", "256"))
                      # triangles per record block. Hardware sweep (round 3,
                      # 1M/1080p): 64→13.5 FPS, 128→14.9, 256→15.9, 480→16.0
@@ -90,10 +91,13 @@ if TILE_W < 1 or 256 % TILE_W != 0:
 SPAN_X = 256 // TILE_W   # max tile cols a binned chunk may cover — the
 SPAN_Y = 128 // TILE_H   # small-chunk span always covers 256×128 px, so
                          # tile shape changes never reclassify chunks as big
-COVER_GATE = _os.environ.get("TRIDENT_COVER_GATE", "1") == "1"
+COVER_GATE = _os.environ.get("TRIDENT_COVER_GATE", "0") == "1"
                      # skip a sub-block's reciprocal/reductions/merge when
-                     # every edge test missed (bbox hit, no pixel covered);
-                     # A/B knob while the win is being measured
+                     # every edge test missed (bbox hit, no pixel covered).
+                     # Measured a LOSS on v5e (14.4 vs 16.5 FPS @1M/1080p):
+                     # the @pl.when branchiness costs more than the skipped
+                     # vector work once sub-block masks already cull most
+                     # misses. Default OFF; knob kept for re-measurement.
 MAX_GLOBAL = int(_os.environ.get("TRIDENT_MAX_GLOBAL", "64"))
                      # wide-span chunk slots: each costs an (n_tiles,) row in
                      # the bin sort whether used or not (64 rows ≈ half the
