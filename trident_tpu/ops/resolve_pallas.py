@@ -50,15 +50,18 @@ import os as _os
 # K=128 one-hot dot costs half the K=256 one when winners sit in one half)
 RESOLVE_HALF = _os.environ.get("TRIDENT_RESOLVE_HALF", "0") == "1"
 
-# TRIDENT_RESOLVE_COMPACT=0 disables the owning-pair compaction (A/B knob):
-# by default the resolve grid runs only over pairs whose chunk actually WON
-# at least one pixel of its tile — loser pairs (the majority: every tile's
-# pairs lose to its few front chunks) would each still pay a (C, RW) record
+# TRIDENT_RESOLVE_COMPACT=1 enables the owning-pair compaction (A/B knob):
+# the resolve grid then runs only over pairs whose chunk actually WON at
+# least one pixel of its tile — loser pairs (the majority: every tile's
+# pairs lose to its few front chunks) each still pay a (C, RW) record
 # DMA and a grid step despite the in-kernel winner-skip. One fused XLA
 # gather+any over the winner map finds the owners and a stable sort keeps
 # them tile-major (draw order within a tile is irrelevant post-visibility;
-# only 'first pair of tile' reset semantics matter).
-RESOLVE_COMPACT = _os.environ.get("TRIDENT_RESOLVE_COMPACT", "1") == "1"
+# only 'first pair of tile' reset semantics matter). Default OFF: at 32x32
+# tiles the winner-map gather + sort costs more than the skipped grid
+# steps save (1M/1080p v5e sweep: 19.71 FPS off vs 18.87 on; also faster
+# off at 64-wide tiles, 16.96 vs 16.5).
+RESOLVE_COMPACT = _os.environ.get("TRIDENT_RESOLVE_COMPACT", "0") == "1"
 
 # attribute-image channel layout (CH = 16): everything deferred shading
 # needs per pixel except the texels themselves
