@@ -71,12 +71,18 @@ CHUNK = int(_os.environ.get("TRIDENT_CHUNK", "256"))
                      # — fewer grid steps / output read-modify-writes at
                      # constant vector work (sub-block masks keep the
                      # evaluated-triangle count flat); 256 is the knee.
-SUB = 16             # triangles per maskable sub-block (fixed: Morton-
-                     # compact 16-tri groups have ~tile-sized bboxes)
+SUB = int(_os.environ.get("TRIDENT_SUB", "16"))
+                     # triangles per maskable sub-block (Morton-compact
+                     # 16-tri groups have ~tile-sized bboxes; dev-sweep
+                     # knob — finer SUB needs a smaller CHUNK to fit the
+                     # i32 hit mask: SUB=8 caps CHUNK at 240)
+if SUB < 1:
+    raise ValueError(f"TRIDENT_SUB={SUB} must be >= 1")
 if CHUNK < SUB or CHUNK % SUB != 0:
     raise ValueError(
-        f"TRIDENT_CHUNK={CHUNK} must be a positive multiple of {SUB}: the "
-        "kernel splits each chunk into 16-triangle sub-blocks")
+        f"TRIDENT_CHUNK={CHUNK} must be a positive multiple of "
+        f"SUB={SUB}: the kernel splits each chunk into SUB-triangle "
+        "sub-blocks")
 NSUB = CHUNK // SUB  # sub-blocks per chunk == bits in the pair hit mask
 if NSUB > 30:
     raise ValueError(f"TRIDENT_CHUNK={CHUNK} overflows the i32 hit mask")
