@@ -23,9 +23,15 @@ import jax.numpy as jnp
 import optax
 
 
-def build_pool(res: int, seed: int):
+def build_pool(res: int, seed: int, *, shadows: bool = True, grid: int = 6,
+               spread: float = 4.5, scale_range=(0.4, 1.4)):
     """One scene topology (retrace-free across samples); randomness lives
-    in transforms/camera/lights/texture assignment."""
+    in transforms/camera/lights/texture assignment. Pools differ in the
+    STATIC axes a single renderer can't vary without retracing: shadow
+    pass on/off and entity count (geometry density). Training across
+    several pools is what keeps the net usable out of distribution — the
+    round-2 spatial checkpoint, trained on one shadowed 6x6 pool, scored
+    ~1 dB BELOW bilinear on an unshadowed single-cube scene."""
     from trident_tpu.core.config import EngineConfig, RenderConfig
     from trident_tpu.ecs.components import (
         LightComponent, LightType, MeshComponent, TextureComponent,
@@ -37,7 +43,7 @@ def build_pool(res: int, seed: int):
 
     rng = np.random.default_rng(seed)
     r = Renderer(EngineConfig(render=RenderConfig(
-        width=res, height=res, shadows=True, shadow_map_size=256)))
+        width=res, height=res, shadows=shadows, shadow_map_size=256)))
     reg = Registry()
     r.set_active_registry(reg)
     # texture pool: checkers at several frequencies + hue noise
@@ -51,8 +57,8 @@ def build_pool(res: int, seed: int):
     sphere = r.ensure_primitive(PrimitiveType.SPHERE)
     cube = r.ensure_primitive(PrimitiveType.CUBE)
     ents = []
-    for i in range(6):
-        for j in range(6):
+    for i in range(grid):
+        for j in range(grid):
             e = reg.create()
             reg.add(e, TransformComponent())
             reg.add(e, MeshComponent(
@@ -62,19 +68,30 @@ def build_pool(res: int, seed: int):
     sun = reg.create()
     reg.add(sun, TransformComponent())
     reg.add(sun, LightComponent(light_type=LightType.DIRECTIONAL,
-                                cast_shadows=True))
-    return r, reg, ents, sun, rng
+                                cast_shadows=shadows))
+    return r, reg, ents, sun, rng, (spread, scale_range)
 
 
-def randomize(r, reg, ents, sun, rng):
+# the three static-axis pools samples round-robin across: the shadowed
+# medium grid (editor scenes), a dense unshadowed grid (the 1M-sphere
+# bench character: many small high-frequency silhouettes), and a sparse
+# unshadowed closeup (cube512 / single-object scenes)
+POOL_SPECS = (
+    dict(shadows=True, grid=6, spread=4.5, scale_range=(0.4, 1.4)),
+    dict(shadows=False, grid=10, spread=5.5, scale_range=(0.25, 0.7)),
+    dict(shadows=False, grid=2, spread=2.0, scale_range=(0.8, 1.8)),
+)
+
+
+def randomize(r, reg, ents, sun, rng, spread=4.5, scale_range=(0.4, 1.4)):
     from trident_tpu.ecs.components import (
         LightComponent, TextureComponent, TransformComponent)
 
     for e in ents:
         t = reg.get(e, TransformComponent)
-        t.position = rng.uniform(-4.5, 4.5, 3).astype(np.float32)
+        t.position = rng.uniform(-spread, spread, 3).astype(np.float32)
         t.rotation = rng.uniform(0, 360, 3).astype(np.float32)
-        t.scale = np.full(3, rng.uniform(0.4, 1.4), np.float32)
+        t.scale = np.full(3, rng.uniform(*scale_range), np.float32)
         reg.get(e, TextureComponent).slot = int(rng.integers(1, 7))
     lc = reg.get(sun, LightComponent)
     d = rng.normal(size=3)
@@ -99,13 +116,15 @@ def render_sequence_pairs(n_pairs: int, res: int, seed: int):
     warp_previous the runtime uses, so train == inference."""
     from trident_tpu.ai.upscaler import warp_previous
 
-    r, reg, ents, sun, rng = build_pool(res, seed)
+    pools = [build_pool(res, seed + i, **spec)
+             for i, spec in enumerate(POOL_SPECS)]
     xs, temporals, targets = [], [], []
     t0 = time.time()
     warp_j = jax.jit(warp_previous, static_argnames=("full_width",
                                                      "full_height"))
     for k in range(n_pairs):
-        tgt = randomize(r, reg, ents, sun, rng)
+        r, reg, ents, sun, rng, (spread, srange) = pools[k % len(pools)]
+        tgt = randomize(r, reg, ents, sun, rng, spread, srange)
         cam = r.editor_camera
         # previous frame: full res at pose A
         r.set_viewport(0, res, res)
@@ -155,11 +174,13 @@ def render_sequence_pairs(n_pairs: int, res: int, seed: int):
 
 def render_pairs(n_pairs: int, res: int, seed: int):
     """→ (inputs (N,res/2,res/2,3), targets (N,res,res,3)) float32."""
-    r, reg, ents, sun, rng = build_pool(res, seed)
+    pools = [build_pool(res, seed + i, **spec)
+             for i, spec in enumerate(POOL_SPECS)]
     inputs, targets = [], []
     t0 = time.time()
     for k in range(n_pairs):
-        randomize(r, reg, ents, sun, rng)
+        r, reg, ents, sun, rng, (spread, srange) = pools[k % len(pools)]
+        randomize(r, reg, ents, sun, rng, spread, srange)
         r.set_viewport(0, res, res)
         targets.append(np.asarray(r.read_frame())[..., :3])
         r.set_viewport(0, res // 2, res // 2)
