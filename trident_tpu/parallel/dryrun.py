@@ -149,6 +149,11 @@ def _dryrun_banded_render(n_devices: int, size: int = 64) -> None:
     from trident_tpu.render.renderer import Renderer
     from trident_tpu.render.types import AiBlend, SkyboxCube
 
+    # each band must be a whole number of raster tile rows (the banded
+    # kernel offsets by whole tiles) — grow the frame if TILE_H demands it
+    from trident_tpu.ops.raster_pallas import TILE_H
+
+    size = max(size, n_devices * TILE_H)
     r = Renderer(EngineConfig(render=RenderConfig(width=size, height=size)))
     reg = Registry()
     r.set_active_registry(reg)
