@@ -152,3 +152,59 @@ def test_svg_bezier_and_arc_paths():
     assert img[30, 32, 3] == 255              # inside the bezier dome
     assert img[4, 32, 3] == 0                 # above it
     assert img[57, 12, 0] == 255              # inside the arc circle
+
+
+def test_ktx2_file_mip_chain_ingested(tmp_path):
+    """A KTX2 with its own mip chain: the loader returns every level and
+    the texture pyramid uses the AUTHOR's mips (distinct colors here)
+    instead of box-downsampling mip 0 — libktx file-mip ingestion parity
+    (TextureLoader.cpp:417)."""
+    from trident_tpu.assets.ktx2 import load_ktx2_rgba8_mips, write_ktx2
+    from trident_tpu.render.textures import TextureSlots
+
+    red = np.zeros((4, 4, 4), np.uint8); red[..., 0] = 255; red[..., 3] = 255
+    green = np.zeros((2, 2, 4), np.uint8); green[..., 1] = 200; green[..., 3] = 255
+    blue = np.zeros((1, 1, 4), np.uint8); blue[..., 2] = 150; blue[..., 3] = 255
+    p = str(tmp_path / "chain.ktx2")
+    write_ktx2(p, red, scheme=2, mips=[green, blue])
+
+    img0, mips = load_ktx2_rgba8_mips(p)
+    assert (img0 == red).all()
+    assert len(mips) == 2
+    assert (mips[0] == green).all() and (mips[1] == blue).all()
+
+    slots = TextureSlots(edge=8)
+    slot = slots.acquire("chain", img0, mips=mips)
+    arr = slots.device_arrays()
+    base = int(arr.sizes[slot, 2]) << 8
+    quads = np.asarray(arr.quads)
+
+    def texel(entry):
+        v = int(quads[entry, 0])
+        return (v & 255, (v >> 8) & 255, (v >> 16) & 255)
+
+    # slot pyramid layout: level tiles of (e+1)^2 entries, e0=4
+    l1_base = base + 5 * 5
+    l2_base = l1_base + 3 * 3
+    assert texel(base) == (255, 0, 0)        # mip 0: red
+    assert texel(l1_base) == (0, 200, 0)     # mip 1: the FILE's green
+    assert texel(l2_base) == (0, 0, 150)     # mip 2: the FILE's blue
+
+
+def test_ktx2_partial_mip_chain_falls_back_to_box(tmp_path):
+    """A file carrying only SOME levels: matching sizes use the file mip,
+    the rest box-downsample from the previous level."""
+    from trident_tpu.render.textures import TextureSlots
+
+    red = np.zeros((4, 4, 4), np.uint8); red[..., 0] = 255; red[..., 3] = 255
+    green = np.zeros((2, 2, 4), np.uint8); green[..., 1] = 200; green[..., 3] = 255
+
+    slots = TextureSlots(edge=8)
+    slot = slots.acquire("partial", red, mips=[green])
+    arr = slots.device_arrays()
+    base = int(arr.sizes[slot, 2]) << 8
+    quads = np.asarray(arr.quads)
+    l2_base = base + 5 * 5 + 3 * 3
+    v = int(quads[l2_base, 0])
+    # level 2 = box(green) = green, NOT box(box(red))
+    assert ((v >> 8) & 255) == 200 and (v & 255) == 0

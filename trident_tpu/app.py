@@ -110,9 +110,11 @@ class Application:
                 break
             try:
                 if event.kind == ReloadType.TEXTURE:
-                    from trident_tpu.io.image import load_rgba8
+                    from trident_tpu.io.image import load_rgba8_mips
 
-                    self.renderer.textures.replace(event.path, load_rgba8(event.path))
+                    rgba, mips = load_rgba8_mips(event.path)
+                    self.renderer.textures.replace(event.path, rgba,
+                                                   mips=mips)
                     event.status = ReloadStatus.SUCCESS
                 else:
                     event.status = ReloadStatus.SUCCESS  # model/shader reload = re-import on demand

@@ -94,15 +94,32 @@ class Ktx2File:
             n, h, w, self.channels)
 
 
+def _to_rgba(img: np.ndarray, channels: int) -> np.ndarray:
+    if channels == 3:
+        img = np.concatenate(
+            [img, np.full((*img.shape[:2], 1), 255, np.uint8)], axis=-1)
+    return img
+
+
 def load_ktx2_rgba8(path: str) -> np.ndarray:
     """Level-0 2D image as (H,W,4) uint8 (the TextureLoader contract —
     the engine builds its own mip pyramid)."""
     tex = Ktx2File(path)
-    img = tex.level_images(0)[0]
-    if tex.channels == 3:
-        img = np.concatenate(
-            [img, np.full((*img.shape[:2], 1), 255, np.uint8)], axis=-1)
-    return img
+    return _to_rgba(tex.level_images(0)[0], tex.channels)
+
+
+def load_ktx2_rgba8_mips(path: str):
+    """(level-0 (H,W,4) uint8, [level 1.. images] or None) — the file's
+    own mip chain, for slots that should use the author's filtered mips
+    instead of the engine's box downsample (libktx mip-chain ingestion,
+    TextureLoader.cpp:417)."""
+    tex = Ktx2File(path)
+    img0 = _to_rgba(tex.level_images(0)[0], tex.channels)
+    if tex.levels <= 1:
+        return img0, None
+    mips = [_to_rgba(tex.level_images(l)[0], tex.channels)
+            for l in range(1, tex.levels)]
+    return img0, mips
 
 
 def load_ktx2_cubemap(path: str) -> np.ndarray:
@@ -115,34 +132,48 @@ def load_ktx2_cubemap(path: str) -> np.ndarray:
 
 
 def write_ktx2(path: str, images: np.ndarray, cubemap: bool = False,
-               scheme: int = 0) -> None:
+               scheme: int = 0, mips=None) -> None:
     """Write an uncompressed RGBA8 KTX2 (tests + asset tooling; scheme:
-    0 = none, 2 = zstd, 3 = zlib)."""
-    imgs = np.asarray(images, np.uint8)
-    if imgs.ndim == 3:
-        imgs = imgs[None]
-    n, h, w, ch = imgs.shape
+    0 = none, 2 = zstd, 3 = zlib). `mips`: optional list of level 1..
+    image stacks (same layout as `images`, halved dims per level) written
+    as a file mip chain. Levels are stored in index order (the level
+    index carries explicit offsets, which is what the reader consumes)."""
+    def pack_level(arr):
+        imgs = np.asarray(arr, np.uint8)
+        if imgs.ndim == 3:
+            imgs = imgs[None]
+        return imgs
+
+    level_imgs = [pack_level(images)] + [pack_level(m) for m in (mips or [])]
+    n, h, w, ch = level_imgs[0].shape
     vk_format = _VK_R8G8B8A8_UNORM if ch == 4 else _VK_R8G8B8_UNORM
     face_count = 6 if cubemap else 1
     if cubemap and n != 6:
         raise ValueError("cubemap needs 6 images")
-    payload = imgs.tobytes()
-    if scheme == 2:
-        import zstandard
 
-        comp = zstandard.ZstdCompressor().compress(payload)
-    elif scheme == 3:
-        import zlib
+    def compress(payload: bytes) -> bytes:
+        if scheme == 2:
+            import zstandard
 
-        comp = zlib.compress(payload)
-    else:
-        comp = payload
+            return zstandard.ZstdCompressor().compress(payload)
+        if scheme == 3:
+            import zlib
+
+            return zlib.compress(payload)
+        return payload
+
+    payloads = [li.tobytes() for li in level_imgs]
+    comps = [compress(p) for p in payloads]
 
     header = _KTX2_MAGIC + struct.pack(
-        "<9I", vk_format, 1, w, h, 0, 0, face_count, 1, scheme)
-    # index: no dfd/kvd/sgd blocks (offsets 0), one level entry
-    level_table_off = len(header) + 16 + 16 + 24
+        "<9I", vk_format, 1, w, h, 0, 0, face_count, len(level_imgs), scheme)
+    # index: no dfd/kvd/sgd blocks (offsets 0), then the level entries
     index = struct.pack("<4I2Q", 0, 0, 0, 0, 0, 0)
-    level = struct.pack("<3Q", level_table_off, len(comp), len(payload))
+    data_off = len(header) + len(index) + 24 * len(level_imgs)
+    level_entries = b""
+    cursor = data_off
+    for comp, payload in zip(comps, payloads):
+        level_entries += struct.pack("<3Q", cursor, len(comp), len(payload))
+        cursor += len(comp)
     with open(path, "wb") as f:
-        f.write(header + index + level + comp)
+        f.write(header + index + level_entries + b"".join(comps))

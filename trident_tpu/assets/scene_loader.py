@@ -49,9 +49,10 @@ def import_model_entities(path: str, registry: Registry, renderer,
             if tex.rgba is not None:
                 renderer.acquire_texture(tex.path, tex.rgba)
             else:
-                from trident_tpu.io.image import load_rgba8
+                from trident_tpu.io.image import load_rgba8_mips
 
-                renderer.acquire_texture(tex.path, load_rgba8(tex.path))
+                rgba, mips = load_rgba8_mips(tex.path)
+                renderer.acquire_texture(tex.path, rgba, mips=mips)
         except Exception as exc:
             logger.warning("texture %s failed: %s", tex.path, exc)
     for mat in data.materials:

@@ -32,6 +32,19 @@ def load_rgba8(path: str) -> np.ndarray:
         return np.asarray(img.convert("RGBA"), dtype=np.uint8)
 
 
+def load_rgba8_mips(path: str):
+    """(rgba, mips-or-None): like load_rgba8, but containers that carry
+    their own mip chain (.ktx2 with levelCount > 1) also return the
+    level 1.. images so texture slots can ingest the author's filtered
+    mips (TextureLoader.cpp:417 libktx behavior) instead of re-deriving
+    them with a box filter."""
+    if path.lower().endswith(".ktx2"):
+        from trident_tpu.assets.ktx2 import load_ktx2_rgba8_mips
+
+        return load_ktx2_rgba8_mips(path)
+    return load_rgba8(path), None
+
+
 def save_png(path: str, rgba: np.ndarray) -> None:
     from PIL import Image
 

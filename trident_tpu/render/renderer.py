@@ -427,8 +427,9 @@ class Renderer:
             self._primitive_mesh_indices[kind] = self.geometry.add_mesh(build_primitive(kind))
         return self._primitive_mesh_indices[kind]
 
-    def acquire_texture(self, key: str, rgba: Optional[np.ndarray] = None) -> int:
-        return self.textures.acquire(key, rgba)
+    def acquire_texture(self, key: str, rgba: Optional[np.ndarray] = None,
+                        mips=None) -> int:
+        return self.textures.acquire(key, rgba, mips=mips)
 
     def set_skybox(self, faces: np.ndarray) -> None:
         """faces: (6,E,E,3) float in [0,1] ordered +x,-x,+y,-y,+z,-z."""

@@ -45,6 +45,7 @@ class TextureSlots:
         self.edge = edge
         self.mip_count = mip_count or (int(np.log2(edge)) + 1)
         self._images: List[np.ndarray] = []     # mip-0 uint8 RGBA, original size
+        self._mips: List[Optional[List[np.ndarray]]] = []  # file mip chains
         self._sizes: List[Tuple[int, int]] = []
         self._by_path: Dict[str, int] = {}
         self.version = 0
@@ -53,11 +54,13 @@ class TextureSlots:
         # slot 0: white fallback
         self._push(np.full((1, 1, 4), 255, np.uint8), "__white__")
 
-    def _push(self, rgba: np.ndarray, key: str) -> int:
+    def _push(self, rgba: np.ndarray, key: str,
+              mips: Optional[List[np.ndarray]] = None) -> int:
         slot = len(self._images)
         if slot >= self.max_slots:
             return 0  # out of slots → white fallback, like the reference
         self._images.append(rgba)
+        self._mips.append(mips)
         self._sizes.append((rgba.shape[1], rgba.shape[0]))
         self._by_path[key] = slot
         self.version += 1
@@ -77,8 +80,13 @@ class TextureSlots:
                                    np.full((*rgba.shape[:2], 1), 255, np.uint8)], axis=-1)
         return rgba
 
-    def acquire(self, key: str, rgba: Optional[np.ndarray] = None) -> int:
-        """Get-or-create a slot. If `rgba` is None the key must exist."""
+    def acquire(self, key: str, rgba: Optional[np.ndarray] = None,
+                mips: Optional[List[np.ndarray]] = None) -> int:
+        """Get-or-create a slot. If `rgba` is None the key must exist.
+        `mips` is an optional author-provided mip chain (levels below
+        mip 0, any suffix): file levels are used in place of the box
+        downsample wherever their size matches the pyramid (libktx file
+        mip-chain ingestion, TextureLoader.cpp:417)."""
         if key in self._by_path:
             return self._by_path[key]
         if rgba is None:
@@ -86,17 +94,20 @@ class TextureSlots:
         rgba = self._sanitize(rgba)
         if rgba.shape[0] > self.edge or rgba.shape[1] > self.edge:
             rgba = self._downscale_to_fit(rgba)
-        return self._push(rgba, key)
+        mips = [self._sanitize(m) for m in mips] if mips else None
+        return self._push(rgba, key, mips)
 
-    def replace(self, key: str, rgba: np.ndarray) -> int:
+    def replace(self, key: str, rgba: np.ndarray,
+                mips: Optional[List[np.ndarray]] = None) -> int:
         """Hot-reload: swap pixels in an existing slot (Renderer.cpp:2118-2188)."""
         rgba = self._sanitize(rgba)
         if rgba.shape[0] > self.edge or rgba.shape[1] > self.edge:
             rgba = self._downscale_to_fit(rgba)
         if key not in self._by_path:
-            return self.acquire(key, rgba)
+            return self.acquire(key, rgba, mips)
         slot = self._by_path[key]
         self._images[slot] = rgba
+        self._mips[slot] = [self._sanitize(m) for m in mips] if mips else None
         self._sizes[slot] = (rgba.shape[1], rgba.shape[0])
         self.version += 1
         return slot
@@ -145,10 +156,22 @@ class TextureSlots:
             max_edge = max(max_edge, e0)
             n_levels = e0.bit_length()                       # log2(e0)+1
             sizes[i] = (w0, h0, cursor >> 8, e0)
-            cur = img
+            # level chain: file-provided mips slot in wherever their size
+            # matches the halved-by-2 pyramid; anything absent is box-
+            # downsampled from the previous level (shape matching also
+            # absorbs the downscale-to-fit shift of oversized sources)
+            file_mips = (self._mips[i] if i < n else None) or []
+            chain = [img]
+            while len(chain) < n_levels:
+                prev = chain[-1]
+                want = (max(prev.shape[0] // 2, 1), max(prev.shape[1] // 2, 1))
+                m = next((fm for fm in file_mips if fm.shape[:2] == want),
+                         None)
+                chain.append(m if m is not None else _box_downsample(prev))
             total = 0
             parts = []
             for l in range(n_levels):
+                cur = chain[l]
                 e = max(e0 >> l, 1)
                 # (e+1, e+1) tile: texels + wrap gutters in x AND y
                 tile = np.zeros((e + 1, e + 1, 4), np.uint8)
@@ -171,8 +194,6 @@ class TextureSlots:
                 q[:-1, :-1, 3] = grid[1:, 1:]
                 parts.append(q.reshape(-1, 4))
                 total += stride * stride
-                if l + 1 < n_levels:
-                    cur = _box_downsample(cur)
             pad = (-(cursor + total)) % 256                  # align next base
             if pad:
                 parts.append(np.zeros((pad, 4), np.uint32))
