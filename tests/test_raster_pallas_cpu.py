@@ -87,7 +87,11 @@ def test_near_plane_fullscreen_bbox(rng):
 
 def test_big_chunk_drop_is_counted_not_garbage(rng, monkeypatch):
     """With MAX_GLOBAL shrunk, excess big chunks are dropped: the output
-    must stay well-formed (subset of the oracle) and aux[1] must count."""
+    must stay well-formed (subset of the oracle) and aux[1] must count.
+    Mid tiers are pinned empty so the wide chunks cascade straight to the
+    whale slots (near-plane bboxes span the frame and would otherwise be
+    absorbed by a mid tier's window, cap permitting)."""
+    monkeypatch.setattr(raster_pallas, "MID_CAPS", (0, 0))
     monkeypatch.setattr(raster_pallas, "MAX_GLOBAL", 2)
     C = raster_pallas.CHUNK
     t = C * 5  # 5 chunks, all near-plane → all big

@@ -104,11 +104,24 @@ COVER_GATE = _os.environ.get("TRIDENT_COVER_GATE", "0") == "1"
                      # the @pl.when branchiness costs more than the skipped
                      # vector work once sub-block masks already cull most
                      # misses. Default OFF; knob kept for re-measurement.
-MAX_GLOBAL = int(_os.environ.get("TRIDENT_MAX_GLOBAL", "64"))
-                     # wide-span chunk slots: each costs an (n_tiles,) row in
-                     # the bin sort whether used or not (64 rows ≈ half the
-                     # sorted array at 1080p/CHUNK=256). Overflow degrades to
+MAX_GLOBAL = int(_os.environ.get("TRIDENT_MAX_GLOBAL", "8"))
+                     # whale-chunk slots (span beyond every mid tier): each
+                     # costs an (n_tiles,) row in the bin sort whether used
+                     # or not — 8 rows = 65k of the 4K sort, so the cap is
+                     # small and the MID_CAPS tiers below absorb everything
+                     # up to 4x the base span first. Overflow degrades to
                      # counted drops (aux[1]), never garbage.
+MID_CAPS = (128, 32)
+                     # cascading mid tiers: tier k admits up to MID_CAPS[k]
+                     # chunks whose tile span fits a (SPAN_X<<(k+1),
+                     # SPAN_Y<<(k+1)) window anchored at their bbox corner
+                     # (compacted by stable argsort like the whale tier).
+                     # Chunks past a tier's cap cascade to the next tier,
+                     # then to the global whale slots — so capacity only
+                     # GREW vs the old 64 global slots, while the sorted
+                     # array shrank ~31% at 1080p / ~65% at 4K (the old
+                     # layout was 80% whale-slot padding at 4K; the bench
+                     # scenes have zero non-small chunks at CHUNK=256).
 if MAX_GLOBAL < 1:
     raise ValueError(f"TRIDENT_MAX_GLOBAL={MAX_GLOBAL} must be >= 1")
 CHUNK_BITS = 18      # chunk-slot bits in the packed pair
@@ -248,10 +261,42 @@ def build_bins(setup: TriangleSetup, width: int, height: int) -> PallasBins:
         in_range, (tile_of << CHUNK_BITS) | slot_ids[:, None],
         n_tiles << CHUNK_BITS).astype(jnp.int32)
 
-    # big chunks (rare, huge triangles): compact to ≤ MAX_GLOBAL via stable
-    # argsort, then broadcast to every tile a quarter touches. Chunks past
-    # the cap are DROPPED (missing geometry) and counted in aux[1].
-    gmask = nonempty & ~small
+    # wider chunks cascade through windowed mid tiers (tier k: span up to
+    # SPAN<<(k+1), window anchored at the bbox corner, cap MID_CAPS[k]
+    # chunks via stable-argsort compaction), then to global whale slots.
+    # Only chunks past the WHALE cap are dropped (counted in aux[1]) —
+    # mid-tier overflow just falls through to the next tier.
+    sentinel = jnp.asarray(n_tiles << CHUNK_BITS, jnp.int32)
+    parts = [small_pairs.reshape(-1)]
+    admitted = small
+    wx, wy = SPAN_X, SPAN_Y
+    for cap in MID_CAPS:
+        wx, wy = wx * 2, wy * 2
+        fits = nonempty & ~admitted & (span_x <= wx) & (span_y <= wy)
+        order = jnp.argsort(~fits, stable=True).astype(jnp.int32)
+        g = min(cap, n_chunks)
+        gsel = order[:g]
+        gvalid = fits[gsel]
+        admitted = admitted | jnp.zeros(
+            n_chunks, bool).at[gsel].set(gvalid)
+        kk = wx * wy
+        dx = jnp.arange(kk, dtype=jnp.int32) % wx
+        dy = jnp.arange(kk, dtype=jnp.int32) // wx
+        tx = ctx0[gsel][:, None] + dx[None, :]
+        ty = cty0[gsel][:, None] + dy[None, :]
+        hit = ((ty[..., None] >= qty0[gsel][:, None, :])
+               & (ty[..., None] <= qty1[gsel][:, None, :])
+               & (tx[..., None] >= qtx0[gsel][:, None, :])
+               & (tx[..., None] <= qtx1[gsel][:, None, :]))
+        m = jnp.where(gvalid[:, None],
+                      jnp.sum(hit.astype(jnp.int32) * _weights, axis=-1), 0)
+        parts.append(jnp.where(
+            m > 0, ((ty * ntx + tx) << CHUNK_BITS) | slot_ids[gsel][:, None],
+            sentinel).astype(jnp.int32).reshape(-1))
+
+    # whale chunks: broadcast to every tile a sub-block touches. Chunks
+    # past the cap are DROPPED (missing geometry) and counted in aux[1].
+    gmask = nonempty & ~admitted
     order = jnp.argsort(~gmask, stable=True).astype(jnp.int32)
     g = min(MAX_GLOBAL, n_chunks)
     gsel = order[:g]
@@ -272,6 +317,7 @@ def build_bins(setup: TriangleSetup, width: int, height: int) -> PallasBins:
         big_mask > 0,
         (tile_ids[None, :] << CHUNK_BITS) | (gsel[:, None] + 1),
         n_tiles << CHUNK_BITS).astype(jnp.int32)
+    parts.append(big_pairs.reshape(-1))
 
     # One sort of the full slot array (mostly empty-sentinel slots) orders
     # AND compacts: real pairs form the sorted prefix. The sub-block hit
@@ -282,7 +328,7 @@ def build_bins(setup: TriangleSetup, width: int, height: int) -> PallasBins:
     # sort looked cheaper on paper but jnp.cumsum over a 1-D ~650k array
     # lowers pathologically on TPU (binning 9.8 → 38 ms at 1M) — XLA's
     # sort is the fast path here.
-    pairs = jnp.concatenate([small_pairs.reshape(-1), big_pairs.reshape(-1)])
+    pairs = jnp.concatenate(parts)
     pairs = jnp.sort(pairs)
     # real pairs form a sorted prefix; padding slots clamp to
     # (last tile, sentinel chunk 0) and sit beyond the dynamic grid bound
