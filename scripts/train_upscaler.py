@@ -257,6 +257,7 @@ def main():
 
     rng = np.random.default_rng(args.seed)
     t0 = time.time()
+    best = -1.0
     for s in range(args.steps):
         idx = rng.integers(0, tr_in.shape[0], args.batch)
         params, opt_state, loss = step(params, opt_state,
@@ -265,16 +266,26 @@ def main():
         if (s + 1) % 100 == 0:
             net_p, base_p = evaluate(params, jnp.asarray(val_in),
                                      jnp.asarray(val_tg))
+            # checkpoint the best-so-far at every eval: a wall-clock kill
+            # (driver timeout) then costs nothing — the plateau checkpoint
+            # is already on disk
+            mark = ""
+            if float(net_p) > best:
+                best = float(net_p)
+                save_upscaler(jax.device_get(params), args.out,
+                              args.channels)
+                mark = " [saved]"
             print(f"step {s + 1}: L1={float(loss):.4f} "
                   f"val PSNR net={float(net_p):.2f}dB "
                   f"bilinear={float(base_p):.2f}dB "
-                  f"({time.time() - t0:.0f}s)", flush=True)
+                  f"({time.time() - t0:.0f}s){mark}", flush=True)
 
     net_p, base_p = evaluate(params, jnp.asarray(val_in),
                              jnp.asarray(val_tg))
-    path = save_upscaler(jax.device_get(params), args.out, args.channels)
-    print(f"saved {path}: val PSNR net={float(net_p):.2f}dB vs "
-          f"bilinear={float(base_p):.2f}dB (+{float(net_p - base_p):.2f})")
+    if float(net_p) > best:
+        save_upscaler(jax.device_get(params), args.out, args.channels)
+    print(f"saved {args.out}: best val PSNR {max(best, float(net_p)):.2f}dB "
+          f"vs bilinear={float(base_p):.2f}dB")
 
 
 if __name__ == "__main__":
