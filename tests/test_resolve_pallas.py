@@ -52,6 +52,72 @@ def test_forward_matches_gather_bilinear():
     assert (diff > 1).mean() < 0.002
 
 
+def _random_setup_and_records(seed=7, t=200, w=256, h=128):
+    """Random visible scene + random (physically meaningless) resolve
+    records — parity between resolve modes only needs identical inputs."""
+    from trident_tpu.ops import planes as planes_mod
+    from trident_tpu.ops.raster_pallas import CHUNK, visibility_pallas_tiled
+    from trident_tpu.ops.vertex import triangle_setup
+
+    rng = np.random.default_rng(seed)
+    pos = (rng.uniform(-1, 1, (t, 1, 3)) * [0.9, 0.9, 0.4]
+           + rng.uniform(-0.2, 0.2, (t, 3, 3))).astype(np.float32)
+    ww = np.ones((t, 3, 1), np.float32) * rng.uniform(
+        0.5, 2.0, (t, 1, 1)).astype(np.float32)
+    clip = np.concatenate(
+        [pos[..., :2] * ww, (pos[..., 2:3] * 0.5 + 0.5) * ww, ww],
+        axis=-1).astype(np.float32)
+    tri_vtx = jnp.arange(t * 3, dtype=jnp.int32).reshape(t, 3)
+    setup = triangle_setup(jnp.asarray(clip.reshape(t * 3, 4)), tri_vtx,
+                           jnp.ones(t, bool), w, h)
+    bins, _, tri_tiles, _ = visibility_pallas_tiled(setup, w, h,
+                                                    interpret=True)
+    rows = rng.standard_normal((t, planes_mod.RR_WIDTH)).astype(np.float32)
+    records = planes_mod.chunk_resolve_rows(jnp.asarray(rows), CHUNK)
+    return bins, tri_tiles, records
+
+
+def test_resolve_skip_fastpath_bit_exact():
+    """The loser fast-path (TRIDENT_RESOLVE_SKIP) must be a pure
+    scheduling change: owners execute identical ops, so the attribute
+    image matches the always-run path BIT-EXACTLY — including tiles that
+    are touched by pairs but entirely background (both modes yield 0)."""
+    from trident_tpu.ops.resolve_pallas import resolve_attrs_pallas
+
+    w, h = 256, 128
+    bins, tri_tiles, records = _random_setup_and_records(w=w, h=h)
+    base = resolve_attrs_pallas(bins, tri_tiles, records, w, h,
+                                interpret=True, skip=False)
+    fast = resolve_attrs_pallas(bins, tri_tiles, records, w, h,
+                                interpret=True, skip=True)
+    np.testing.assert_array_equal(np.asarray(base), np.asarray(fast))
+    assert np.abs(np.asarray(base)).sum() > 0  # scene actually drew
+
+
+def test_resolve_skip_empty_scene():
+    """No owners at all: every step is a loser aliasing the padding pair;
+    the attribute image must come back all zeros, not garbage."""
+    from trident_tpu.ops import planes as planes_mod
+    from trident_tpu.ops.raster_pallas import (
+        CHUNK, visibility_pallas_tiled)
+    from trident_tpu.ops.resolve_pallas import resolve_attrs_pallas
+    from trident_tpu.ops.vertex import triangle_setup
+
+    t, w, h = 8, 256, 64
+    clip = np.zeros((t * 3, 4), np.float32)         # degenerate → invalid
+    clip[:, 3] = 1.0
+    setup = triangle_setup(jnp.asarray(clip),
+                           jnp.arange(t * 3, dtype=jnp.int32).reshape(t, 3),
+                           jnp.ones(t, bool), w, h)
+    bins, _, tri_tiles, _ = visibility_pallas_tiled(setup, w, h,
+                                                    interpret=True)
+    rows = np.ones((t, planes_mod.RR_WIDTH), np.float32)
+    records = planes_mod.chunk_resolve_rows(jnp.asarray(rows), CHUNK)
+    out = resolve_attrs_pallas(bins, tri_tiles, records, w, h,
+                               interpret=True, skip=True)
+    assert np.abs(np.asarray(out)).sum() == 0
+
+
 def test_forward_matches_gather_trilinear_ssaa():
     def scene(forward):
         cfg = EngineConfig(render=RenderConfig(

@@ -63,6 +63,36 @@ RESOLVE_HALF = _os.environ.get("TRIDENT_RESOLVE_HALF", "0") == "1"
 # off at 64-wide tiles, 16.96 vs 16.5).
 RESOLVE_COMPACT = _os.environ.get("TRIDENT_RESOLVE_COMPACT", "0") == "1"
 
+# TRIDENT_RESOLVE_SKIP=1: the loser fast-path (PERF.md roadmap item 9).
+# Same owner detection as COMPACT (the gather fuses into a compare+any;
+# no (NPAIR, npx) intermediate) but WITHOUT the argsort that made
+# compaction a loss: the grid keeps one step per pair, and every loser
+# step's record/tri/out BLOCK INDICES are aliased to the previous owning
+# pair's — Pallas skips re-fetch when consecutive steps use the same
+# block index, so loser steps cost bare grid-step overhead instead of a
+# (C, RW) record DMA + winner-skip reduction. Tile-reset semantics move
+# from "first pair of tile" to "first OWNING pair of tile" (won == 2),
+# carried in by a fourth scalar-prefetch array.
+RESOLVE_SKIP = _os.environ.get("TRIDENT_RESOLVE_SKIP", "0") == "1"
+
+
+def _cummax_i32(x: Array, rows: int = 256) -> Array:
+    """Inclusive 1-D running max, reshaped 2-D first: plain 1-D cumulative
+    scans over ~65k elements lower pathologically on TPU (PERF.md: a 650k
+    jnp.cumsum took the binner 9.8 → 38 ms), so scan short rows and
+    combine with an exclusive scan of the per-row maxima."""
+    n = x.shape[0]
+    if n <= rows:
+        return jax.lax.cummax(x, axis=0)
+    cols = -(-n // rows)
+    xp = jnp.pad(x, (0, rows * cols - n), constant_values=jnp.iinfo(x.dtype).min)
+    xp = xp.reshape(rows, cols)
+    within = jax.lax.cummax(xp, axis=1)
+    prev_rows = jax.lax.cummax(within[:, -1], axis=0)
+    prev_rows = jnp.concatenate(
+        [jnp.full((1,), jnp.iinfo(x.dtype).min, x.dtype), prev_rows[:-1]])
+    return jnp.maximum(within, prev_rows[:, None]).reshape(-1)[:n]
+
 # attribute-image channel layout (CH = 16): everything deferred shading
 # needs per pixel except the texels themselves
 CH_NX, CH_NY, CH_NZ = 0, 1, 2    # world normal (unnormalized)
@@ -77,20 +107,29 @@ CH_TSX, CH_TSY = 14, 15          # mip-0 texture (w,h); with the base these
 CHANNELS = 16
 
 
-def _resolve_kernel(band_ref, pair_tile_ref, pair_chunk_ref, rec_ref, tri_ref,
-                    out_ref, *, ntx: int, vertex_colors: bool):
+def _resolve_kernel(band_ref, pair_tile_ref, pair_chunk_ref, won_ref,
+                    rec_ref, tri_ref, out_ref, *, ntx: int,
+                    vertex_colors: bool, skip: bool):
     i = pl.program_id(0)
     tile = pair_tile_ref[i]
-    prev = pair_tile_ref[jnp.maximum(i - 1, 0)]
-    first = jnp.logical_or(i == 0, tile != prev)
     cid = pair_chunk_ref[i]
+    if skip:
+        # won_ref[i] ∈ {0 loser, 1 owner, 2 first owner of its tile}: loser
+        # steps alias the previous owner's blocks (no DMA happened) and
+        # must not touch them — everything below is gated on won > 0.
+        won = won_ref[i]
+        reset = won == 2
+    else:
+        prev = pair_tile_ref[jnp.maximum(i - 1, 0)]
+        won = None
+        reset = jnp.logical_or(i == 0, tile != prev)
     # band_ref[0]: whole-tile y offset for multi-chip banded rendering —
     # global pixel coords keep band arithmetic bit-identical to single-chip
     ty = tile // ntx + band_ref[0]
     tx = jax.lax.rem(tile, ntx)
     npx = TILE_H * TILE_W
 
-    @pl.when(first)
+    @pl.when(reset)
     def _():
         out_ref[0] = jnp.zeros((CHANNELS, npx), jnp.float32)
 
@@ -171,8 +210,10 @@ def _resolve_kernel(band_ref, pair_tile_ref, pair_chunk_ref, rec_ref, tri_ref,
         hc = CHUNK // 2
         for h in (0, 1):
             mine_h = mine & (rel // hc == h)
+            run_h = jnp.any(mine_h) if not skip else \
+                jnp.logical_and(won > 0, jnp.any(mine_h))
 
-            @pl.when(jnp.any(mine_h))
+            @pl.when(run_h)
             def _(h=h, mine_h=mine_h):
                 oh = jnp.where(
                     mine_h,
@@ -183,7 +224,12 @@ def _resolve_kernel(band_ref, pair_tile_ref, pair_chunk_ref, rec_ref, tri_ref,
                                           preferred_element_type=jnp.float32)
                 interpolants(sel, mine_h)
     else:
-        @pl.when(jnp.any(mine))
+        # skip mode gates on the SCALAR owner flag alone: owners have
+        # any(mine) true by construction (owns below IS any(mine)), and
+        # losers then skip even the vector reduction
+        run = jnp.any(mine) if not skip else won > 0
+
+        @pl.when(run)
         def _():
             oh = (jax.lax.broadcasted_iota(jnp.int32, (CHUNK, npx), 0)
                   == rel).astype(jnp.float32)
@@ -197,13 +243,16 @@ def resolve_attrs_pallas(bins: PallasBins, tri_tiles: Array, records: Array,
                          width: int, height: int,
                          vertex_colors: bool = False,
                          interpret: bool = False,
-                         tile_y_offset=0) -> Array:
+                         tile_y_offset=0, skip: bool | None = None) -> Array:
     """Run the resolve sweep → (height, width, CHANNELS) f32 attribute
     image. `tri_tiles` is the visibility kernel's tiled winner map
     ((n_tiles, 1, TH·TW), from visibility_pallas_tiled); `records` comes
     from planes.build_resolve_records. `tile_y_offset` (int or traced i32):
     whole-tile y offset for banded multi-chip rendering (must match the
-    visibility pass's)."""
+    visibility pass's). `skip` overrides the TRIDENT_RESOLVE_SKIP loser
+    fast-path flag (tests exercise both paths explicitly)."""
+    if skip is None:
+        skip = RESOLVE_SKIP
     ntx = -(-width // TILE_W)
     nty = -(-height // TILE_H)
     n_tiles = ntx * nty
@@ -211,7 +260,33 @@ def resolve_attrs_pallas(bins: PallasBins, tri_tiles: Array, records: Array,
     rw = records.shape[2]
 
     pair_tile, pair_chunk, n_grid = bins.pair_tile, bins.pair_chunk, bins.n_real
-    if RESOLVE_COMPACT:
+    idx = jnp.arange(bins.n_pairs, dtype=jnp.int32)
+    won = jnp.zeros((bins.n_pairs,), jnp.int32)
+    if skip:
+        # exact owners: does any winner id in the pair's tile fall in its
+        # chunk's range? XLA fuses the gather into the compare+any — the
+        # (NPAIR, npx) intermediate never materializes.
+        rows = tri_tiles[pair_tile, 0, :]              # (NPAIR, npx) i32
+        rel = rows - ((pair_chunk - 1) * CHUNK)[:, None]
+        owns = ((rows >= 0) & (rel >= 0) & (rel < CHUNK)).any(axis=1)
+        owns &= idx < n_grid
+        # first owning pair of each tile does the tile reset (won == 2)
+        first_of_tile = jnp.full((n_tiles + 1,), bins.n_pairs, jnp.int32).at[
+            jnp.where(owns, pair_tile, n_tiles)].min(idx, mode="drop")
+        won = jnp.where(owns,
+                        jnp.where(first_of_tile[pair_tile] == idx, 2, 1),
+                        0).astype(jnp.int32)
+        # alias each loser step's blocks to the previous owner's (the
+        # loser-prefix before the first owner aliases the FIRST owner:
+        # its uninitialized out block is then reset by that owner's
+        # won==2 step before any index change can flush it)
+        prev_own = _cummax_i32(jnp.where(owns, idx, -1))
+        first_own = jnp.min(jnp.where(owns, idx, bins.n_pairs))
+        src = jnp.where(prev_own >= 0, prev_own,
+                        jnp.minimum(first_own, bins.n_pairs - 1))
+        pair_tile = jnp.where(won > 0, pair_tile, pair_tile[src])
+        pair_chunk = jnp.where(won > 0, pair_chunk, pair_chunk[src])
+    elif RESOLVE_COMPACT:
         # owning-pair compaction: a pair owns pixels iff some winner id in
         # its tile falls in its chunk's id range. The gather feeds straight
         # into the compare+any reduction (XLA fuses it; the (NPAIR, npx)
@@ -229,21 +304,21 @@ def resolve_attrs_pallas(bins: PallasBins, tri_tiles: Array, records: Array,
 
     band = jnp.asarray(tile_y_offset, jnp.int32).reshape(1)
     kernel = functools.partial(_resolve_kernel, ntx=ntx,
-                               vertex_colors=vertex_colors)
+                               vertex_colors=vertex_colors, skip=skip)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(jnp.maximum(n_grid, 1),),
         in_specs=[
             pl.BlockSpec((1, CHUNK, rw),
-                         lambda i, band, tiles, chunks: (chunks[i], 0, 0),
+                         lambda i, band, tiles, chunks, won: (chunks[i], 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, npx),
-                         lambda i, band, tiles, chunks: (tiles[i], 0, 0),
+                         lambda i, band, tiles, chunks, won: (tiles[i], 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((1, CHANNELS, npx),
-                         lambda i, band, tiles, chunks: (tiles[i], 0, 0),
+                         lambda i, band, tiles, chunks, won: (tiles[i], 0, 0),
                          memory_space=pltpu.VMEM),
         ],
     )
@@ -254,13 +329,16 @@ def resolve_attrs_pallas(bins: PallasBins, tri_tiles: Array, records: Array,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         interpret=interpret,
-    )(band, pair_tile, pair_chunk, records, tri_tiles)
+    )(band, pair_tile, pair_chunk, won, records, tri_tiles)
 
     # untouched tiles hold garbage; deferred masks them via tri_id == -1,
-    # but zero them anyway so NaNs can't leak through masked selects
-    touched_idx = jnp.where(
-        jnp.arange(bins.n_pairs, dtype=jnp.int32) < n_grid,
-        pair_tile, n_tiles)
+    # but zero them anyway so NaNs can't leak through masked selects.
+    # skip mode: only OWNED tiles were written (touched-but-unowned tiles
+    # are all background and their steps aliased another tile's blocks)
+    if skip:
+        touched_idx = jnp.where(won > 0, pair_tile, n_tiles)
+    else:
+        touched_idx = jnp.where(idx < n_grid, pair_tile, n_tiles)
     written = jnp.zeros((n_tiles + 1,), jnp.bool_).at[touched_idx].set(
         True, mode="drop")[:n_tiles]
     attrs = jnp.where(written[:, None, None], attrs, 0.0)
