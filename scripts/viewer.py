@@ -3,16 +3,26 @@
 
 The reference's user surface is the Trident-Forge editor (live viewport +
 ImGuizmo transforms, ApplicationLayer.cpp:38-227, SceneViewportPanel.cpp:
-63-100). The TPU rebuild is headless-first, so the interactive surface is
-a localhost web page streaming `present()` frames with:
+63-100, plus the 9 editor panels under Trident-Forge/src/Panels/). The
+TPU rebuild is headless-first, so the interactive surface is a localhost
+web page streaming `present()` frames with panel equivalents:
 
-  * orbit / pan / dolly editor camera (drag / shift-drag / wheel)
-  * click-to-select (tri_id → entity picking) + inspector editing
-  * play/stop, primitive spawning, scene save/load
-  * FPS overlay from the engine timing ring
+  * orbit / pan / dolly editor camera (drag / shift-drag / wheel); Scene /
+    Game viewport toggle (ID 1 editor camera / ID 2 runtime camera)
+  * click-to-select (tri_id → entity picking); Move mode drags the
+    selected entity in the camera plane (the ImGuizmo-translate analogue,
+    SceneViewportPanel.cpp:63-100) — rotate/scale edit via the inspector
+  * Hierarchy (entity list + destroy), Inspector (schema-driven component
+    editing), Console (log ring + level filter, ConsolePanel analogue),
+    Content browser (asset listing + import), Toolbar (play/stop, perf
+    CSV capture, dataset capture, video recording), AI debug stats +
+    blend slider (AIDebugPanel analogue)
+  * play/stop with runtime-camera rebinding, primitive spawning, scene
+    save/load
 
 Run:  python scripts/viewer.py [--width 512 --height 512 --port 8642]
             [--model path.obj ...] [--scene file.trident] [--shadows]
+            [--assets DIR]
 Then open http://localhost:8642/ .
 
 All engine access serializes through one lock (the renderer is a
@@ -59,18 +69,50 @@ _PAGE = """<!DOCTYPE html>
   <div>
     <button id=play onclick="act('play')">Play</button>
     <button onclick="act('stop')">Stop</button>
+    <button id=vp onclick="toggleVp()">Scene</button>
+    <button id=move onclick="toggleMove()">Move</button>
   </div>
   <div>
     <button onclick="spawn('cube')">+Cube</button>
     <button onclick="spawn('sphere')">+Sphere</button>
     <button onclick="spawn('quad')">+Quad</button>
   </div>
+  <div>
+    <button id=perf onclick="toggle('perf_capture', 'perf')">PerfCSV</button>
+    <button id=data onclick="toggle('dataset_capture', 'data')">Dataset</button>
+    <button id=rec onclick="toggle('record', 'rec')">Record</button>
+  </div>
+  <h4>AI <span id=aistats></span></h4>
+  <input id=blend type=range min=0 max=100 value=0 style="width:240px"
+         oninput="post('/api/ai_blend', {value: this.value / 100})">
   <h4>Entities</h4><div id=ents></div>
   <h4>Inspector</h4><div id=insp>click an entity in the viewport</div>
+  <h4>Assets <span id=adir></span></h4><div id=assets></div>
+  <h4>Console <select id=lvl onchange="refreshConsole()">
+    <option value=0>all</option><option value=20>info</option>
+    <option value=30 selected>warn</option><option value=40>error</option>
+  </select></h4>
+  <div id=console style="font-size:11px; max-height:180px; overflow-y:auto">
+  </div>
 </div>
 <script>
 const img = document.getElementById('frame');
 let sel = null, dragging = 0, lx = 0, ly = 0, moved = 0;
+let vp = 1, moveMode = false, flags = {};
+function toggleVp() {
+  vp = vp === 1 ? 2 : 1;
+  document.getElementById('vp').textContent = vp === 1 ? 'Scene' : 'Game';
+}
+function toggleMove() {
+  moveMode = !moveMode;
+  document.getElementById('move').className = moveMode ? 'on' : '';
+}
+async function toggle(api, btn) {
+  flags[btn] = !flags[btn];
+  const r = await post('/api/' + api, {enabled: flags[btn]});
+  document.getElementById(btn).className = flags[btn] ? 'on' : '';
+  if (r && r.path) console.log(api, r.path);
+}
 async function post(u, b) {
   const r = await fetch(u, {method:'POST', body: JSON.stringify(b||{})});
   return r.json();
@@ -79,7 +121,7 @@ async function act(a) { await post('/api/' + a); refreshState(); }
 async function spawn(p) { await post('/api/spawn', {primitive: p}); refreshEnts(); }
 async function loop() {
   try {
-    const r = await fetch('/api/frame?t=' + Date.now());
+    const r = await fetch('/api/frame?vp=' + vp + '&t=' + Date.now());
     const b = await r.blob();
     const url = URL.createObjectURL(b);
     img.onload = () => URL.revokeObjectURL(url);
@@ -103,7 +145,10 @@ img.onpointermove = e => {
   if (!dragging) return;
   const dx = e.clientX - lx, dy = e.clientY - ly; lx = e.clientX; ly = e.clientY;
   moved += Math.abs(dx) + Math.abs(dy);
-  if (e.shiftKey || dragging === 4) post('/api/camera', {op:'pan', dx:dx, dy:dy});
+  if (moveMode && sel !== null && sel !== undefined)
+    post('/api/gizmo', {entity: sel, dx: dx, dy: dy});
+  else if (e.shiftKey || dragging === 4)
+    post('/api/camera', {op:'pan', dx:dx, dy:dy});
   else post('/api/camera', {op:'orbit', dx:dx, dy:dy});
 };
 img.onwheel = e => { e.preventDefault();
@@ -127,6 +172,11 @@ async function select(id) {
   if (id === null || id === undefined) { d.textContent = 'nothing selected'; return; }
   const r = await (await fetch('/api/entity?id=' + id)).json();
   d.innerHTML = '';
+  const del = document.createElement('button');
+  del.textContent = 'Destroy';
+  del.onclick = async () => { await post('/api/destroy', {entity: id});
+                              sel = null; refreshEnts(); select(null); };
+  d.appendChild(del);
   for (const [comp, fields] of Object.entries(r.components)) {
     const h = document.createElement('h4'); h.textContent = comp; d.appendChild(h);
     for (const [f, v] of Object.entries(fields)) {
@@ -163,10 +213,47 @@ async function refreshState() {
   const r = await (await fetch('/api/state')).json();
   document.getElementById('stats').textContent =
     r.fps.toFixed(1) + ' fps  ' + r.width + 'x' + r.height +
-    (r.playing ? '  [playing]' : '');
+    '  ' + r.triangles + ' tris' + (r.playing ? '  [playing]' : '');
   document.getElementById('play').className = r.playing ? 'on' : '';
+  const a = r.ai;
+  document.getElementById('aistats').textContent = a.enabled
+    ? 'q=' + a.queue_depth + ' ' + a.last_inference_ms.toFixed(1) + 'ms avg='
+      + a.average_inference_ms.toFixed(1) + 'ms n=' + a.completed_count
+    : '(off)';
 }
-loop(); refreshEnts(); setInterval(refreshState, 1000);
+async function refreshConsole() {
+  const lvl = document.getElementById('lvl').value;
+  const r = await (await fetch('/api/console?level=' + lvl)).json();
+  const d = document.getElementById('console');
+  d.innerHTML = '';
+  for (const e of r.entries) {
+    const el = document.createElement('div');
+    el.textContent = e.level + ' ' + e.message;
+    if (e.level === 'ERROR' || e.level === 'CRITICAL') el.style.color = '#e07a7a';
+    else if (e.level === 'WARNING') el.style.color = '#d9b96a';
+    d.appendChild(el);
+  }
+  d.scrollTop = d.scrollHeight;
+}
+async function refreshAssets(dir) {
+  const r = await (await fetch('/api/assets' +
+                   (dir ? '?dir=' + encodeURIComponent(dir) : ''))).json();
+  document.getElementById('adir').textContent = r.dir;
+  const d = document.getElementById('assets');
+  d.innerHTML = '';
+  for (const it of r.items) {
+    const el = document.createElement('div');
+    el.className = 'ent';
+    el.textContent = (it.kind === 'dir' ? '[d] ' : '    ') + it.name;
+    el.onclick = it.kind === 'dir'
+      ? () => refreshAssets(it.path)
+      : async () => { await post('/api/import', {path: it.path});
+                      refreshEnts(); };
+    d.appendChild(el);
+  }
+}
+loop(); refreshEnts(); refreshAssets(); refreshConsole();
+setInterval(refreshState, 1000); setInterval(refreshConsole, 3000);
 </script></body></html>"""
 
 
@@ -174,8 +261,10 @@ class ViewerServer:
     """HTTP wrapper around an Application: one lock serializes all engine
     access (renderer state is single-threaded by design)."""
 
-    def __init__(self, app, host: str = "127.0.0.1", port: int = 8642):
+    def __init__(self, app, host: str = "127.0.0.1", port: int = 8642,
+                 assets_root: str | None = None):
         self.app = app
+        self.assets_root = os.path.abspath(assets_root or os.getcwd())
         self.lock = threading.Lock()
         self._frames = 0
         self._fps = 0.0
@@ -185,6 +274,10 @@ class ViewerServer:
         class Handler(BaseHTTPRequestHandler):
             def log_message(self, *a):  # quiet
                 pass
+
+            def _q(self):
+                q = self.path.split("?", 1)[1] if "?" in self.path else ""
+                return dict(p.split("=", 1) for p in q.split("&") if "=" in p)
 
             def _json(self, obj, code=200):
                 body = json.dumps(obj).encode()
@@ -205,7 +298,7 @@ class ViewerServer:
                         self.end_headers()
                         self.wfile.write(body)
                     elif path == "/api/frame":
-                        png = viewer.frame_png()
+                        png = viewer.frame_png(int(self._q().get("vp", 1)))
                         self.send_response(200)
                         self.send_header("Content-Type", "image/png")
                         self.send_header("Content-Length", str(len(png)))
@@ -214,11 +307,17 @@ class ViewerServer:
                     elif path == "/api/entities":
                         self._json(viewer.entities())
                     elif path == "/api/entity":
-                        q = self.path.split("?", 1)[1] if "?" in self.path else ""
-                        eid = int(dict(p.split("=") for p in q.split("&"))["id"])
-                        self._json(viewer.entity(eid))
+                        self._json(viewer.entity(int(self._q()["id"])))
                     elif path == "/api/state":
                         self._json(viewer.state())
+                    elif path == "/api/console":
+                        self._json(viewer.console(
+                            int(self._q().get("level", 0))))
+                    elif path == "/api/assets":
+                        from urllib.parse import unquote
+
+                        d = self._q().get("dir")
+                        self._json(viewer.assets(unquote(d) if d else None))
                     else:
                         self._json({"error": "not found"}, 404)
                 except Exception as exc:  # surface errors to the page
@@ -238,14 +337,29 @@ class ViewerServer:
         self.port = self.httpd.server_address[1]
 
     # -- engine ops (all under the lock) ---------------------------------------
-    def frame_png(self) -> bytes:
+    def frame_png(self, viewport: int = 1) -> bytes:
         from PIL import Image
 
         with self.lock:
             self.app.update()
-            frame = self.app.renderer.present()
+            r = self.app.renderer
+            vid = r.active_viewport
+            if viewport == 2:  # game viewport (runtime camera when playing)
+                if r.GAME_VIEWPORT not in r.viewports:
+                    ctx = r.viewports[vid]
+                    r.set_viewport(r.GAME_VIEWPORT, ctx.width, ctx.height)
+                vid = r.GAME_VIEWPORT
+            frame = r.present(vid)
             self._frames += 1
             now = time.perf_counter()
+            # the viewer loop bypasses draw_frame, so feed the timing ring
+            # (and any active perf-capture session) from its own cadence
+            ctx = r.viewports[vid]
+            last = getattr(self, "_last_frame_t", now)
+            self._last_frame_t = now
+            if now > last:
+                r.timing.accumulate((now - last) * 1000.0,
+                                    (ctx.width, ctx.height))
             if now - self._fps_t0 >= 1.0:
                 self._fps = self._frames / (now - self._fps_t0)
                 self._frames = 0
@@ -276,9 +390,53 @@ class ViewerServer:
         with self.lock:
             r = self.app.renderer
             ctx = r.viewports[r.active_viewport]
+            ai = self.app.frame_generator.stats
             return {"fps": self._fps, "width": ctx.width, "height": ctx.height,
                     "playing": bool(self.app.scene.playing),
-                    "models": r.stats_models, "triangles": r.stats_triangles}
+                    "models": r.stats_models, "triangles": r.stats_triangles,
+                    "ai": {"enabled": ai.enabled,
+                           "queue_depth": ai.queue_depth,
+                           "completed_count": ai.completed_count,
+                           "last_inference_ms": ai.last_inference_ms,
+                           "average_inference_ms": ai.average_inference_ms}}
+
+    def console(self, min_level: int = 0):
+        from trident_tpu.core.log import ConsoleLog
+
+        import logging
+
+        entries = ConsoleLog.entries(min_level)[-120:]
+        return {"entries": [{"level": logging.getLevelName(e.level),
+                             "message": f"[{e.logger}] {e.message}"}
+                            for e in entries]}
+
+    def assets(self, directory: str | None = None):
+        """Content-browser listing rooted at assets_root (the reference's
+        ContentBrowserPanel roots at Assets/): subdirs + importable files."""
+        from trident_tpu.assets.scene_loader import SUPPORTED_EXTENSIONS
+
+        root = self.assets_root
+        d = os.path.abspath(os.path.join(root, directory or "."))
+        if not (d == root or d.startswith(root + os.sep)):
+            d = root  # clamp escapes back to the root
+        items = []
+        try:
+            names = sorted(os.listdir(d))
+        except OSError:
+            names = []
+        for name in names:
+            if name.startswith("."):
+                continue
+            full = os.path.join(d, name)
+            rel = os.path.relpath(full, root)
+            if os.path.isdir(full):
+                items.append({"name": name, "path": rel, "kind": "dir"})
+            elif os.path.splitext(name)[1].lower() in SUPPORTED_EXTENSIONS:
+                items.append({"name": name, "path": rel, "kind": "model"})
+        if d != root:
+            items.insert(0, {"name": "..", "kind": "dir",
+                             "path": os.path.relpath(os.path.dirname(d), root)})
+        return {"dir": os.path.relpath(d, root), "items": items}
 
     def command(self, op: str, body: dict):
         from trident_tpu.ecs.inspect import set_field
@@ -300,12 +458,63 @@ class ViewerServer:
             elif op == "pick":
                 ent = r.pick_entity(int(body["x"]), int(body["y"]))
                 return {"entity": ent}
+            elif op == "gizmo":
+                # ImGuizmo-translate analogue: drag the selected entity in
+                # the camera plane, scaled by its distance (so one pixel of
+                # drag tracks roughly one pixel of screen motion)
+                from trident_tpu.ecs.components import TransformComponent
+
+                t = r.registry.try_get(int(body["entity"]), TransformComponent)
+                if t is not None:
+                    right, up, _fwd = cam._basis()
+                    dist = float(np.linalg.norm(
+                        np.asarray(t.position, np.float32) - cam.position))
+                    ctx = r.viewports[r.active_viewport]
+                    k = 2.0 * max(dist, 0.3) * np.tan(
+                        np.radians(cam.fov_deg) / 2.0) / ctx.height
+                    t.position = (np.asarray(t.position, np.float32)
+                                  + right * float(body["dx"]) * k
+                                  - up * float(body["dy"]) * k)
+            elif op == "destroy":
+                r.registry.destroy(int(body["entity"]))
+            elif op == "import":
+                full = os.path.abspath(
+                    os.path.join(self.assets_root, body["path"]))
+                if not full.startswith(self.assets_root):
+                    raise ValueError("path escapes the assets root")
+                return {"entities": app.import_assets([full])}
+            elif op == "ai_blend":
+                app.config.ai.blend = float(body["value"])
+            elif op == "perf_capture":
+                if body.get("enabled"):
+                    r.timing.begin_capture()
+                else:
+                    return {"path": r.timing.end_capture()}
+            elif op == "dataset_capture":
+                rec = app.dataset_recorder
+                if body.get("dir"):
+                    rec.directory = body["dir"]
+                if body.get("interval"):
+                    rec.interval_s = float(body["interval"])
+                rec.start() if body.get("enabled") else rec.stop()
+            elif op == "record":
+                enc = app.video_encoder
+                if body.get("enabled") and not enc.active:
+                    ctx = r.viewports[r.active_viewport]
+                    ok = enc.begin_session(body.get("path", "capture.y4m"),
+                                           ctx.width, ctx.height,
+                                           int(body.get("fps", 30)))
+                    return {"ok": bool(ok)}
+                if not body.get("enabled") and enc.active:
+                    enc.end_session()
             elif op == "play":
                 app.scene.play()
                 r.set_active_registry(app.scene.runtime_registry)
+                r.bind_runtime_camera(app.scene.runtime_registry)
             elif op == "stop":
                 app.scene.stop()
                 r.set_active_registry(app.scene.editor_registry)
+                r.runtime_camera_ready = False
             elif op == "spawn":
                 from trident_tpu.ecs.components import (
                     MeshComponent, TagComponent, TransformComponent)
@@ -388,6 +597,8 @@ def main(argv=None) -> int:
     parser.add_argument("--model", action="append", default=[])
     parser.add_argument("--scene", default=None)
     parser.add_argument("--shadows", action="store_true")
+    parser.add_argument("--assets", default=None,
+                        help="content-browser root (default: cwd)")
     parser.add_argument("--cpu", action="store_true",
                         help="force the CPU backend (the env var alone does "
                              "not defeat a pinned TPU plugin platform)")
@@ -400,7 +611,8 @@ def main(argv=None) -> int:
         jax.config.update("jax_platforms", "cpu")
 
     app = build_app(args)
-    server = ViewerServer(app, args.host, args.port)
+    server = ViewerServer(app, args.host, args.port,
+                          assets_root=args.assets)
     print(f"viewer: http://{args.host}:{server.port}/  (ctrl-c to stop)")
     try:
         server.serve_forever()

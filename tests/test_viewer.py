@@ -107,3 +107,60 @@ def test_play_stop_and_spawn(server):
     assert any(e["id"] == spawned for e in ents)
     assert _post(server, "/api/stop") == {"ok": True}
     assert not json.loads(_get(server, "/api/state"))["playing"]
+
+
+def test_gizmo_translate_writes_transform(server):
+    """Move mode (the ImGuizmo-translate analogue): dragging the selected
+    entity writes its TransformComponent back through the facade."""
+    ents = json.loads(_get(server, "/api/entities"))["entities"]
+    sphere = next(e for e in ents if e["tag"] == "sphere")
+    before = json.loads(_get(server, f"/api/entity?id={sphere['id']}"))
+    p0 = np.asarray(before["components"]["Transform"]["position"])
+    _post(server, "/api/gizmo", {"entity": sphere["id"], "dx": 40, "dy": -25})
+    after = json.loads(_get(server, f"/api/entity?id={sphere['id']}"))
+    p1 = np.asarray(after["components"]["Transform"]["position"])
+    assert np.linalg.norm(p1 - p0) > 1e-3
+
+
+def test_console_and_ai_state(server):
+    from trident_tpu.core.log import get_logger
+
+    get_logger("viewer-test").warning("panel smoke warning")
+    entries = json.loads(_get(server, "/api/console?level=30"))["entries"]
+    assert any("panel smoke warning" in e["message"] for e in entries)
+    state = json.loads(_get(server, "/api/state"))
+    assert "ai" in state and state["ai"]["enabled"] in (True, False)
+    _post(server, "/api/ai_blend", {"value": 0.4})
+    assert abs(server.app.config.ai.blend - 0.4) < 1e-6
+
+
+def test_assets_browse_and_import(server, tmp_path):
+    (tmp_path / "sub").mkdir()
+    (tmp_path / "sub" / "tri.obj").write_text(
+        "v 0 0 0\nv 1 0 0\nv 0 1 0\nf 1 2 3\n")
+    server.assets_root = str(tmp_path)
+    root = json.loads(_get(server, "/api/assets"))
+    assert any(i["kind"] == "dir" and i["name"] == "sub"
+               for i in root["items"])
+    sub = json.loads(_get(server, "/api/assets?dir=sub"))
+    tri = next(i for i in sub["items"] if i["name"] == "tri.obj")
+    out = _post(server, "/api/import", {"path": tri["path"]})
+    assert out["entities"], out
+    # escapes clamp back to the root instead of listing outside it
+    esc = json.loads(_get(server, "/api/assets?dir=..%2F..%2F"))
+    assert esc["dir"] == "."
+
+
+def test_destroy_and_capture_toggles(server):
+    spawned = _post(server, "/api/spawn", {"primitive": "cube"})["entity"]
+    _post(server, "/api/destroy", {"entity": spawned})
+    ents = json.loads(_get(server, "/api/entities"))["entities"]
+    assert not any(e["id"] == spawned for e in ents)
+
+    _post(server, "/api/perf_capture", {"enabled": True})
+    _get(server, "/api/frame")
+    out = _post(server, "/api/perf_capture", {"enabled": False})
+    assert out.get("path")
+
+    png = _get(server, "/api/frame?vp=2")  # game viewport renders too
+    assert png[:8] == b"\x89PNG\r\n\x1a\n"
