@@ -134,10 +134,9 @@ def main() -> None:
     # the next call as reconstruction history (renderer.prev_state analogue)
     temporal_ai = False
     if upscale_params is not None:
-        from trident_tpu.ai.upscaler import (
-            TEMPORAL_CHANNELS, upscaler_in_channels)
+        from trident_tpu.ai.upscaler import upscaler_wants_temporal
 
-        temporal_ai = upscaler_in_channels(upscale_params) == TEMPORAL_CHANNELS
+        temporal_ai = upscaler_wants_temporal(upscale_params)
     vp_mat = jnp.asarray(np.asarray(cam.proj) @ np.asarray(cam.view))
 
     stride_kw = renderer._stride_kwargs(skinned=False)

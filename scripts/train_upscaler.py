@@ -108,7 +108,8 @@ def randomize(r, reg, ents, sun, rng, spread=4.5, scale_range=(0.4, 1.4)):
     return tgt
 
 
-def render_sequence_pairs(n_pairs: int, res: int, seed: int):
+def render_sequence_pairs(n_pairs: int, res: int, seed: int,
+                          with_depth: bool = False):
     """Temporal mode: per sample, render the PREVIOUS frame at full res
     from a nearby camera, then orbit a little and render the current
     half-res input + full-res target + half-res depth + both cameras'
@@ -118,7 +119,7 @@ def render_sequence_pairs(n_pairs: int, res: int, seed: int):
 
     pools = [build_pool(res, seed + i, **spec)
              for i, spec in enumerate(POOL_SPECS)]
-    xs, temporals, targets = [], [], []
+    xs, depths, temporals, targets = [], [], [], []
     t0 = time.time()
     warp_j = jax.jit(warp_previous, static_argnames=("full_width",
                                                      "full_height"))
@@ -151,6 +152,9 @@ def render_sequence_pairs(n_pairs: int, res: int, seed: int):
         r.set_viewport(0, res // 2, res // 2)
         cur_out = r.render_viewport(0)
         xs.append(np.asarray(cur_out.color)[..., :3].astype(np.float32) / 255.0)
+        if with_depth:
+            depths.append(np.asarray(cur_out.depth)[..., None]
+                          .astype(np.float32))
         pb = cam.params()
         vp = np.asarray(pb.proj) @ np.asarray(pb.view)
         t_in = np.asarray(warp_j(
@@ -168,12 +172,14 @@ def render_sequence_pairs(n_pairs: int, res: int, seed: int):
                   f"({time.time() - t0:.0f}s)", flush=True)
     x = np.stack(xs).astype(np.float32)
     t = np.stack(temporals).astype(np.float32)
-    return (np.concatenate([x, t], axis=-1),
+    parts = [x] + ([np.stack(depths)] if with_depth else []) + [t]
+    return (np.concatenate(parts, axis=-1),
             np.stack(targets).astype(np.float32) / 255.0)
 
 
-def render_pairs(n_pairs: int, res: int, seed: int):
-    """→ (inputs (N,res/2,res/2,3), targets (N,res,res,3)) float32."""
+def render_pairs(n_pairs: int, res: int, seed: int,
+                 with_depth: bool = False):
+    """→ (inputs (N,res/2,res/2,3|4), targets (N,res,res,3)) float32."""
     pools = [build_pool(res, seed + i, **spec)
              for i, spec in enumerate(POOL_SPECS)]
     inputs, targets = [], []
@@ -184,11 +190,17 @@ def render_pairs(n_pairs: int, res: int, seed: int):
         r.set_viewport(0, res, res)
         targets.append(np.asarray(r.read_frame())[..., :3])
         r.set_viewport(0, res // 2, res // 2)
-        inputs.append(np.asarray(r.read_frame())[..., :3])
+        cur_out = r.render_viewport(0)
+        rgb = np.asarray(cur_out.color)[..., :3].astype(np.float32) / 255.0
+        if with_depth:
+            rgb = np.concatenate(
+                [rgb, np.asarray(cur_out.depth)[..., None]
+                 .astype(np.float32)], axis=-1)
+        inputs.append(rgb)
         if (k + 1) % 32 == 0:
             print(f"  rendered {k + 1}/{n_pairs} pairs "
                   f"({time.time() - t0:.0f}s)", flush=True)
-    return (np.stack(inputs).astype(np.float32) / 255.0,
+    return (np.stack(inputs).astype(np.float32),
             np.stack(targets).astype(np.float32) / 255.0)
 
 
@@ -207,6 +219,11 @@ def main():
                     help="train the temporal net: previous full-res frame "
                          "reprojected by depth rides in as 13 extra "
                          "channels (ai/upscaler.py warp_previous)")
+    ap.add_argument("--depth", action="store_true",
+                    help="feed the half-res G-buffer depth as an extra "
+                         "input channel (silhouette edges are unambiguous "
+                         "where rgb alone aliases); composes with "
+                         "--temporal")
     ap.add_argument("--out", default="assets_out/upscaler_2x")
     args = ap.parse_args()
 
@@ -216,9 +233,11 @@ def main():
     print("rendering training pairs…", flush=True)
     if args.temporal:
         inputs, targets = render_sequence_pairs(args.pairs, args.res,
-                                                args.seed)
+                                                args.seed,
+                                                with_depth=args.depth)
     else:
-        inputs, targets = render_pairs(args.pairs, args.res, args.seed)
+        inputs, targets = render_pairs(args.pairs, args.res, args.seed,
+                                       with_depth=args.depth)
     n_val = max(args.pairs // 8, 4)
     val_in, val_tg = inputs[:n_val], targets[:n_val]
     tr_in, tr_tg = inputs[n_val:], targets[n_val:]

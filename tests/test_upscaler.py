@@ -211,3 +211,35 @@ def test_shipped_checkpoint_beats_bilinear_psnr(tmp_path):
     assert p_net > p_bil + 0.2, (
         f"shipped upscaler {p_net:.2f} dB vs bilinear {p_bil:.2f} dB — "
         "checkpoint regressed below the +0.2 dB gate")
+
+
+def test_depth_channel_layouts(tmp_path):
+    """4 (rgb+depth) and 17 (rgb+depth+temporal) channel checkpoints:
+    wants_* detection, apply with/without the depth input, and the
+    renderer end-to-end (depth rides in from the half-res G-buffer)."""
+    from trident_tpu.ai.upscaler import (
+        apply_upscaler, init_upscaler, save_upscaler, upscaler_wants_depth,
+        upscaler_wants_temporal)
+
+    for in_ch, wants_t in ((4, False), (17, True)):
+        _, variables = init_upscaler(jax.random.PRNGKey(3), base_channels=8,
+                                     in_channels=in_ch)
+        params = variables["params"]
+        assert upscaler_wants_depth(params)
+        assert upscaler_wants_temporal(params) == wants_t
+        img = jnp.linspace(0, 1, 16 * 16 * 3).reshape(16, 16, 3)
+        d = jnp.full((16, 16), 0.25, jnp.float32)
+        out = apply_upscaler(params, img, depth=d)
+        assert out.shape == (32, 32, 3)
+        # missing depth degrades to the background plane, not a crash
+        out2 = apply_upscaler(params, img)
+        assert out2.shape == (32, 32, 3)
+
+    # renderer end-to-end with a depth-channel checkpoint
+    _, variables = init_upscaler(jax.random.PRNGKey(4), base_channels=8,
+                                 in_channels=4)
+    save_upscaler(jax.device_get(variables["params"]), str(tmp_path), 8)
+    r = _scene(tmp_path, str(tmp_path))
+    frame = r.read_frame()
+    assert frame.shape == (64, 64, 4)
+    assert frame[..., :3].max() > 60

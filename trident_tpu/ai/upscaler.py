@@ -30,10 +30,15 @@ Array = jax.Array
 
 class UpscalerNet(nn.Module):
     """(B, h, w, C) in [0,1] → (B, 2h, 2w, 3): bilinear base + learned
-    residual detail via depth-to-space. C = 3 (spatial-only) or 16
-    (temporal: current 3 + warped previous full-res 2×2 block 12 +
-    validity 1 — see warp_previous). The bilinear base always comes from
-    the first 3 channels (the current half-res render)."""
+    residual detail via depth-to-space. Channel layouts (always rgb
+    first; the bilinear base comes from those 3):
+
+      3  rgb                      (spatial-only)
+      4  rgb + depth              (G-buffer depth: silhouette edges are
+                                   unambiguous where rgb alone aliases)
+      16 rgb + temporal13         (warp_previous output)
+      17 rgb + depth + temporal13
+    """
 
     base_channels: int = 32
     dtype: Any = jnp.float32
@@ -57,7 +62,8 @@ class UpscalerNet(nn.Module):
         return jnp.clip(base + detail, 0.0, 1.0)
 
 
-TEMPORAL_CHANNELS = 16   # 3 current + 12 warped-s2d + 1 validity
+TEMPORAL_CHANNELS = 16   # 3 current + 12 warped-s2d + 1 validity (legacy id)
+WARP_CHANNELS = 13       # warp_previous output width
 
 
 def init_upscaler(rng: Array, base_channels: int = 32, dtype=jnp.float32,
@@ -69,8 +75,17 @@ def init_upscaler(rng: Array, base_channels: int = 32, dtype=jnp.float32,
 
 
 def upscaler_in_channels(params) -> int:
-    """3 = spatial-only net, 16 = temporal net (from the first conv)."""
+    """Input channel count from the first conv: 3/4/16/17 (see
+    UpscalerNet's layout table)."""
     return int(params["Conv_0"]["kernel"].shape[-2])
+
+
+def upscaler_wants_temporal(params) -> bool:
+    return upscaler_in_channels(params) in (16, 17)
+
+
+def upscaler_wants_depth(params) -> bool:
+    return upscaler_in_channels(params) in (4, 17)
 
 
 def warp_previous(prev_rgb: Array, cur_depth: Array, cur_vp_inv: Array,
@@ -114,21 +129,29 @@ def warp_previous(prev_rgb: Array, cur_depth: Array, cur_vp_inv: Array,
     return jnp.concatenate([block * valid, valid], axis=-1)
 
 
-def apply_upscaler(params, image: Array, temporal: Array = None) -> Array:
+def apply_upscaler(params, image: Array, temporal: Array = None,
+                   depth: Array = None) -> Array:
     """(H, W, 3) [0,1] → (2H, 2W, 3). Pure — safe inside the frame jit.
     Channel widths are inferred from the params, so no static config has
-    to ride along. `temporal`: the (H, W, 13) warp_previous output; pass
-    None (or omit) for a spatial-only net — a temporal net with no
-    history gets zeros + valid=0, which training teaches it to treat as
-    'fall back to spatial'."""
+    to ride along. `temporal`: the (H, W, 13) warp_previous output;
+    `depth`: the (H, W) half-res G-buffer depth ([0,1], 1 = background).
+    Inputs a checkpoint doesn't want are ignored; wanted-but-missing
+    inputs degrade to zeros (temporal: valid=0 teaches 'fall back to
+    spatial'; depth: background)."""
     bc = params["Conv_0"]["kernel"].shape[-1]
     model = UpscalerNet(base_channels=bc)
-    if upscaler_in_channels(params) == TEMPORAL_CHANNELS:
+    parts = [image]
+    if upscaler_wants_depth(params):
+        if depth is None:
+            depth = jnp.ones(image.shape[:2], jnp.float32)
+        parts.append(depth[..., None].astype(jnp.float32))
+    if upscaler_wants_temporal(params):
         if temporal is None:
             temporal = jnp.zeros(
-                (*image.shape[:2], TEMPORAL_CHANNELS - 3), jnp.float32)
-        image = jnp.concatenate([image, temporal], axis=-1)
-    return model.apply({"params": params}, image[None])[0]
+                (*image.shape[:2], WARP_CHANNELS), jnp.float32)
+        parts.append(temporal)
+    x = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=-1)
+    return model.apply({"params": params}, x[None])[0]
 
 
 def save_upscaler(params, directory: str, base_channels: int = 32) -> str:

@@ -232,12 +232,11 @@ def _render_frame_impl(geometry, plan, tri_draw, params, palette, shade_table,
         # the HALF-res render dims; the output frame is full size. The AI
         # blend then applies at display resolution.
         from trident_tpu.ai.upscaler import (
-            TEMPORAL_CHANNELS, apply_upscaler, upscaler_in_channels,
-            warp_previous)
+            apply_upscaler, upscaler_wants_temporal, warp_previous)
 
         temporal = None
-        if (prev is not None
-                and upscaler_in_channels(upscale_params) == TEMPORAL_CHANNELS):
+        d_half = gbuf.depth[::supersample, ::supersample]
+        if prev is not None and upscaler_wants_temporal(upscale_params):
             # prev = (previous full-res FrameOutput.color, previous
             # view-projection): reproject its detail into this view
             prev_color, prev_vp = prev
@@ -246,10 +245,10 @@ def _render_frame_impl(geometry, plan, tri_draw, params, palette, shade_table,
                 prev_rgb = prev_rgb.astype(jnp.float32) * (1.0 / 255.0)
             hp = jax.lax.Precision.HIGHEST
             vp = jnp.matmul(camera.proj, camera.view, precision=hp)
-            d_half = gbuf.depth[::supersample, ::supersample]
             temporal = warp_previous(prev_rgb, d_half, jnp.linalg.inv(vp),
                                      prev_vp, width * 2, height * 2)
-        rgb = apply_upscaler(upscale_params, frame[..., :3], temporal)
+        rgb = apply_upscaler(upscale_params, frame[..., :3], temporal,
+                             depth=d_half)
         alpha = jnp.repeat(jnp.repeat(frame[..., 3:4], 2, axis=0), 2, axis=1)
         frame = jnp.concatenate([rgb, alpha], axis=-1)
     frame = jnp.clip(apply_ai_blend(frame, ai), 0.0, 1.0)
