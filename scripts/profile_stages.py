@@ -193,6 +193,22 @@ def profile(width, height, grid, label, n=10):
         out = f_full(jnp.zeros(()))
         print(f"  covered={(np.asarray(out.tri_id) >= 0).sum()}", flush=True)
 
+    # -- fused-ablation ladder on the PRODUCTION config: marginal stage
+    # costs in the real graph come from differencing consecutive stops
+    # (chained stage timings above overlap/fuse differently and mislead —
+    # PERF.md round-2 diagnosis)
+    for stop in ("geom", "bins", "vis", "resolve"):
+        f_ab = jax.jit(lambda tok, _p=stop: render_frame(
+            geo, plan, tri_draw, params, palette, shade,
+            CameraParams(cam.view, cam.proj, cam.position + tok * 0),
+            lights, tex, sky, ai, corner_t=corner_t, width=width,
+            height=height, clear_color=(0.05, 0.05, 0.08, 1.0),
+            raster="pallas", chunk=64, skinned=False, sampling="bilinear",
+            vertex_colors=False, forward_shading=True, profile_stop=_p,
+            **stride_kw))
+        timeit_chain(f"ABLATE[{stop}]", f_ab,
+                     lambda o: o.depth[0, 0] * 0, n=n)
+
 
 def main():
     parser = argparse.ArgumentParser()

@@ -60,7 +60,8 @@ def _visibility_and_shade(setup, records, planes, textures, camera, lights,
                           raster: str, chunk: int, sampling: str,
                           vertex_colors: bool, forward_shading: bool,
                           shadow, shadow_pcf: bool, tonemap: bool,
-                          interpret: bool, y_offset=0, full_height=None):
+                          interpret: bool, y_offset=0, full_height=None,
+                          profile_stop: str = ""):
     """Rasterize + shade a frame (or a horizontal band of one) from
     prebuilt per-triangle inputs. Exactly one of `records` (chunked resolve
     records, kernel-shading path) / `planes` (AttributePlanes, gather path)
@@ -78,6 +79,21 @@ def _visibility_and_shade(setup, records, planes, textures, camera, lights,
         from trident_tpu.render.types import GBuffer
 
         tile_y = jnp.asarray(y_offset, jnp.int32) // TILE_H
+        if profile_stop == "bins":
+            # fused-ablation probe (scripts/profile_stages.py): force the
+            # binning work, prune everything after it — marginal stage
+            # costs come from differencing the ladder of stops
+            from trident_tpu.ops.raster_pallas import build_bins
+
+            ntx, nty = -(-width // TILE_W), -(-height // TILE_H)
+            b = build_bins(setup, ntx * TILE_W, nty * TILE_H)
+            probe = (b.pair_tile.sum() + b.pair_chunk.sum()
+                     + b.pair_mask.sum()).astype(jnp.float32)
+            frame = jnp.zeros((height, width, 4), jnp.float32) + probe * 1e-20
+            gbuf = GBuffer(tri_id=jnp.full((height, width), -1, jnp.int32),
+                           depth=jnp.ones((height, width), jnp.float32),
+                           aux=b.aux)
+            return frame, gbuf
         bins, depth_tiles, tri_tiles, _ = visibility_pallas_tiled(
             setup, width, height, interpret=interpret, tile_y_offset=tile_y)
         ntx, nty = -(-width // TILE_W), -(-height // TILE_H)
@@ -85,9 +101,16 @@ def _visibility_and_shade(setup, records, planes, textures, camera, lights,
             tri_id=untile_frame(tri_tiles, ntx, nty)[:height, :width],
             depth=untile_frame(depth_tiles, ntx, nty)[:height, :width],
             aux=bins.aux)
+        if profile_stop == "vis":
+            frame = (gbuf.depth[..., None]
+                     + gbuf.tri_id[..., None].astype(jnp.float32) * 1e-20
+                     ) * jnp.ones((1, 1, 4), jnp.float32)
+            return frame, gbuf
         attrs = resolve_attrs_pallas(bins, tri_tiles, records, width, height,
                                      vertex_colors=vertex_colors,
                                      interpret=interpret, tile_y_offset=tile_y)
+        if profile_stop == "resolve":
+            return attrs[..., :4] * 1e-3, gbuf
         frame = deferred_shade_attrs(gbuf, attrs, textures, camera, lights,
                                      width, height, clear_color=clear_color,
                                      skybox=skybox, ai=None,
@@ -131,7 +154,8 @@ def _render_frame_impl(geometry, plan, tri_draw, params, palette, shade_table,
                        bloom_threshold: float = 1.0,
                        bloom_strength: float = 0.6,
                        draw_stride: int = 0,
-                       real_draws: int = 0) -> FrameOutput:
+                       real_draws: int = 0,
+                       profile_stop: str = "") -> FrameOutput:
     from trident_tpu.ops import post
     from trident_tpu.ops.deferred import apply_ai_blend
 
@@ -214,12 +238,28 @@ def _render_frame_impl(geometry, plan, tri_draw, params, palette, shade_table,
                                       shade_table, corner_col=c_col,
                                       f16=plane_f16)
 
+    if profile_stop == "geom":
+        # force setup + records, prune the raster/shade stages entirely
+        probe = setup.edge.sum()
+        if records is not None:
+            probe = probe + records.sum()
+        z = jnp.zeros((height, width), jnp.float32) + probe * 1e-30
+        return FrameOutput(color=pack_rgba8(z[..., None]
+                                            * jnp.ones((1, 1, 4))),
+                           depth=z + 1.0, tri_id=z.astype(jnp.int32) - 1,
+                           aux=jnp.zeros((2,), jnp.int32))
+
     frame, gbuf = _visibility_and_shade(
         setup, records, planes, textures, camera, lights, skybox,
         width=rw, height=rh, clear_color=clear_color, raster=raster,
         chunk=chunk, sampling=sampling, vertex_colors=vertex_colors,
         forward_shading=forward_shading, shadow=shadow,
-        shadow_pcf=shadow_pcf, tonemap=not bloom, interpret=interpret)
+        shadow_pcf=shadow_pcf, tonemap=not bloom, interpret=interpret,
+        profile_stop=profile_stop)
+    if profile_stop:
+        return FrameOutput(color=pack_rgba8(jnp.clip(frame, 0.0, 1.0)),
+                           depth=gbuf.depth, tri_id=gbuf.tri_id,
+                           aux=gbuf.aux)
     if bloom:
         from trident_tpu.ops.shading import tonemap_reinhard_gamma
 
@@ -272,7 +312,8 @@ def _render_frame_impl(geometry, plan, tri_draw, params, palette, shade_table,
                                              "supersample", "bloom",
                                              "bloom_threshold",
                                              "bloom_strength",
-                                             "draw_stride", "real_draws"))
+                                             "draw_stride", "real_draws",
+                                             "profile_stop"))
 def render_frame(geometry, plan, tri_draw, params, palette, shade_table,
                  camera, lights, textures, skybox, ai, light_camera=None,
                  corner_t=None, upscale_params=None, prev=None,
@@ -282,7 +323,7 @@ def render_frame(geometry, plan, tri_draw, params, palette, shade_table,
                  shadow_bias=2e-3, shadow_pcf=False, supersample=1,
                  bloom=False, bloom_threshold=1.0,
                  bloom_strength=0.6, draw_stride=0,
-                 real_draws=0) -> FrameOutput:
+                 real_draws=0, profile_stop="") -> FrameOutput:
     return _render_frame_impl(
         geometry, plan, tri_draw, params, palette, shade_table, camera,
         lights, textures, skybox, ai, corner_t, upscale_params, prev,
@@ -294,7 +335,8 @@ def render_frame(geometry, plan, tri_draw, params, palette, shade_table,
         shadow_bias=shadow_bias, shadow_pcf=shadow_pcf,
         supersample=supersample, bloom=bloom,
         bloom_threshold=bloom_threshold, bloom_strength=bloom_strength,
-        draw_stride=draw_stride, real_draws=real_draws)
+        draw_stride=draw_stride, real_draws=real_draws,
+        profile_stop=profile_stop)
 
 
 @functools.partial(jax.jit, static_argnames=(
