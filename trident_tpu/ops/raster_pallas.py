@@ -94,9 +94,19 @@ if TILE_W < 1 or 256 % TILE_W != 0:
     raise ValueError(
         f"TRIDENT_TILE_W={TILE_W} must divide 256: SPAN_X = 256//TILE_W must "
         "stay consistent with the binning span")
-SPAN_X = 256 // TILE_W   # max tile cols a binned chunk may cover — the
-SPAN_Y = 128 // TILE_H   # small-chunk span always covers 256×128 px, so
-                         # tile shape changes never reclassify chunks as big
+SPAN_X = 256 // TILE_W   # legacy max small-chunk span (256×128 px): keeps
+SPAN_Y = 128 // TILE_H   # the TILE_W/TILE_H divisibility contract meaningful
+SPAN0 = int(_os.environ.get("TRIDENT_SPAN0", "2"))
+                     # base-tier span (tiles per axis): every chunk emits
+                     # SPAN0² candidate slots. At CHUNK=256 a Morton chunk
+                     # of a dense scene boxes ~2×2 of the 32px tiles, so
+                     # the old 8×4-slot base left ~87% of the sorted array
+                     # as empty sentinels — the sort IS the binning cost
+                     # (~65 ns/key on v5e). Wider chunks cascade through
+                     # the doubling windowed tiers below, then the whale
+                     # slots; only whale overflow drops (counted, aux[1]).
+if SPAN0 < 1:
+    raise ValueError(f"TRIDENT_SPAN0={SPAN0} must be >= 1")
 COVER_GATE = _os.environ.get("TRIDENT_COVER_GATE", "0") == "1"
                      # skip a sub-block's reciprocal/reductions/merge when
                      # every edge test missed (bbox hit, no pixel covered).
@@ -111,17 +121,16 @@ MAX_GLOBAL = int(_os.environ.get("TRIDENT_MAX_GLOBAL", "8"))
                      # small and the MID_CAPS tiers below absorb everything
                      # up to 4x the base span first. Overflow degrades to
                      # counted drops (aux[1]), never garbage.
-MID_CAPS = (128, 32)
+MID_CAPS = (1024, 128, 32, 8)
                      # cascading mid tiers: tier k admits up to MID_CAPS[k]
-                     # chunks whose tile span fits a (SPAN_X<<(k+1),
-                     # SPAN_Y<<(k+1)) window anchored at their bbox corner
-                     # (compacted by stable argsort like the whale tier).
-                     # Chunks past a tier's cap cascade to the next tier,
-                     # then to the global whale slots — so capacity only
-                     # GREW vs the old 64 global slots, while the sorted
-                     # array shrank ~31% at 1080p / ~65% at 4K (the old
-                     # layout was 80% whale-slot padding at 4K; the bench
-                     # scenes have zero non-small chunks at CHUNK=256).
+                     # chunks whose tile span fits a (SPAN0<<(k+1))² window
+                     # anchored at their bbox corner (compacted by stable
+                     # argsort like the whale tier). Chunks past a tier's
+                     # cap cascade to the next tier, then to the global
+                     # whale slots. With SPAN0=2 the windows are 4²/8²/16²/
+                     # 32² tiles; the first cap is wide (1024·16 slots)
+                     # because medium-object scenes put EVERY chunk there
+                     # (a 110k-tri sphere grid spans ~3×3 tiles per chunk).
 if MAX_GLOBAL < 1:
     raise ValueError(f"TRIDENT_MAX_GLOBAL={MAX_GLOBAL} must be >= 1")
 CHUNK_BITS = 18      # chunk-slot bits in the packed pair
@@ -242,16 +251,16 @@ def build_bins(setup: TriangleSetup, width: int, height: int) -> PallasBins:
 
     span_x = ctx1 - ctx0 + 1
     span_y = cty1 - cty0 + 1
-    small = nonempty & (span_x <= SPAN_X) & (span_y <= SPAN_Y)
+    small = nonempty & (span_x <= SPAN0) & (span_y <= SPAN0)
 
     # chunk slot in records = chunk index + 1 (slot 0 is the sentinel)
     slot_ids = jnp.arange(1, n_chunks + 1, dtype=jnp.int32)
 
-    # small chunks → up to SPAN_X×SPAN_Y (tile, chunk) pairs; a candidate
-    # tile no quarter touches emits nothing (tighter than the union bbox)
-    k = SPAN_X * SPAN_Y
-    dx = jnp.arange(k, dtype=jnp.int32) % SPAN_X
-    dy = jnp.arange(k, dtype=jnp.int32) // SPAN_X
+    # small chunks → up to SPAN0×SPAN0 (tile, chunk) pairs; a candidate
+    # tile no sub-block touches emits nothing (tighter than the union bbox)
+    k = SPAN0 * SPAN0
+    dx = jnp.arange(k, dtype=jnp.int32) % SPAN0
+    dy = jnp.arange(k, dtype=jnp.int32) // SPAN0
     tx = ctx0[:, None] + dx[None, :]
     ty = cty0[:, None] + dy[None, :]
     small_mask = jnp.where(small[:, None], quarter_mask(ty, tx), 0)
@@ -262,14 +271,14 @@ def build_bins(setup: TriangleSetup, width: int, height: int) -> PallasBins:
         n_tiles << CHUNK_BITS).astype(jnp.int32)
 
     # wider chunks cascade through windowed mid tiers (tier k: span up to
-    # SPAN<<(k+1), window anchored at the bbox corner, cap MID_CAPS[k]
+    # SPAN0<<(k+1), window anchored at the bbox corner, cap MID_CAPS[k]
     # chunks via stable-argsort compaction), then to global whale slots.
     # Only chunks past the WHALE cap are dropped (counted in aux[1]) —
     # mid-tier overflow just falls through to the next tier.
     sentinel = jnp.asarray(n_tiles << CHUNK_BITS, jnp.int32)
     parts = [small_pairs.reshape(-1)]
     admitted = small
-    wx, wy = SPAN_X, SPAN_Y
+    wx, wy = SPAN0, SPAN0
     for cap in MID_CAPS:
         wx, wy = wx * 2, wy * 2
         fits = nonempty & ~admitted & (span_x <= wx) & (span_y <= wy)
