@@ -74,8 +74,9 @@ CHUNK = int(_os.environ.get("TRIDENT_CHUNK", "256"))
 SUB = int(_os.environ.get("TRIDENT_SUB", "16"))
                      # triangles per maskable sub-block (Morton-compact
                      # 16-tri groups have ~tile-sized bboxes; dev-sweep
-                     # knob — finer SUB needs a smaller CHUNK to fit the
-                     # i32 hit mask: SUB=8 caps CHUNK at 240)
+                     # knob — the hit mask spans up to 2 i32 words = 60
+                     # sub-blocks, so SUB=8 caps CHUNK at 480, SUB=16
+                     # at 960)
 if SUB < 1:
     raise ValueError(f"TRIDENT_SUB={SUB} must be >= 1")
 if CHUNK < SUB or CHUNK % SUB != 0:
@@ -84,8 +85,16 @@ if CHUNK < SUB or CHUNK % SUB != 0:
         f"SUB={SUB}: the kernel splits each chunk into SUB-triangle "
         "sub-blocks")
 NSUB = CHUNK // SUB  # sub-blocks per chunk == bits in the pair hit mask
-if NSUB > 30:
-    raise ValueError(f"TRIDENT_CHUNK={CHUNK} overflows the i32 hit mask")
+MASK_WORDS = -(-NSUB // 30)
+                     # hit-mask words per pair: 30 sub-block bits ride in
+                     # each i32 scalar-prefetch word (bit 31 would go
+                     # negative), so CHUNK=512/SUB=16 (NSUB=32) costs one
+                     # extra SMEM array instead of being impossible —
+                     # halving grid steps at constant sub-block tightness.
+if MASK_WORDS > 2:
+    raise ValueError(
+        f"TRIDENT_CHUNK={CHUNK}/TRIDENT_SUB={SUB} needs {MASK_WORDS} hit-"
+        "mask words; at most 2 fit the SMEM scalar-prefetch budget")
 if TILE_H < 1 or 128 % TILE_H != 0:
     raise ValueError(
         f"TRIDENT_TILE_H={TILE_H} must divide 128: SPAN_Y = 128//TILE_H must "
@@ -135,9 +144,14 @@ if MAX_GLOBAL < 1:
     raise ValueError(f"TRIDENT_MAX_GLOBAL={MAX_GLOBAL} must be >= 1")
 CHUNK_BITS = 18      # chunk-slot bits in the packed pair
 CHUNK_MASK = (1 << CHUNK_BITS) - 1
-PAIR_BUDGET = 65536  # scalar-prefetch arrays live in SMEM (~1MB); cap them.
+PAIR_BUDGET = int(_os.environ.get(
+    "TRIDENT_PAIR_BUDGET", "65536" if MASK_WORDS == 1 else "49152"))
+                     # scalar-prefetch arrays live in SMEM (~1MB); cap them.
                      # Real pairs are a sorted prefix; overflow truncates the
                      # farthest-sorted tiles' geometry (counted in `aux`).
+                     # (2+MASK_WORDS) i32 arrays ride in SMEM, so the default
+                     # shrinks when a second mask word is in play — wide
+                     # chunks also emit far fewer pairs, so headroom GROWS.
 DEPTH_SENTINEL = 4.0
 
 
@@ -145,15 +159,15 @@ class PallasBins(NamedTuple):
     records: Array      # ((NC+1)*C, 16) f32; chunk slot 0 = empty sentinel
     pair_tile: Array    # (NPAIR,) i32 tile per pair (sorted, tile-major)
     pair_chunk: Array   # (NPAIR,) i32 chunk slot per pair (0 = sentinel)
-    pair_mask: Array    # (NPAIR,) i32, NSUB bits — which 16-triangle
-                        # sub-blocks of the chunk have a bbox touching this
-                        # pair's tile. Computed exactly per (tile, sub)
-                        # at binning time, so (a) a tile inside a chunk's
-                        # union bbox that intersects no sub-block emits NO
-                        # pair at all, and (b) the kernel evaluates only
-                        # hit sub-blocks (Morton order keeps them
-                        # spatially compact). Replaces round-2's in-kernel
-                        # SMEM half-bbox range test at finer grain.
+    pair_mask: tuple    # MASK_WORDS × (NPAIR,) i32, 30 NSUB bits per word —
+                        # which SUB-triangle sub-blocks of the chunk have a
+                        # bbox touching this pair's tile. Computed exactly
+                        # per (tile, sub) at binning time, so (a) a tile
+                        # inside a chunk's union bbox that intersects no
+                        # sub-block emits NO pair at all, and (b) the kernel
+                        # evaluates only hit sub-blocks (Morton order keeps
+                        # them spatially compact). Replaces round-2's
+                        # in-kernel SMEM half-bbox range test at finer grain.
     n_real: Array       # () i32 — real pairs (sorted prefix; rest is padding)
     n_pairs: int        # static capacity (== NPAIR)
     aux: Array          # (2,) i32 — [truncated real pairs, dropped big chunks]
@@ -239,15 +253,16 @@ def build_bins(setup: TriangleSetup, width: int, height: int) -> PallasBins:
     qty1 = jnp.where(q_nonempty, jnp.clip((qy1 - 1) // TILE_H, 0, nty - 1), -1)
     qtx0 = jnp.where(q_nonempty, jnp.clip(qx0 // TILE_W, 0, ntx - 1), 32767)
     qtx1 = jnp.where(q_nonempty, jnp.clip((qx1 - 1) // TILE_W, 0, ntx - 1), -1)
-    _weights = (1 << jnp.arange(NSUB, dtype=jnp.int32))
 
-    def quarter_mask(ty, tx):
-        """Exact hit mask for candidate tiles (broadcast vs (NC,NSUB))."""
+    def quarter_hit(ty, tx):
+        """Does ANY sub-block bbox touch the candidate tile? (Pruning only:
+        the survivors' per-sub-block masks are recomputed post-sort, so the
+        tiers never pack bits — NSUB may exceed one i32's worth.)"""
         hit = ((ty[..., None] >= qty0[:, None, :])
                & (ty[..., None] <= qty1[:, None, :])
                & (tx[..., None] >= qtx0[:, None, :])
                & (tx[..., None] <= qtx1[:, None, :]))            # (NC,K,NSUB)
-        return jnp.sum(hit.astype(jnp.int32) * _weights, axis=-1)
+        return jnp.any(hit, axis=-1)
 
     span_x = ctx1 - ctx0 + 1
     span_y = cty1 - cty0 + 1
@@ -263,8 +278,7 @@ def build_bins(setup: TriangleSetup, width: int, height: int) -> PallasBins:
     dy = jnp.arange(k, dtype=jnp.int32) // SPAN0
     tx = ctx0[:, None] + dx[None, :]
     ty = cty0[:, None] + dy[None, :]
-    small_mask = jnp.where(small[:, None], quarter_mask(ty, tx), 0)
-    in_range = small_mask > 0
+    in_range = small[:, None] & quarter_hit(ty, tx)
     tile_of = ty * ntx + tx
     small_pairs = jnp.where(
         in_range, (tile_of << CHUNK_BITS) | slot_ids[:, None],
@@ -297,10 +311,9 @@ def build_bins(setup: TriangleSetup, width: int, height: int) -> PallasBins:
                & (ty[..., None] <= qty1[gsel][:, None, :])
                & (tx[..., None] >= qtx0[gsel][:, None, :])
                & (tx[..., None] <= qtx1[gsel][:, None, :]))
-        m = jnp.where(gvalid[:, None],
-                      jnp.sum(hit.astype(jnp.int32) * _weights, axis=-1), 0)
+        m = gvalid[:, None] & jnp.any(hit, axis=-1)
         parts.append(jnp.where(
-            m > 0, ((ty * ntx + tx) << CHUNK_BITS) | slot_ids[gsel][:, None],
+            m, ((ty * ntx + tx) << CHUNK_BITS) | slot_ids[gsel][:, None],
             sentinel).astype(jnp.int32).reshape(-1))
 
     # whale chunks: broadcast to every tile a sub-block touches. Chunks
@@ -318,12 +331,9 @@ def build_bins(setup: TriangleSetup, width: int, height: int) -> PallasBins:
              & (g_ty[..., None] <= qty1[gsel][:, None, :])
              & (g_tx[..., None] >= qtx0[gsel][:, None, :])
              & (g_tx[..., None] <= qtx1[gsel][:, None, :]))
-    big_mask = jnp.where(
-        gvalid[:, None],
-        jnp.sum(g_hit.astype(jnp.int32)
-                * _weights, axis=-1), 0)
+    big_mask = gvalid[:, None] & jnp.any(g_hit, axis=-1)
     big_pairs = jnp.where(
-        big_mask > 0,
+        big_mask,
         (tile_ids[None, :] << CHUNK_BITS) | (gsel[:, None] + 1),
         n_tiles << CHUNK_BITS).astype(jnp.int32)
     parts.append(big_pairs.reshape(-1))
@@ -368,18 +378,25 @@ def build_bins(setup: TriangleSetup, width: int, height: int) -> PallasBins:
     p_tx = (pair_tile % ntx)[:, None]
     hit = ((p_ty >= rows[:, 0]) & (p_ty <= rows[:, 1])
            & (p_tx >= rows[:, 2]) & (p_tx <= rows[:, 3]))
-    masks = jnp.sum(hit.astype(jnp.int32) * _weights[None, :], axis=-1)
-    masks = jnp.where(
-        jnp.arange(pairs.shape[0], dtype=jnp.int32) < n_real, masks, 0)
+    real = jnp.arange(pairs.shape[0], dtype=jnp.int32) < n_real
+    masks = []
+    for wd in range(MASK_WORDS):                     # 30 sub-block bits/word
+        bits = hit[:, wd * 30:(wd + 1) * 30]
+        w = (1 << jnp.arange(bits.shape[1], dtype=jnp.int32))
+        masks.append(jnp.where(
+            real, jnp.sum(bits.astype(jnp.int32) * w[None, :], axis=-1), 0))
 
     return PallasBins(records=records, pair_tile=pair_tile,
-                      pair_chunk=pair_chunk, pair_mask=masks, n_real=n_real,
-                      n_pairs=int(pairs.shape[0]),
+                      pair_chunk=pair_chunk, pair_mask=tuple(masks),
+                      n_real=n_real, n_pairs=int(pairs.shape[0]),
                       aux=jnp.stack([n_truncated, n_big_dropped]))
 
 
-def _visibility_kernel(band_ref, pair_tile_ref, pair_chunk_ref, pair_mask_ref,
-                       rec_ref, depth_out, tri_out, *, ntx: int):
+def _visibility_kernel(band_ref, pair_tile_ref, pair_chunk_ref, *refs,
+                       ntx: int):
+    # refs = MASK_WORDS mask words (scalar-prefetch), records, depth, tri
+    mask_refs = refs[:MASK_WORDS]
+    rec_ref, depth_out, tri_out = refs[MASK_WORDS:]
     """Layouts chosen for Mosaic: triangles on sublanes (C,1), pixels on
     lanes (1,npx); outputs are flat (1,1,npx) tile rows — no in-kernel
     reshapes or transposes.
@@ -405,7 +422,7 @@ def _visibility_kernel(band_ref, pair_tile_ref, pair_chunk_ref, pair_mask_ref,
     prev = pair_tile_ref[jnp.maximum(i - 1, 0)]
     first = jnp.logical_or(i == 0, tile != prev)
     cid = pair_chunk_ref[i]
-    mask = pair_mask_ref[i]
+    mask_words = [m[i] for m in mask_refs]
     ty = tile // ntx + band_ref[0]
     tx = jax.lax.rem(tile, ntx)
 
@@ -423,7 +440,7 @@ def _visibility_kernel(band_ref, pair_tile_ref, pair_chunk_ref, pair_mask_ref,
 
     for q in range(NSUB):
         # mask bit q via // and % — bit ops are avoided in Mosaic scalars
-        hit = jax.lax.rem(mask // (1 << q), 2) == 1
+        hit = jax.lax.rem(mask_words[q // 30] // (1 << (q % 30)), 2) == 1
 
         @pl.when(hit)
         def _(q=q):
@@ -506,21 +523,23 @@ def visibility_pallas_tiled(setup: TriangleSetup, width: int, height: int,
     band = jnp.asarray(tile_y_offset, jnp.int32).reshape(1)
     kernel = functools.partial(_visibility_kernel, ntx=ntx)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=3 + MASK_WORDS,
         # dynamic: only real pairs execute (≥1 — pair 0 degenerates to the
         # empty sentinel chunk when the frame has no pairs at all)
         grid=(jnp.maximum(bins.n_real, 1),),
         in_specs=[
             pl.BlockSpec((CHUNK, 16),
-                         lambda i, band, tiles, chunks, masks: (chunks[i], 0),
+                         lambda i, band, tiles, chunks, *masks: (chunks[i], 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((1, 1, npx),
-                         lambda i, band, tiles, chunks, masks: (tiles[i], 0, 0),
+                         lambda i, band, tiles, chunks, *masks:
+                         (tiles[i], 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, npx),
-                         lambda i, band, tiles, chunks, masks: (tiles[i], 0, 0),
+                         lambda i, band, tiles, chunks, *masks:
+                         (tiles[i], 0, 0),
                          memory_space=pltpu.VMEM),
         ],
     )
@@ -534,7 +553,7 @@ def visibility_pallas_tiled(setup: TriangleSetup, width: int, height: int,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         interpret=interpret,
-    )(band, bins.pair_tile, bins.pair_chunk, bins.pair_mask, bins.records)
+    )(band, bins.pair_tile, bins.pair_chunk, *bins.pair_mask, bins.records)
 
     # tiles no executed pair touched keep uninitialized VMEM garbage —
     # mask them to background from the pair list itself (one tiny scatter)

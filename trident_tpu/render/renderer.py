@@ -88,7 +88,7 @@ def _visibility_and_shade(setup, records, planes, textures, camera, lights,
             ntx, nty = -(-width // TILE_W), -(-height // TILE_H)
             b = build_bins(setup, ntx * TILE_W, nty * TILE_H)
             probe = (b.pair_tile.sum() + b.pair_chunk.sum()
-                     + b.pair_mask.sum()).astype(jnp.float32)
+                     + sum(m.sum() for m in b.pair_mask)).astype(jnp.float32)
             frame = jnp.zeros((height, width, 4), jnp.float32) + probe * 1e-20
             gbuf = GBuffer(tri_id=jnp.full((height, width), -1, jnp.int32),
                            depth=jnp.ones((height, width), jnp.float32),
