@@ -635,6 +635,10 @@ def load_fbx(path: str):
         if verts_node is None or pvi_node is None or not len(verts_node.props):
             continue
         positions = np.asarray(verts_node.props[0], np.float64).reshape(-1, 3)
+        # sanitize hostile/corrupt coordinates: NaN/inf/huge values poison
+        # downstream float32 casts and norm computations (fuzz-hardening)
+        positions = np.nan_to_num(positions, nan=0.0, posinf=0.0,
+                                  neginf=0.0).clip(-1e30, 1e30)
         pvi = np.asarray(pvi_node.props[0], np.int64)
         corner_vtx = np.where(pvi < 0, -pvi - 1, pvi)   # per-corner vertex id
         tris, poly_of = _triangulate(pvi)
@@ -647,6 +651,18 @@ def load_fbx(path: str):
                                 corner_vtx, 3)
         uvs = _layer_values(node, "LayerElementUV", "UV", "UVIndex",
                             n_corners, n_vertices, corner_vtx, 2)
+        # hostile/corrupt files can carry NaN/inf/huge layer values; the
+        # weld rounds these into int64 keys and casts to float32 (both
+        # undefined for such inputs) — sanitize once here. Normals clamp
+        # inside float32 range; UVs so that uv*1e6 fits int64.
+        if normals is not None:
+            # ±1e12 keeps normal*1e4 inside int64 for the weld keys (real
+            # normals are unit-length; this only tames hostile junk)
+            normals = np.nan_to_num(normals, nan=0.0, posinf=0.0,
+                                    neginf=0.0).clip(-1e12, 1e12)
+        if uvs is not None:
+            uvs = np.nan_to_num(uvs, nan=0.0, posinf=0.0,
+                                neginf=0.0).clip(-1e9, 1e9)
         poly_mat = _material_of_corner(node, int(poly_of.max()) + 1
                                        if poly_of.size else 1)
 
