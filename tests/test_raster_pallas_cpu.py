@@ -152,3 +152,40 @@ def test_visibility_under_jit(rng):
     pal = fn(setup)
     ref = visibility_ref(setup, W, H)
     assert (np.asarray(ref.tri_id) != np.asarray(pal.tri_id)).sum() == 0
+
+
+def test_4k_scale_chunk_spans_bin_without_drops():
+    """4K regression (round 3): chunk footprints scale with resolution —
+    at 3840×2160 the ~2×2-tile chunks of the 1080p calibration become
+    ~4×4, and a fixed base-tier span cascaded thousands of chunks through
+    the capped mid tiers into counted whale drops (aux[1]=1077 on the
+    ultra4k bench scene). build_bins must scale its base span with the
+    frame's tile extent so a 4K-scale dense scene bins with ZERO drops.
+    Binning only — no kernel run, so the full 4K grid stays cheap."""
+    from trident_tpu.ops.raster_pallas import CHUNK, TILE_H, TILE_W
+
+    w4k, h4k = 3840, 2160
+    n_chunks = 512
+    t = n_chunks * CHUNK
+    rng = np.random.default_rng(7)
+    # each chunk: triangles clustered so the chunk bbox spans ~4×4 tiles,
+    # scattered across the full 4K frame (the ultra4k footprint pattern)
+    cx = rng.uniform(0, w4k - 4 * TILE_W, n_chunks)
+    cy = rng.uniform(0, h4k - 4 * TILE_H, n_chunks)
+    span_px_x, span_px_y = 4 * TILE_W - 8, 4 * TILE_H - 8
+    ox = rng.uniform(0, span_px_x, (n_chunks, CHUNK, 1))
+    oy = rng.uniform(0, span_px_y, (n_chunks, CHUNK, 1))
+    px = (cx[:, None, None] + ox + rng.uniform(4, 24, (n_chunks, CHUNK, 3)))
+    py = (cy[:, None, None] + oy + rng.uniform(4, 24, (n_chunks, CHUNK, 3)))
+    # pixel → NDC
+    nx = (px.reshape(t, 3) / w4k) * 2 - 1
+    ny = (py.reshape(t, 3) / h4k) * 2 - 1
+    pos = np.stack([nx, ny, np.full_like(nx, 0.3)], axis=-1).astype(
+        np.float32)
+    setup = _setup_from_ndc(pos, w=w4k, h=h4k)
+    bins = build_bins(setup, -(-w4k // TILE_W) * TILE_W,
+                      -(-h4k // TILE_H) * TILE_H)
+    aux = np.asarray(bins.aux)
+    assert aux[1] == 0, f"{aux[1]} chunks dropped at 4K scale"
+    assert aux[0] == 0
+    assert int(bins.n_real) > 0

@@ -132,14 +132,16 @@ MAX_GLOBAL = int(_os.environ.get("TRIDENT_MAX_GLOBAL", "8"))
                      # counted drops (aux[1]), never garbage.
 MID_CAPS = (1024, 128, 32, 8)
                      # cascading mid tiers: tier k admits up to MID_CAPS[k]
-                     # chunks whose tile span fits a (SPAN0<<(k+1))² window
+                     # chunks whose tile span fits a (span0<<(k+1))² window
                      # anchored at their bbox corner (compacted by stable
-                     # argsort like the whale tier). Chunks past a tier's
-                     # cap cascade to the next tier, then to the global
-                     # whale slots. With SPAN0=2 the windows are 4²/8²/16²/
-                     # 32² tiles; the first cap is wide (1024·16 slots)
-                     # because medium-object scenes put EVERY chunk there
-                     # (a 110k-tri sphere grid spans ~3×3 tiles per chunk).
+                     # argsort like the whale tier), where span0 is the
+                     # resolution-scaled base span build_bins derives per
+                     # frame shape. Chunks past a tier's cap cascade to
+                     # the next tier, then to the global whale slots. At
+                     # 1080p/SPAN0=2 the windows are 4²/8²/16²/32² tiles;
+                     # the first cap is wide (1024 chunks) because medium-
+                     # object scenes put EVERY chunk there (a 110k-tri
+                     # sphere grid spans ~3×3 tiles per chunk).
 if MAX_GLOBAL < 1:
     raise ValueError(f"TRIDENT_MAX_GLOBAL={MAX_GLOBAL} must be >= 1")
 CHUNK_BITS = 18      # chunk-slot bits in the packed pair
@@ -266,16 +268,29 @@ def build_bins(setup: TriangleSetup, width: int, height: int) -> PallasBins:
 
     span_x = ctx1 - ctx0 + 1
     span_y = cty1 - cty0 + 1
-    small = nonempty & (span_x <= SPAN0) & (span_y <= SPAN0)
+
+    # The base-tier span scales with the frame's tile extent (static per
+    # jit shape): a chunk's pixel footprint grows linearly with render
+    # resolution while tiles stay 32px, so the ~2×2-tile chunks SPAN0=2
+    # was calibrated on at 1080p (60×34 tiles) become ~4×4 at 4K/SSAA.
+    # Without this, 4K cascades thousands of chunks through the capped
+    # mid tiers into counted whale drops (measured: 1077 chunks of the
+    # ultra4k bench scene). The mid-tier windows stay in SPAN0 units —
+    # at high span0 the narrow tiers simply idle.
+    f = 1
+    while ntx > 68 * f or nty > 40 * f:
+        f *= 2
+    span0 = SPAN0 * f
+    small = nonempty & (span_x <= span0) & (span_y <= span0)
 
     # chunk slot in records = chunk index + 1 (slot 0 is the sentinel)
     slot_ids = jnp.arange(1, n_chunks + 1, dtype=jnp.int32)
 
-    # small chunks → up to SPAN0×SPAN0 (tile, chunk) pairs; a candidate
+    # small chunks → up to span0×span0 (tile, chunk) pairs; a candidate
     # tile no sub-block touches emits nothing (tighter than the union bbox)
-    k = SPAN0 * SPAN0
-    dx = jnp.arange(k, dtype=jnp.int32) % SPAN0
-    dy = jnp.arange(k, dtype=jnp.int32) // SPAN0
+    k = span0 * span0
+    dx = jnp.arange(k, dtype=jnp.int32) % span0
+    dy = jnp.arange(k, dtype=jnp.int32) // span0
     tx = ctx0[:, None] + dx[None, :]
     ty = cty0[:, None] + dy[None, :]
     in_range = small[:, None] & quarter_hit(ty, tx)
@@ -292,7 +307,10 @@ def build_bins(setup: TriangleSetup, width: int, height: int) -> PallasBins:
     sentinel = jnp.asarray(n_tiles << CHUNK_BITS, jnp.int32)
     parts = [small_pairs.reshape(-1)]
     admitted = small
-    wx, wy = SPAN0, SPAN0
+    # mid-tier windows scale with the SAME resolution factor as the base
+    # span: at 4K a chunk one tile over span0 must land in the wide-cap
+    # tier 0, not cascade through the narrow caps into whale drops
+    wx, wy = span0, span0
     for cap in MID_CAPS:
         wx, wy = wx * 2, wy * 2
         fits = nonempty & ~admitted & (span_x <= wx) & (span_y <= wy)
