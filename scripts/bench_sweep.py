@@ -3,6 +3,11 @@
 
 The axon tunnel pays a 2-6 min cold start on the first jit per process;
 batching configs amortizes it. Prints one JSON line per config.
+
+Config syntax: NAME[:ai] — the ":ai" suffix measures the neural-2x
+reconstruction mode (BENCH_AI=1) for that entry, e.g.
+
+    python scripts/bench_sweep.py spheres1080_1m spheres1080_1m:ai
 """
 import os
 import sys
@@ -13,6 +18,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import bench  # noqa: E402
 
 for cfg in CONFIGS:
-    os.environ["BENCH_CONFIG"] = cfg
+    name, _, mode = cfg.partition(":")
+    os.environ["BENCH_CONFIG"] = name
+    os.environ["BENCH_AI"] = "1" if mode == "ai" else "0"
     bench.main()
     sys.stdout.flush()
