@@ -341,6 +341,7 @@ class ViewerServer:
         from PIL import Image
 
         with self.lock:
+            self._bind_engine_thread()
             self.app.update()
             r = self.app.renderer
             vid = r.active_viewport
@@ -438,10 +439,21 @@ class ViewerServer:
                              "path": os.path.relpath(os.path.dirname(d), root)})
         return {"dir": os.path.relpath(d, root), "items": items}
 
+    def _bind_engine_thread(self):
+        """ThreadingHTTPServer serves each request on its own thread; all
+        engine access serializes through self.lock, so ownership transfer
+        is race-free — tell the cross-thread mutation detector
+        (core/threadcheck), when installed, that this is an intentional
+        handoff. Call ONLY while holding self.lock."""
+        rb = getattr(self.app.renderer.registry, "rebind_thread", None)
+        if rb is not None:
+            rb()
+
     def command(self, op: str, body: dict):
         from trident_tpu.ecs.inspect import set_field
 
         with self.lock:
+            self._bind_engine_thread()
             app, r = self.app, self.app.renderer
             cam = r.editor_camera
             if op == "camera":

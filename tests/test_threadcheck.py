@@ -11,6 +11,18 @@ from trident_tpu.ecs.components import TagComponent, TransformComponent
 from trident_tpu.ecs.registry import Registry
 
 
+@pytest.fixture(autouse=True)
+def _restore_guard_state():
+    """install_registry_guard is process-wide and irreversible (methods
+    are rebound) — deactivate after each test so the rest of the suite
+    (e.g. the viewer's lock-serialized HTTP threads) runs unguarded,
+    unless the env opted in for the whole run."""
+    yield
+    from trident_tpu.core import threadcheck
+
+    threadcheck.set_active(threadcheck.checks_enabled())
+
+
 def _run_in_thread(fn):
     out = {}
 

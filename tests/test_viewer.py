@@ -164,3 +164,22 @@ def test_destroy_and_capture_toggles(server):
 
     png = _get(server, "/api/frame?vp=2")  # game viewport renders too
     assert png[:8] == b"\x89PNG\r\n\x1a\n"
+
+
+def test_viewer_works_with_thread_checks_active(server):
+    """Round-3 regression: the cross-thread mutation detector
+    (core/threadcheck) flagged the viewer's HTTP-thread registry
+    mutations even though every engine access serializes through one
+    lock. The viewer now rebinds guard ownership under the lock, so the
+    two compose (and a test that installs the guard can no longer break
+    later viewer tests)."""
+    from trident_tpu.core import threadcheck
+
+    threadcheck.install_registry_guard()
+    try:
+        out = _post(server, "/api/spawn", {"primitive": "cube"})
+        assert "entity" in out, out
+        out = _post(server, "/api/destroy", {"entity": out["entity"]})
+        assert out.get("ok"), out
+    finally:
+        threadcheck.set_active(threadcheck.checks_enabled())

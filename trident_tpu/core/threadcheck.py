@@ -59,13 +59,26 @@ def checks_enabled() -> bool:
 
 
 _installed = False
+_active = False
+
+
+def set_active(flag: bool) -> bool:
+    """Toggle the installed guard at runtime (the method wrappers stay in
+    place — they no-op when inactive). Returns the previous state. Lets
+    tests that install the guard restore the process for later suites:
+    installation itself is irreversible (methods are rebound)."""
+    global _active
+    prev = _active
+    _active = bool(flag)
+    return prev
 
 
 def install_registry_guard() -> None:
     """Wrap Registry's mutating methods with a per-instance ThreadGuard.
-    Idempotent; process-wide."""
+    Idempotent; process-wide. Also (re)activates the checks."""
     global _installed
     if _installed:
+        set_active(True)
         return
     from trident_tpu.ecs.registry import Registry
 
@@ -82,7 +95,8 @@ def install_registry_guard() -> None:
             continue
 
         def wrapped(self, *a, _orig=orig, _what=name, **kw):
-            guard_of(self).check(_what)
+            if _active:
+                guard_of(self).check(_what)
             return _orig(self, *a, **kw)
 
         setattr(Registry, name, wrapped)
@@ -92,6 +106,7 @@ def install_registry_guard() -> None:
 
     Registry.rebind_thread = rebind
     _installed = True
+    set_active(True)
 
 
 def maybe_install() -> None:
