@@ -97,10 +97,16 @@ def render_frame_banded(mesh: Mesh, axis: str, geometry, plan, tri_draw,
                         shadow_size: int = 0, shadow_bias: float = 2e-3,
                         shadow_pcf: bool = False, supersample: int = 1,
                         bloom: bool = False, bloom_threshold: float = 1.0,
-                        bloom_strength: float = 0.6) -> FrameOutput:
+                        bloom_strength: float = 0.6,
+                        upscale_params=None, prev=None) -> FrameOutput:
     """Render (height, width) split into `mesh.shape[axis]` row bands with
     the geometry phase sharded — the full render_frame feature set
-    (shadows, SSAA, bloom, f16 planes, forward kernel shading)."""
+    (shadows, SSAA, bloom, f16 planes, forward kernel shading).
+
+    `upscale_params`/`prev` mirror render_frame's neural-2× mode: width/
+    height are then the HALF-res render dims and the output frame is full
+    size. The upscaler runs OUTSIDE the shard_map on the row-sharded
+    frame — XLA's SPMD partitioner halo-exchanges the convolutions."""
     from trident_tpu.ops import post
     from trident_tpu.ops.deferred import apply_ai_blend, pack_rgba8
     from trident_tpu.ops.raster_pallas import TILE_H
@@ -276,7 +282,32 @@ def render_frame_banded(mesh: Mesh, axis: str, geometry, plan, tri_draw,
         frame = jnp.concatenate(
             [tonemap_reinhard_gamma(hdr), frame[..., 3:4]], axis=-1)
     frame = post.resolve_supersample(frame, ss)
+    depth_out = depth[::ss, ::ss]
+    tri_out = tri_id[::ss, ::ss]
+    if upscale_params is not None:
+        # neural 2× reconstruction on the row-sharded half-res frame
+        # (semantics identical to render_frame's single-chip block)
+        from trident_tpu.ai.upscaler import (
+            apply_upscaler, upscaler_wants_temporal, warp_previous)
+
+        temporal = None
+        if prev is not None and upscaler_wants_temporal(upscale_params):
+            prev_color, prev_vp = prev
+            prev_rgb = prev_color[..., :3]
+            if prev_rgb.dtype == jnp.uint8:
+                prev_rgb = prev_rgb.astype(jnp.float32) * (1.0 / 255.0)
+            hp = jax.lax.Precision.HIGHEST
+            vp = jnp.matmul(camera.proj, camera.view, precision=hp)
+            temporal = warp_previous(prev_rgb, depth_out,
+                                     jnp.linalg.inv(vp), prev_vp,
+                                     width * 2, height * 2)
+        rgb = apply_upscaler(upscale_params, frame[..., :3], temporal,
+                             depth=depth_out)
+        alpha = jnp.repeat(jnp.repeat(frame[..., 3:4], 2, axis=0), 2, axis=1)
+        frame = jnp.concatenate([rgb, alpha], axis=-1)
+        depth_out = jnp.repeat(jnp.repeat(depth_out, 2, axis=0), 2, axis=1)
+        tri_out = jnp.repeat(jnp.repeat(tri_out, 2, axis=0), 2, axis=1)
     frame = jnp.clip(apply_ai_blend(frame, ai), 0.0, 1.0)
     return FrameOutput(color=pack_rgba8(frame),
-                       depth=depth[::ss, ::ss], tri_id=tri_id[::ss, ::ss],
+                       depth=depth_out, tri_id=tri_out,
                        aux=aux)

@@ -540,6 +540,7 @@ class Renderer:
             from trident_tpu.parallel.framebuffer import render_frame_banded
 
             mesh = Mesh(np.asarray(devices[:n]), ("fb",))
+            self._banded_mesh = mesh
             self._banded_jit = jax.jit(
                 functools.partial(render_frame_banded, mesh, "fb"),
                 static_argnames=(
@@ -611,21 +612,43 @@ class Renderer:
         rc = self.config.render
         banded = self._banded_render_fn() if rc.bands > 1 else None
         if banded is not None:
-            if rc.ai_upscale and not getattr(self, "_banded_upscale_warned",
-                                             False):
-                self._banded_upscale_warned = True
-                logger.warning(
-                    "ai_upscale is not supported with bands > 1 — the banded "
-                    "multi-chip path renders at native resolution")
+            # committed single-device arrays (device_put geometry/texture
+            # caches, loaded upscaler params) conflict with the jitted
+            # multi-device shard_map — replicate them onto the band mesh
+            # (a no-op view once already placed there)
+            from jax.sharding import NamedSharding
+            from jax.sharding import PartitionSpec as _P
+
+            rep = NamedSharding(self._banded_mesh, _P())
+
+            def _rep(t):
+                return jax.tree.map(lambda x: jax.device_put(x, rep), t)
+
+            device_geo = _rep(device_geo)
+            textures = _rep(textures)
+            skybox = _rep(skybox)
+            ai_image = _rep(ai_image)
             ai = AiBlend(image=ai_image,
                          blend=jnp.asarray(ai_blend, jnp.float32))
             corner_t = (None if skinned
-                        else self._plan_cache.corner_table(packed))
+                        else _rep(self._plan_cache.corner_table(packed)))
+            up = self._upscale_params()
+            if up is not None:
+                up = _rep(up)
+            w_r, h_r = ctx.width, ctx.height
+            if up is not None:
+                # neural 2×: render the bands at half res, reconstruct on
+                # the row-sharded frame (framebuffer.render_frame_banded)
+                if ctx.width % 2 or ctx.height % 2:
+                    up = None      # odd target: reconstruction can't hit it
+                else:
+                    w_r, h_r = ctx.width // 2, ctx.height // 2
+            prev = ctx.prev_state if up is not None else None
             out = banded(
                 device_geo, plan, tri_draw, params, palette, shade_table,
                 cam.params(), lights, textures, skybox, ai, light_cam,
                 corner_t,
-                width=ctx.width, height=ctx.height,
+                width=w_r, height=h_r,
                 clear_color=tuple(rc.clear_color),
                 raster=self._raster_mode(), chunk=64, skinned=skinned,
                 sampling=rc.sampling, vertex_colors=self._vertex_colors,
@@ -635,7 +658,13 @@ class Renderer:
                 shadow_pcf=rc.shadow_pcf,
                 supersample=max(int(rc.supersample), 1),
                 bloom=rc.bloom, bloom_threshold=rc.bloom_threshold,
-                bloom_strength=rc.bloom_strength)
+                bloom_strength=rc.bloom_strength,
+                upscale_params=up, prev=prev)
+            if up is not None:
+                hp = jax.lax.Precision.HIGHEST
+                p = cam.params()
+                ctx.prev_state = (out.color,
+                                  jnp.matmul(p.proj, p.view, precision=hp))
         else:
             from trident_tpu.render.bundle import pack_frame
 
