@@ -199,3 +199,24 @@ def _dryrun_banded_render(n_devices: int, size: int = 64) -> None:
     assert aux[0] == 0 and aux[1] == 0, f"banded raster dropped work: {aux}"
     print(f"dryrun banded render OK: {n_devices} bands (pallas+shadows), "
           f"covered px={covered}")
+
+    # neural 2× on bands: half-res banded render + reconstruction on the
+    # row-sharded frame (GSPMD halo-exchanged convs); zero-init net = the
+    # bilinear baseline, so the output must stay a valid full-size frame
+    from trident_tpu.ai.upscaler import init_upscaler
+
+    _, variables = init_upscaler(jax.random.PRNGKey(0), base_channels=8)
+    up = jax.device_get(variables["params"])
+    nb = min(2, n_devices)            # half-res bands still need TILE_H rows
+    half = nb * TILE_H
+    mesh_up = Mesh(np.asarray(jax.devices()[:nb]), ("fb",))
+    out_up = render_frame_banded(
+        mesh_up, "fb", geo, plan, tri_draw, params, palette, shade,
+        r.editor_camera.params(), lights, tex, sky, ai,
+        width=half, height=half, clear_color=(0.05, 0.05, 0.08, 1.0),
+        raster="pallas", skinned=False, forward_shading=True,
+        upscale_params=up)
+    assert np.asarray(out_up.color).shape == (half * 2, half * 2, 4)
+    assert int((np.asarray(out_up.tri_id) >= 0).sum()) > 0
+    print(f"dryrun banded ai_upscale OK: {half}->{half * 2} over "
+          f"{nb} bands")
