@@ -225,10 +225,15 @@ def main():
                          "where rgb alone aliases); composes with "
                          "--temporal")
     ap.add_argument("--out", default="assets_out/upscaler_2x")
+    ap.add_argument("--init-from", default=None,
+                    help="resume/fine-tune from an existing checkpoint dir "
+                         "(channel layout must match the selected flags); "
+                         "dataset rendering is the expensive phase, so "
+                         "continuing a run costs little extra")
     args = ap.parse_args()
 
     from trident_tpu.ai.upscaler import (
-        UpscalerNet, init_upscaler, psnr, save_upscaler)
+        UpscalerNet, init_upscaler, load_upscaler, psnr, save_upscaler)
 
     print("rendering training pairs…", flush=True)
     if args.temporal:
@@ -243,10 +248,22 @@ def main():
     tr_in, tr_tg = inputs[n_val:], targets[n_val:]
 
     model = UpscalerNet(base_channels=args.channels)
-    _, variables = init_upscaler(jax.random.PRNGKey(args.seed),
-                                 args.channels,
-                                 in_channels=inputs.shape[-1])
-    params = variables["params"]
+    if args.init_from:
+        from trident_tpu.ai.upscaler import upscaler_in_channels
+
+        params, bc = load_upscaler(args.init_from)
+        if bc != args.channels or (upscaler_in_channels(params)
+                                   != inputs.shape[-1]):
+            raise SystemExit(
+                f"--init-from {args.init_from}: checkpoint is "
+                f"{bc}ch/{upscaler_in_channels(params)}-input but the run "
+                f"wants {args.channels}ch/{inputs.shape[-1]}-input")
+        print(f"resuming from {args.init_from}", flush=True)
+    else:
+        _, variables = init_upscaler(jax.random.PRNGKey(args.seed),
+                                     args.channels,
+                                     in_channels=inputs.shape[-1])
+        params = variables["params"]
     schedule = optax.cosine_decay_schedule(args.lr, args.steps, 0.02)
     tx = optax.adam(schedule)
     opt_state = tx.init(params)

@@ -31,6 +31,15 @@ if _gen and "TPU_ACCELERATOR_TYPE" not in _os.environ:
     }.get(_gen, "v5litepod-1")
 _os.environ.setdefault("TPU_WORKER_HOSTNAMES", "localhost")
 
+# Honor JAX_PLATFORMS=cpu even when a site customization pins a TPU
+# plugin platform: on such environments the env var alone is silently
+# overridden, and every CLI (trainer, demo, bench) would hang trying the
+# tunnel. The config update is what actually wins.
+if _os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", "cpu")
+
 from trident_tpu.core.config import EngineConfig  # noqa: F401
 
 # TRIDENT_THREAD_CHECKS=1: install the cross-thread mutation detector
