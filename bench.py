@@ -72,6 +72,61 @@ def build_scene(config: str):
     return r, reg, (w, h)
 
 
+def bench_interp() -> None:
+    """BASELINE.json config 4: the frame-interpolation U-Net on
+    Dataset/frame_*.png pairs. Reports inference ms/frame at the
+    reference's 256×256 net resolution; vs_baseline is the reference's
+    66 ms inference/readback throttle (Renderer.h:522) divided by the
+    measured latency — how many reference cadences fit in one inference."""
+    import jax
+    import jax.numpy as jnp
+
+    from trident_tpu.ai.train import load_checkpoint
+    from trident_tpu.io.image import load_rgba8
+
+    iters = int(os.environ.get("BENCH_ITERS", "30"))
+    ckpt = os.environ.get("BENCH_INTERP_CKPT", "assets_out/frame_generator_128")
+    model, variables = load_checkpoint(ckpt)
+
+    res = 256
+    src = os.environ.get("BENCH_INTERP_SRC", "/root/reference/Dataset")
+    frames = []
+    if os.path.isdir(src):
+        names = sorted(f for f in os.listdir(src) if f.endswith(".png"))[:3]
+        for n in names:
+            img = load_rgba8(os.path.join(src, n))[..., :3]
+            img = jax.image.resize(jnp.asarray(img, jnp.float32) / 255.0,
+                                   (res, res, 3), "bilinear")
+            frames.append(img)
+    if len(frames) < 3:   # dataset not mounted: synthesize a moving pattern
+        base = jnp.linspace(0, 1, res)[:, None, None] * jnp.ones((1, res, 3))
+        frames = [jnp.roll(base, 8 * k, axis=1) for k in range(3)]
+
+    pair = jnp.concatenate([frames[0], frames[2]], axis=-1)[None]
+
+    @jax.jit
+    def infer(x):
+        return model.apply(variables, x, train=False)
+
+    out = infer(pair)
+    np.asarray(out.ravel()[:1])                 # force compile + first run
+    t0 = time.perf_counter()
+    for _ in range(iters):                       # chain: defeat lazy backends
+        out = infer(jnp.concatenate([out, out], axis=-1))
+    np.asarray(out.ravel()[:1])
+    ms = (time.perf_counter() - t0) / iters * 1000.0
+
+    from trident_tpu.ai.metrics import psnr as _psnr
+
+    quality = float(_psnr(infer(pair), frames[1][None]))   # NHWC batched
+    print(json.dumps({
+        "metric": f"interp_infer_{res}", "value": round(ms, 3),
+        "unit": "ms/frame", "vs_baseline": round(66.0 / max(ms, 1e-6), 3),
+        "extra": {"psnr_db_vs_middle_frame": round(quality, 2),
+                  "iters": iters, "checkpoint": ckpt,
+                  "backend": jax.default_backend()}}))
+
+
 def main() -> None:
     import jax
     import jax.numpy as jnp
@@ -84,6 +139,8 @@ def main() -> None:
     from trident_tpu.render.types import AiBlend, CameraParams, SkyboxCube
 
     config = os.environ.get("BENCH_CONFIG", "spheres1080_1m")
+    if config == "interp":
+        return bench_interp()
     iters = int(os.environ.get("BENCH_ITERS", "30"))
     # BENCH_AI=1: neural 2x reconstruction mode — render at half res and
     # let the upscaler net (ai/upscaler.py) rebuild the full frame. Needs

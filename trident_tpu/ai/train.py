@@ -13,7 +13,7 @@ from __future__ import annotations
 import json
 import os
 import time
-from dataclasses import dataclass, field
+from dataclasses import dataclass, field, replace
 from typing import Any, Dict, Optional, Tuple
 
 import numpy as np
@@ -105,7 +105,10 @@ def save_checkpoint(state: TrainState, directory: str, step: int) -> str:
     with open(os.path.join(directory, "latest.json"), "w") as f:
         # store the step dir NAME, not an absolute path — the checkpoint
         # directory must stay relocatable (loaders join it with `directory`)
-        json.dump({"step": step, "path": os.path.basename(path)}, f)
+        # — plus the net width, so loaders don't need the TrainConfig
+        bc = int(state.params["Conv_0"]["kernel"].shape[-1])
+        json.dump({"step": step, "path": os.path.basename(path),
+                   "base_channels": bc}, f)
     return path
 
 
@@ -117,7 +120,13 @@ def load_checkpoint(directory: str, config: Optional[TrainConfig] = None,
     config = config or TrainConfig()
     if path is None:
         with open(os.path.join(directory, "latest.json")) as f:
-            path = json.load(f)["path"]
+            latest = json.load(f)
+        path = latest["path"]
+        # the record stores the net width since round 3; honor it so
+        # callers need not know the training config (legacy records
+        # without it fall back to config.base_channels)
+        if "base_channels" in latest:
+            config = replace(config, base_channels=int(latest["base_channels"]))
         # legacy records stored absolute paths; new ones store the step dir
         # name relative to `directory` (relocatable checkouts)
         if not os.path.isabs(path):
