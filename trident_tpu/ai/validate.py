@@ -39,6 +39,14 @@ def validate_checkpoint(directory: str,
                                    base_channels=base_channels))
     except Exception as exc:
         return ValidationResult(False, f"restore failed: {exc}")
+    # the record carries the net width since round 3, so a mismatched
+    # expectation restores FINE against the recorded template — compare
+    # the actual restored width to the caller's contract explicitly
+    got_bc = int(variables["params"]["Conv_0"]["kernel"].shape[-1])
+    if got_bc != base_channels:
+        return ValidationResult(
+            False, f"architecture mismatch: checkpoint is {got_bc}-wide, "
+                   f"expected base_channels={base_channels}")
     try:
         out = model.apply(variables,
                           jnp.zeros((1, resolution[0], resolution[1], 6)),
