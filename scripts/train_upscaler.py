@@ -206,8 +206,14 @@ def render_pairs(n_pairs: int, res: int, seed: int,
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--pairs", type=int, default=192)
-    ap.add_argument("--res", type=int, default=256)
+    ap.add_argument("--pairs", type=int, default=192,
+                    help="total rendered pairs (split across --res scales)")
+    ap.add_argument("--res", type=str, default="256",
+                    help="render resolution(s), comma-separated (e.g. "
+                         "'256,128'): multi-scale training fixes the "
+                         "out-of-distribution regression at scales the net "
+                         "never saw (the conv net itself is size-agnostic; "
+                         "batches stay uniform per step, alternating scales)")
     ap.add_argument("--steps", type=int, default=1500)
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--lr", type=float, default=2e-3)
@@ -235,17 +241,22 @@ def main():
     from trident_tpu.ai.upscaler import (
         UpscalerNet, init_upscaler, load_upscaler, psnr, save_upscaler)
 
-    print("rendering training pairs…", flush=True)
-    if args.temporal:
-        inputs, targets = render_sequence_pairs(args.pairs, args.res,
-                                                args.seed,
-                                                with_depth=args.depth)
-    else:
-        inputs, targets = render_pairs(args.pairs, args.res, args.seed,
-                                       with_depth=args.depth)
-    n_val = max(args.pairs // 8, 4)
-    val_in, val_tg = inputs[:n_val], targets[:n_val]
-    tr_in, tr_tg = inputs[n_val:], targets[n_val:]
+    res_list = [int(r) for r in str(args.res).split(",") if r]
+    per_res = max(args.pairs // len(res_list), 8)
+    datasets = []   # one (tr_in, tr_tg, val_in, val_tg, res) per scale
+    for j, res in enumerate(res_list):
+        print(f"rendering training pairs at {res}px…", flush=True)
+        if args.temporal:
+            inputs, targets = render_sequence_pairs(
+                per_res, res, args.seed + 101 * j, with_depth=args.depth)
+        else:
+            inputs, targets = render_pairs(
+                per_res, res, args.seed + 101 * j, with_depth=args.depth)
+        n_val = max(per_res // 8, 4)
+        datasets.append((inputs[n_val:], targets[n_val:],
+                         inputs[:n_val], targets[:n_val], res))
+    tr_in, tr_tg, val_in, val_tg, _ = datasets[0]
+    inputs = datasets[0][0]
 
     model = UpscalerNet(base_channels=args.channels)
     if args.init_from:
@@ -291,37 +302,51 @@ def main():
         base = jax.image.resize(x[..., :3], y.shape, "bilinear")
         return psnr(out, y), psnr(base, y)
 
+    def eval_all(params):
+        """Mean net/bilinear PSNR across every scale's val split (each
+        scale compiles its own evaluate once)."""
+        nets, bases = [], []
+        for tr_i, tr_t, v_i, v_t, _res in datasets:
+            n, b = evaluate(params, jnp.asarray(v_i), jnp.asarray(v_t))
+            nets.append(float(n))
+            bases.append(float(b))
+        return (sum(nets) / len(nets), sum(bases) / len(bases),
+                ["%d:%.2f" % (d[4], n) for d, n in zip(datasets, nets)])
+
     rng = np.random.default_rng(args.seed)
     t0 = time.time()
     best = -1.0
     for s in range(args.steps):
-        idx = rng.integers(0, tr_in.shape[0], args.batch)
+        # alternate scales per step: batches stay uniform (one jitted
+        # step per scale), the NET trains across all of them
+        tr_i, tr_t = datasets[s % len(datasets)][:2]
+        idx = rng.integers(0, tr_i.shape[0], args.batch)
         params, opt_state, loss = step(params, opt_state,
-                                       jnp.asarray(tr_in[idx]),
-                                       jnp.asarray(tr_tg[idx]))
+                                       jnp.asarray(tr_i[idx]),
+                                       jnp.asarray(tr_t[idx]))
         if (s + 1) % 100 == 0:
-            net_p, base_p = evaluate(params, jnp.asarray(val_in),
-                                     jnp.asarray(val_tg))
+            net_p, base_p, per_res = eval_all(params)
             # checkpoint the best-so-far at every eval: a wall-clock kill
             # (driver timeout) then costs nothing — the plateau checkpoint
             # is already on disk
             mark = ""
-            if float(net_p) > best:
-                best = float(net_p)
+            if net_p > best:
+                best = net_p
                 save_upscaler(jax.device_get(params), args.out,
                               args.channels)
                 mark = " [saved]"
+            detail = (" [" + " ".join(per_res) + "]"
+                      if len(per_res) > 1 else "")
             print(f"step {s + 1}: L1={float(loss):.4f} "
-                  f"val PSNR net={float(net_p):.2f}dB "
-                  f"bilinear={float(base_p):.2f}dB "
+                  f"val PSNR net={net_p:.2f}dB "
+                  f"bilinear={base_p:.2f}dB{detail} "
                   f"({time.time() - t0:.0f}s){mark}", flush=True)
 
-    net_p, base_p = evaluate(params, jnp.asarray(val_in),
-                             jnp.asarray(val_tg))
-    if float(net_p) > best:
+    net_p, base_p, _ = eval_all(params)
+    if net_p > best:
         save_upscaler(jax.device_get(params), args.out, args.channels)
-    print(f"saved {args.out}: best val PSNR {max(best, float(net_p)):.2f}dB "
-          f"vs bilinear={float(base_p):.2f}dB")
+    print(f"saved {args.out}: best val PSNR {max(best, net_p):.2f}dB "
+          f"vs bilinear={base_p:.2f}dB")
 
 
 if __name__ == "__main__":
