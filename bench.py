@@ -127,7 +127,44 @@ def bench_interp() -> None:
                   "backend": jax.default_backend()}}))
 
 
+def _arm_watchdog():
+    """The tunneled TPU backend can go down in a way that hangs every
+    device op forever (observed round 3: even jnp.ones never returns).
+    Emit an honest error line and exit instead of hanging the driver.
+    BENCH_WATCHDOG seconds, 0 disables; generous default — first compile
+    through a cold tunnel legitimately takes minutes. Returns the timer;
+    main() cancels it on completion (bench_sweep calls main repeatedly)."""
+    import threading
+
+    limit = float(os.environ.get("BENCH_WATCHDOG", "2100"))
+    if limit <= 0:
+        return None
+
+    def fire():
+        print(json.dumps({
+            "metric": "bench_error", "value": 0, "unit": "none",
+            "vs_baseline": 0,
+            "extra": {"error": f"no result within {limit:.0f}s — backend "
+                               "unreachable (tunnel down?) or compile hung"}}),
+              flush=True)
+        os._exit(3)
+
+    t = threading.Timer(limit, fire)
+    t.daemon = True
+    t.start()
+    return t
+
+
 def main() -> None:
+    watchdog = _arm_watchdog()
+    try:
+        _main_inner()
+    finally:
+        if watchdog is not None:
+            watchdog.cancel()
+
+
+def _main_inner() -> None:
     import jax
     import jax.numpy as jnp
     from trident_tpu.ecs.components import TransformComponent
