@@ -492,7 +492,10 @@ class ViewerServer:
             elif op == "import":
                 full = os.path.abspath(
                     os.path.join(self.assets_root, body["path"]))
-                if not full.startswith(self.assets_root):
+                root = os.path.abspath(self.assets_root)
+                # root + sep, not a bare prefix: "/assets-evil" must not
+                # pass a "/assets" root (matches the /api/assets check)
+                if not (full == root or full.startswith(root + os.sep)):
                     raise ValueError("path escapes the assets root")
                 return {"entities": app.import_assets([full])}
             elif op == "ai_blend":

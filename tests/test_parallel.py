@@ -203,3 +203,42 @@ def test_banded_render_with_ai_upscale(eight_devices, tmp_path):
     diff = np.abs(frames[2].astype(int) - frames[1].astype(int))
     assert diff.max() <= 1
     assert (diff > 0).mean() < 5e-3
+
+
+def test_banded_indivisible_heights_degrade(eight_devices, tmp_path):
+    """Heights that don't split into whole raster-tile rows per band must
+    DEGRADE (disable upscale / fall back to single-chip with a warning),
+    never raise at draw time (round-3 review finding)."""
+    from trident_tpu.ai.upscaler import init_upscaler, save_upscaler
+    from trident_tpu.core.config import AiConfig, EngineConfig, RenderConfig
+    from trident_tpu.ecs.components import MeshComponent, TransformComponent
+    from trident_tpu.ecs.registry import Registry
+    from trident_tpu.geometry.primitives import PrimitiveType
+    from trident_tpu.render.renderer import Renderer
+
+    _, variables = init_upscaler(jax.random.PRNGKey(4), base_channels=8)
+    save_upscaler(jax.device_get(variables["params"]), str(tmp_path), 8)
+
+    def scene(w, h, ai, bands):
+        r = Renderer(EngineConfig(
+            render=RenderConfig(width=w, height=h, ai_upscale=ai,
+                                bands=bands),
+            ai=AiConfig(upscaler_path=str(tmp_path))))
+        reg = Registry()
+        r.set_active_registry(reg)
+        e = reg.create()
+        reg.add(e, TransformComponent())
+        reg.add(e, MeshComponent(
+            mesh_index=r.ensure_primitive(PrimitiveType.CUBE)))
+        r.editor_camera.set_position([0, 0, 3])
+        r.editor_camera.look_at_target([0, 0, 0])
+        return r
+
+    # half-res height (96 → 48/band) not tile-divisible: upscale disabled,
+    # native banding (192 → 96/band) still runs
+    r = scene(128, 192, True, 2)
+    assert np.asarray(r.read_frame()).shape == (192, 128, 4)
+
+    # native height indivisible too (120 → 60/band): single-chip fallback
+    r2 = scene(128, 120, False, 2)
+    assert np.asarray(r2.read_frame()).shape == (120, 128, 4)

@@ -129,6 +129,26 @@ def warp_previous(prev_rgb: Array, cur_depth: Array, cur_vp_inv: Array,
     return jnp.concatenate([block * valid, valid], axis=-1)
 
 
+def temporal_from_prev(params, prev, cur_depth: Array,
+                       camera, out_width: int, out_height: int):
+    """The render paths' shared history builder: `prev` is (previous
+    full-res FrameOutput.color, previous view·proj) or None. Returns the
+    warp_previous channels for a temporal net, or None when there is no
+    history or the net is spatial-only. uint8 history is normalized; the
+    current view·proj is rebuilt at HIGHEST precision (the matmul
+    precision rule — geometry through bf16 grows artifacts)."""
+    if prev is None or not upscaler_wants_temporal(params):
+        return None
+    prev_color, prev_vp = prev
+    prev_rgb = prev_color[..., :3]
+    if prev_rgb.dtype == jnp.uint8:
+        prev_rgb = prev_rgb.astype(jnp.float32) * (1.0 / 255.0)
+    hp = jax.lax.Precision.HIGHEST
+    vp = jnp.matmul(camera.proj, camera.view, precision=hp)
+    return warp_previous(prev_rgb, cur_depth, jnp.linalg.inv(vp), prev_vp,
+                         out_width, out_height)
+
+
 def apply_upscaler(params, image: Array, temporal: Array = None,
                    depth: Array = None) -> Array:
     """(H, W, 3) [0,1] → (2H, 2W, 3). Pure — safe inside the frame jit.

@@ -20,7 +20,11 @@ from trident_tpu.ecs.registry import Registry
 
 class AnimationSystem:
     _players: Dict[int, AnimationPlayer] = {}
-    _samplers: Dict[tuple, object] = {}
+    _samplers: "OrderedDict[tuple, object]" = None  # LRU, see _sampler_for
+    _SAMPLER_CAP = 32     # baked device keyframe tables per live cache
+                          # entry — bound it so load/unload cycles don't
+                          # pin every clip ever seen (each entry also
+                          # strong-refs its skeleton/clip)
 
     @classmethod
     def _player_for(cls, entity: int, anim: AnimationComponent) -> Optional[AnimationPlayer]:
@@ -57,14 +61,24 @@ class AnimationSystem:
 
     @classmethod
     def _sampler_for(cls, skeleton, clip):
+        from collections import OrderedDict
+
         from trident_tpu.anim.batch import BatchedClipSampler
 
+        if cls._samplers is None:
+            cls._samplers = OrderedDict()
+        # identity keys are safe here BECAUSE entries strong-ref their
+        # skeleton/clip (live keys can't be id-recycled); the LRU cap is
+        # what lets dead assets actually be released
         key = (id(skeleton), id(clip))
         sampler = cls._samplers.get(key)
         if sampler is None or sampler.skeleton is not skeleton \
                 or sampler.clip is not clip:
             sampler = BatchedClipSampler(clip, skeleton)
             cls._samplers[key] = sampler
+        cls._samplers.move_to_end(key)
+        while len(cls._samplers) > cls._SAMPLER_CAP:
+            cls._samplers.popitem(last=False)
         return sampler
 
     @classmethod

@@ -256,14 +256,18 @@ def build_bins(setup: TriangleSetup, width: int, height: int) -> PallasBins:
     qtx0 = jnp.where(q_nonempty, jnp.clip(qx0 // TILE_W, 0, ntx - 1), 32767)
     qtx1 = jnp.where(q_nonempty, jnp.clip((qx1 - 1) // TILE_W, 0, ntx - 1), -1)
 
-    def quarter_hit(ty, tx):
+    def quarter_hit(ty, tx, sel=None):
         """Does ANY sub-block bbox touch the candidate tile? (Pruning only:
         the survivors' per-sub-block masks are recomputed post-sort, so the
-        tiers never pack bits — NSUB may exceed one i32's worth.)"""
-        hit = ((ty[..., None] >= qty0[:, None, :])
-               & (ty[..., None] <= qty1[:, None, :])
-               & (tx[..., None] >= qtx0[:, None, :])
-               & (tx[..., None] <= qtx1[:, None, :]))            # (NC,K,NSUB)
+        tiers never pack bits — NSUB may exceed one i32's worth.) `sel`
+        restricts the test to a compacted chunk subset (mid/whale tiers);
+        every tier uses THIS test so they can't drift apart."""
+        q0, q1 = (qty0, qty1) if sel is None else (qty0[sel], qty1[sel])
+        x0_, x1_ = (qtx0, qtx1) if sel is None else (qtx0[sel], qtx1[sel])
+        hit = ((ty[..., None] >= q0[:, None, :])
+               & (ty[..., None] <= q1[:, None, :])
+               & (tx[..., None] >= x0_[:, None, :])
+               & (tx[..., None] <= x1_[:, None, :]))             # (·,K,NSUB)
         return jnp.any(hit, axis=-1)
 
     span_x = ctx1 - ctx0 + 1
@@ -325,11 +329,7 @@ def build_bins(setup: TriangleSetup, width: int, height: int) -> PallasBins:
         dy = jnp.arange(kk, dtype=jnp.int32) // wx
         tx = ctx0[gsel][:, None] + dx[None, :]
         ty = cty0[gsel][:, None] + dy[None, :]
-        hit = ((ty[..., None] >= qty0[gsel][:, None, :])
-               & (ty[..., None] <= qty1[gsel][:, None, :])
-               & (tx[..., None] >= qtx0[gsel][:, None, :])
-               & (tx[..., None] <= qtx1[gsel][:, None, :]))
-        m = gvalid[:, None] & jnp.any(hit, axis=-1)
+        m = gvalid[:, None] & quarter_hit(ty, tx, gsel)
         parts.append(jnp.where(
             m, ((ty * ntx + tx) << CHUNK_BITS) | slot_ids[gsel][:, None],
             sentinel).astype(jnp.int32).reshape(-1))
@@ -345,11 +345,7 @@ def build_bins(setup: TriangleSetup, width: int, height: int) -> PallasBins:
     tile_ids = jnp.arange(n_tiles, dtype=jnp.int32)
     g_ty = jnp.broadcast_to(tile_ids[None, :] // ntx, (g, n_tiles))
     g_tx = jnp.broadcast_to(tile_ids[None, :] % ntx, (g, n_tiles))
-    g_hit = ((g_ty[..., None] >= qty0[gsel][:, None, :])
-             & (g_ty[..., None] <= qty1[gsel][:, None, :])
-             & (g_tx[..., None] >= qtx0[gsel][:, None, :])
-             & (g_tx[..., None] <= qtx1[gsel][:, None, :]))
-    big_mask = gvalid[:, None] & jnp.any(g_hit, axis=-1)
+    big_mask = gvalid[:, None] & quarter_hit(g_ty, g_tx, gsel)
     big_pairs = jnp.where(
         big_mask,
         (tile_ids[None, :] << CHUNK_BITS) | (gsel[:, None] + 1),

@@ -261,7 +261,11 @@ def resolve_attrs_pallas(bins: PallasBins, tri_tiles: Array, records: Array,
 
     pair_tile, pair_chunk, n_grid = bins.pair_tile, bins.pair_chunk, bins.n_real
     idx = jnp.arange(bins.n_pairs, dtype=jnp.int32)
-    won = jnp.zeros((bins.n_pairs,), jnp.int32)
+    # scalar-prefetch arrays live in the ~1MB SMEM budget: the full-size
+    # won array (256KB at PAIR_BUDGET=65536) only rides along when the
+    # skip kernel actually reads it — the default path gets a 1-element
+    # dummy (the kernel's won_ref access is behind a STATIC `if skip`)
+    won = jnp.zeros((bins.n_pairs if skip else 1,), jnp.int32)
     if skip:
         # exact owners: does any winner id in the pair's tile fall in its
         # chunk's range? XLA fuses the gather into the compare+any — the

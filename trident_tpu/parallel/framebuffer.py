@@ -287,20 +287,10 @@ def render_frame_banded(mesh: Mesh, axis: str, geometry, plan, tri_draw,
     if upscale_params is not None:
         # neural 2× reconstruction on the row-sharded half-res frame
         # (semantics identical to render_frame's single-chip block)
-        from trident_tpu.ai.upscaler import (
-            apply_upscaler, upscaler_wants_temporal, warp_previous)
+        from trident_tpu.ai.upscaler import apply_upscaler, temporal_from_prev
 
-        temporal = None
-        if prev is not None and upscaler_wants_temporal(upscale_params):
-            prev_color, prev_vp = prev
-            prev_rgb = prev_color[..., :3]
-            if prev_rgb.dtype == jnp.uint8:
-                prev_rgb = prev_rgb.astype(jnp.float32) * (1.0 / 255.0)
-            hp = jax.lax.Precision.HIGHEST
-            vp = jnp.matmul(camera.proj, camera.view, precision=hp)
-            temporal = warp_previous(prev_rgb, depth_out,
-                                     jnp.linalg.inv(vp), prev_vp,
-                                     width * 2, height * 2)
+        temporal = temporal_from_prev(upscale_params, prev, depth_out,
+                                      camera, width * 2, height * 2)
         rgb = apply_upscaler(upscale_params, frame[..., :3], temporal,
                              depth=depth_out)
         alpha = jnp.repeat(jnp.repeat(frame[..., 3:4], 2, axis=0), 2, axis=1)

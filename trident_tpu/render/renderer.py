@@ -271,22 +271,13 @@ def _render_frame_impl(geometry, plan, tri_draw, params, palette, shade_table,
         # neural 2x reconstruction (ai/upscaler.py): width/height here are
         # the HALF-res render dims; the output frame is full size. The AI
         # blend then applies at display resolution.
-        from trident_tpu.ai.upscaler import (
-            apply_upscaler, upscaler_wants_temporal, warp_previous)
+        from trident_tpu.ai.upscaler import apply_upscaler, temporal_from_prev
 
-        temporal = None
         d_half = gbuf.depth[::supersample, ::supersample]
-        if prev is not None and upscaler_wants_temporal(upscale_params):
-            # prev = (previous full-res FrameOutput.color, previous
-            # view-projection): reproject its detail into this view
-            prev_color, prev_vp = prev
-            prev_rgb = prev_color[..., :3]
-            if prev_rgb.dtype == jnp.uint8:
-                prev_rgb = prev_rgb.astype(jnp.float32) * (1.0 / 255.0)
-            hp = jax.lax.Precision.HIGHEST
-            vp = jnp.matmul(camera.proj, camera.view, precision=hp)
-            temporal = warp_previous(prev_rgb, d_half, jnp.linalg.inv(vp),
-                                     prev_vp, width * 2, height * 2)
+        # prev = (previous full-res FrameOutput.color, previous
+        # view-projection): reproject its detail into this view
+        temporal = temporal_from_prev(upscale_params, prev, d_half, camera,
+                                      width * 2, height * 2)
         rgb = apply_upscaler(upscale_params, frame[..., :3], temporal,
                              depth=d_half)
         alpha = jnp.repeat(jnp.repeat(frame[..., 3:4], 2, axis=0), 2, axis=1)
@@ -612,6 +603,47 @@ class Renderer:
         rc = self.config.render
         banded = self._banded_render_fn() if rc.bands > 1 else None
         if banded is not None:
+            # geometry first: do band heights work at all? Decide BEFORE
+            # replicating anything onto the band mesh — a fallback to the
+            # single-chip path must not receive mesh-committed arrays.
+            from trident_tpu.ops.raster_pallas import TILE_H
+
+            n_bands = int(self.config.render.bands)
+            ss = max(int(rc.supersample), 1)
+
+            def _bands_ok(h):
+                # render_frame_banded's contract: each band is a whole
+                # number of raster tile rows and supersample units
+                bh, rem = divmod(h * ss, n_bands)
+                if rem:
+                    return False
+                if self._raster_mode() == "pallas" and bh % TILE_H:
+                    return False
+                return bh % ss == 0
+
+            up = self._upscale_params()
+            w_r, h_r = ctx.width, ctx.height
+            if up is not None:
+                # neural 2×: render the bands at half res, reconstruct on
+                # the row-sharded frame (framebuffer.render_frame_banded).
+                # Odd targets and half-heights that don't split into whole
+                # tile rows per band fall back to native-res banding.
+                if (ctx.width % 2 or ctx.height % 2
+                        or not _bands_ok(ctx.height // 2)):
+                    up = None
+                else:
+                    w_r, h_r = ctx.width // 2, ctx.height // 2
+            if not _bands_ok(h_r):
+                # indivisible band heights: degrade to the single-chip path
+                # with a one-time warning rather than raising at draw time
+                if not getattr(self, "_banded_indivisible_warned", False):
+                    self._banded_indivisible_warned = True
+                    logger.warning(
+                        "bands=%d: height %d (supersample %d) does not split "
+                        "into whole %dpx raster tile rows per band — "
+                        "rendering single-chip", n_bands, h_r, ss, TILE_H)
+                banded = None
+        if banded is not None:
             # committed single-device arrays (device_put geometry/texture
             # caches, loaded upscaler params) conflict with the jitted
             # multi-device shard_map — replicate them onto the band mesh
@@ -632,17 +664,8 @@ class Renderer:
                          blend=jnp.asarray(ai_blend, jnp.float32))
             corner_t = (None if skinned
                         else _rep(self._plan_cache.corner_table(packed)))
-            up = self._upscale_params()
             if up is not None:
                 up = _rep(up)
-            w_r, h_r = ctx.width, ctx.height
-            if up is not None:
-                # neural 2×: render the bands at half res, reconstruct on
-                # the row-sharded frame (framebuffer.render_frame_banded)
-                if ctx.width % 2 or ctx.height % 2:
-                    up = None      # odd target: reconstruction can't hit it
-                else:
-                    w_r, h_r = ctx.width // 2, ctx.height // 2
             prev = ctx.prev_state if up is not None else None
             out = banded(
                 device_geo, plan, tri_draw, params, palette, shade_table,
