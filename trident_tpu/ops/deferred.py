@@ -161,7 +161,8 @@ def deferred_shade_attrs(gbuffer: GBuffer, attrs: Array,
                          sampling: str = "bilinear",
                          shadow=None, shadow_pcf: bool = False,
                          tonemap: bool = True, y_offset=0,
-                         full_height: Optional[int] = None) -> Array:
+                         full_height: Optional[int] = None,
+                         texel_mxu: Optional[bool] = None) -> Array:
     """Shade from the kernel-resolved attribute image
     (ops/resolve_pallas.py channel layout) — the per-pixel plane-table
     gathers of `deferred_shade` are already done in the rasterizer; only
@@ -190,19 +191,41 @@ def deferred_shade_attrs(gbuffer: GBuffer, attrs: Array,
         gbuffer, covered, normal, uv, mip, color_factor, metallic, roughness,
         ambient_strength, None, textures, camera, lights, width, height,
         clear_color, skybox, ai, sampling, shadow, shadow_pcf, tonemap,
-        size_hint=size_hint, y_offset=y_offset, full_height=full_height)
+        size_hint=size_hint, y_offset=y_offset, full_height=full_height,
+        texel_mxu=texel_mxu)
 
 
 def _shade_common(gbuffer, covered, normal, uv, mip, color_factor, metallic,
                   roughness, ambient_strength, slot, textures, camera,
                   lights, width, height, clear_color, skybox, ai, sampling,
                   shadow, shadow_pcf, tonemap, size_hint=None,
-                  y_offset=0, full_height=None) -> Array:
+                  y_offset=0, full_height=None,
+                  texel_mxu: bool | None = None) -> Array:
     """Texture sample + PBR + background/tonemap/AI — shared by the
     plane-gather path and the kernel-resolved path. `slot` is unused (may
-    be None) when size_hint carries the per-pixel texture geometry."""
-    sampled = shading.sample_texture(textures, slot, uv, mip, mode=sampling,
-                                     size_hint=size_hint)
+    be None) when size_hint carries the per-pixel texture geometry.
+    `texel_mxu` overrides the TRIDENT_TEXEL_MXU one-hot sampler flag
+    (tests exercise both paths explicitly)."""
+    from trident_tpu.ops import texel_pallas as tp
+
+    if texel_mxu is None:
+        texel_mxu = tp.TEXEL_MXU
+    if (texel_mxu and sampling == "bilinear" and size_hint is not None
+            and textures.quads.shape[0] <= tp.MAX_TABLE_ENTRIES):
+        # windowed one-hot MXU texel fetch (ops/texel_pallas.py) — index
+        # math identical to the gather path by construction, uncovered
+        # pixels excluded from the block windows via idx = -1
+        mip_c = jnp.clip(mip, 0.0, textures.max_level.astype(jnp.float32))
+        mip_i = jnp.round(mip_c).astype(jnp.int32)
+        idx, fx, fy = shading.bilinear_index(textures, slot, uv, mip_i,
+                                             size_hint)
+        idx = jnp.where(covered, idx, -1)
+        table = tp.build_texel_table(textures.quads)
+        sampled = tp.sample_bilinear_mxu(
+            table, idx, fx, fy, interpret=jax.default_backend() == "cpu")
+    else:
+        sampled = shading.sample_texture(textures, slot, uv, mip,
+                                         mode=sampling, size_hint=size_hint)
 
     albedo = sampled[..., :3] * color_factor[..., :3]
     alpha = color_factor[..., 3:4] * sampled[..., 3:4]

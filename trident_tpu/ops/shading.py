@@ -181,6 +181,29 @@ def _level_geom(tex, slot: Array, level: Array, size_hint=None):
     return lw, lh, stride, base
 
 
+def bilinear_index(tex, slot: Array, uv: Array, level: Array,
+                   size_hint=None):
+    """(idx, fx, fy) of the REPEAT-wrap bilinear quad fetch at integer mip
+    `level` — the index math of _bilinear_flat, shared verbatim with the
+    one-hot MXU sampler (ops/texel_pallas.py) so both paths address the
+    identical table entry with identical lerp fractions."""
+    lw, lh, stride, base = _level_geom(tex, slot, level, size_hint)
+
+    x = uv[..., 0] * lw.astype(jnp.float32) - 0.5
+    y = uv[..., 1] * lh.astype(jnp.float32) - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = x - x0
+    fy = y - y0
+
+    def wrap(v, n):
+        return jnp.mod(v.astype(jnp.int32), n)
+
+    x0i = wrap(x0, lw)
+    y0i = wrap(y0, lh)
+    return base + y0i * stride + x0i, fx, fy
+
+
 def _bilinear_flat(tex, slot: Array, uv: Array, level: Array,
                    size_hint=None) -> Array:
     """Bilinear sample with REPEAT wrap at integer mip `level` (per-pixel).
@@ -189,22 +212,11 @@ def _bilinear_flat(tex, slot: Array, uv: Array, level: Array,
     gutter column/row make the +1 neighbors valid at the wrap seam.
     Returns (...,4) f32 in [0,1].
     """
-    lw, lh, stride, base = _level_geom(tex, slot, level, size_hint)
+    idx, fx, fy = bilinear_index(tex, slot, uv, level, size_hint)
+    fx = fx[..., None]
+    fy = fy[..., None]
 
-    x = uv[..., 0] * lw.astype(jnp.float32) - 0.5
-    y = uv[..., 1] * lh.astype(jnp.float32) - 0.5
-    x0 = jnp.floor(x)
-    y0 = jnp.floor(y)
-    fx = (x - x0)[..., None]
-    fy = (y - y0)[..., None]
-
-    def wrap(v, n):
-        return jnp.mod(v.astype(jnp.int32), n)
-
-    x0i = wrap(x0, lw)
-    y0i = wrap(y0, lh)
-
-    q = tex.quads[base + y0i * stride + x0i]            # (...,4) u32
+    q = tex.quads[idx]                                  # (...,4) u32
     t00, t10 = _unpack_rgba8(q[..., 0]), _unpack_rgba8(q[..., 1])
     t01, t11 = _unpack_rgba8(q[..., 2]), _unpack_rgba8(q[..., 3])
     top = t00 * (1.0 - fx) + t10 * fx
