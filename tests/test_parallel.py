@@ -87,15 +87,22 @@ def test_banded_render_matches_single_exactly(eight_devices, raster, forward):
     r = build_scene(w, h)
     args, _, _ = _frame_inputs(r)
 
+    import functools
+
     common = dict(width=w, height=h, clear_color=(0.05, 0.05, 0.08, 1.0),
                   raster=raster, skinned=False, forward_shading=forward)
-    single = render_frame(*args, chunk=64, plane_f16=False, **common)
+    # jit both renders: EAGER execution of the interpret-mode kernels is
+    # what made this test take minutes (each op dispatches separately);
+    # jitted, the graphs compile in seconds and hit the persistent cache
+    single = jax.jit(functools.partial(
+        render_frame, chunk=64, plane_f16=False, **common))(*args)
     # 2 bands: the seam/offset logic is per-band-boundary, so 2 devices
     # prove it at half the interpret-mode cost of 4 (suite-time budget,
     # VERDICT r2 weak #6); test_banded_render_full_featureset still runs
     # a 4-band mesh
     mesh = Mesh(np.array(eight_devices[:2]), ("fb",))
-    out = render_frame_banded(mesh, "fb", *args, **common)
+    out = jax.jit(functools.partial(
+        render_frame_banded, mesh, "fb", **common))(*args)
     diff = np.abs(np.asarray(out.color).astype(int)
                   - np.asarray(single.color).astype(int))
     assert diff.max() <= 1
@@ -132,14 +139,19 @@ def test_banded_render_full_featureset(eight_devices, corner):
                              center, radius)
     corner_t = r._plan_cache.corner_table(packed) if corner else None
 
+    import functools
+
     common = dict(width=w, height=h, clear_color=(0.05, 0.05, 0.08, 1.0),
                   raster="pallas", skinned=False, forward_shading=True,
                   shadow_size=32, shadow_pcf=True, supersample=2,
                   bloom=True, bloom_threshold=0.5, bloom_strength=0.4)
-    single = render_frame(*args, light_cam, corner_t, chunk=64, **common)
+    # jitted for the same suite-time reason as matches_single above
+    single = jax.jit(functools.partial(
+        render_frame, chunk=64, **common))(*args, light_cam, corner_t)
     mesh = Mesh(np.array(eight_devices[:2]), ("fb",))
-    out = render_frame_banded(mesh, "fb", *args, light_cam, corner_t,
-                              **common)
+    out = jax.jit(functools.partial(
+        render_frame_banded, mesh, "fb", **common))(
+        *args, light_cam, corner_t)
     single_c = np.asarray(single.color).astype(int)
     banded_c = np.asarray(out.color).astype(int)
     # global-pixel arithmetic: ≤1 LSB (shape-dependent FMA fusion + the
@@ -152,11 +164,13 @@ def test_banded_render_full_featureset(eight_devices, corner):
 
 def test_unet_dryrun_multichip(eight_devices):
     # 2 devices: same GSPMD + explicit-collective code paths at the
-    # smallest mesh that still communicates; the driver's dryrun_multichip
-    # validates the full 8-device mesh every round (suite-time budget)
+    # smallest mesh that still communicates. include_render=False: the
+    # banded-render phases cost ~5 min of interpret-mode compile and are
+    # covered by the banded-vs-single tests above AND by the driver's
+    # full 8-device dryrun every round (suite-time budget)
     from trident_tpu.parallel.dryrun import run_dryrun
 
-    run_dryrun(2)
+    run_dryrun(2, include_render=False)
 
 
 def test_banded_render_with_ai_upscale(eight_devices, tmp_path):

@@ -43,9 +43,22 @@ def _random_scene(rng, t, spread=0.9, size=0.2):
     return _setup_from_ndc(pos, ww)
 
 
+def _vis(setup, w=W, h=H):
+    """Jitted interpret-mode visibility: EAGER execution of the interpret
+    kernel dispatches op-by-op and costs minutes; the jitted graph
+    compiles in seconds and hits the persistent cache. A fresh jit per
+    call keeps monkeypatched module constants (PAIR_BUDGET, MID_CAPS…)
+    out of any cross-test trace cache."""
+    return jax.jit(lambda s: visibility_pallas(s, w, h, interpret=True))(setup)
+
+
+def _ref(setup, w=W, h=H):
+    return jax.jit(lambda s: visibility_ref(s, w, h))(setup)
+
+
 def _assert_matches_ref(setup, atol=1e-5, w=W, h=H):
-    ref = visibility_ref(setup, w, h)
-    pal = visibility_pallas(setup, w, h, interpret=True)
+    ref = _ref(setup, w, h)
+    pal = _vis(setup, w, h)
     rt, pt = np.asarray(ref.tri_id), np.asarray(pal.tri_id)
     assert (rt != pt).sum() == 0
     np.testing.assert_allclose(np.asarray(ref.depth), np.asarray(pal.depth),
@@ -60,7 +73,7 @@ def test_interpret_matches_oracle(rng):
 
 def test_empty_scene_is_background():
     pos = np.zeros((4, 3, 3), np.float32)  # degenerate → all invalid
-    pal = visibility_pallas(_setup_from_ndc(pos), W, H, interpret=True)
+    pal = _vis(_setup_from_ndc(pos))
     assert (np.asarray(pal.tri_id) == -1).all()
     assert np.allclose(np.asarray(pal.depth), 1.0)
 
@@ -100,10 +113,10 @@ def test_big_chunk_drop_is_counted_not_garbage(rng, monkeypatch):
     ww = np.ones((t, 3), np.float32)
     ww[::C, 0] = -0.5  # one near-crossing triangle per chunk → all 5 big
     setup = _setup_from_ndc(pos, ww, w=WB)
-    pal = visibility_pallas(setup, WB, H, interpret=True)
+    pal = _vis(setup, w=WB)
     aux = np.asarray(pal.aux)
     assert aux[1] == 3  # 5 big chunks, 2 kept
-    ref = visibility_ref(setup, WB, H)
+    ref = _ref(setup, w=WB)
     rt, pt = np.asarray(ref.tri_id), np.asarray(pal.tri_id)
     # every shaded pixel is either background (dropped) or the oracle winner
     # from a kept chunk; never an id the oracle doesn't have there... the
@@ -122,12 +135,13 @@ def test_pair_budget_truncation_is_clean(rng, monkeypatch):
     than the true render, ids beyond the triangle count. aux[0] counts
     the dropped pairs, and the degradation is deterministic."""
     setup = _random_scene(rng, 256, spread=0.95, size=0.3)
-    full = visibility_pallas(setup, W, H, interpret=True)
-    n_real = int(np.asarray(build_bins(setup, W, H).n_real))
+    full = _vis(setup)
+    n_real = int(np.asarray(
+        jax.jit(lambda s: build_bins(s, W, H).n_real)(setup)))
     assert n_real > 8           # enough pairs that halving the budget bites
     budget = n_real // 2
     monkeypatch.setattr(raster_pallas, "PAIR_BUDGET", budget)
-    pal = visibility_pallas(setup, W, H, interpret=True)
+    pal = _vis(setup)
     aux = np.asarray(pal.aux)
     assert aux[0] == n_real - budget
     pt, ft = np.asarray(pal.tri_id), np.asarray(full.tri_id)
@@ -139,7 +153,7 @@ def test_pair_budget_truncation_is_clean(rng, monkeypatch):
     farther = (pd >= fd) & (pt >= -1) & (pt < setup.edge.shape[0])
     assert (match | background | farther).all()
     assert (~match).any() and match.any()   # truncation actually bit
-    pal2 = visibility_pallas(setup, W, H, interpret=True)
+    pal2 = _vis(setup)
     np.testing.assert_array_equal(pt, np.asarray(pal2.tri_id))
 
 
@@ -150,7 +164,7 @@ def test_visibility_under_jit(rng):
     fn = jax.jit(lambda s: visibility_pallas(s, W, H, interpret=True),
                  static_argnames=())
     pal = fn(setup)
-    ref = visibility_ref(setup, W, H)
+    ref = _ref(setup)
     assert (np.asarray(ref.tri_id) != np.asarray(pal.tri_id)).sum() == 0
 
 
@@ -183,8 +197,8 @@ def test_4k_scale_chunk_spans_bin_without_drops():
     pos = np.stack([nx, ny, np.full_like(nx, 0.3)], axis=-1).astype(
         np.float32)
     setup = _setup_from_ndc(pos, w=w4k, h=h4k)
-    bins = build_bins(setup, -(-w4k // TILE_W) * TILE_W,
-                      -(-h4k // TILE_H) * TILE_H)
+    bins = jax.jit(lambda s: build_bins(
+        s, -(-w4k // TILE_W) * TILE_W, -(-h4k // TILE_H) * TILE_H))(setup)
     aux = np.asarray(bins.aux)
     assert aux[1] == 0, f"{aux[1]} chunks dropped at 4K scale"
     assert aux[0] == 0

@@ -70,11 +70,28 @@ def _random_setup_and_records(seed=7, t=200, w=256, h=128):
     tri_vtx = jnp.arange(t * 3, dtype=jnp.int32).reshape(t, 3)
     setup = triangle_setup(jnp.asarray(clip.reshape(t * 3, 4)), tri_vtx,
                            jnp.ones(t, bool), w, h)
-    bins, _, tri_tiles, _ = visibility_pallas_tiled(setup, w, h,
-                                                    interpret=True)
     rows = rng.standard_normal((t, planes_mod.RR_WIDTH)).astype(np.float32)
     records = planes_mod.chunk_resolve_rows(jnp.asarray(rows), CHUNK)
-    return bins, tri_tiles, records
+    return setup, records
+
+
+def _vis_resolve(setup, records, w, h, skip):
+    """visibility + resolve in ONE jit (eager interpret-mode kernels cost
+    minutes; the jitted graph compiles in seconds and persists in the
+    compilation cache). bins' static n_pairs stays a Python int because
+    the whole pipeline traces together."""
+    import jax
+
+    from trident_tpu.ops.raster_pallas import visibility_pallas_tiled
+    from trident_tpu.ops.resolve_pallas import resolve_attrs_pallas
+
+    def f(s, rec):
+        bins, _, tri_tiles, _ = visibility_pallas_tiled(s, w, h,
+                                                        interpret=True)
+        return resolve_attrs_pallas(bins, tri_tiles, rec, w, h,
+                                    interpret=True, skip=skip)
+
+    return jax.jit(f)(setup, records)
 
 
 def test_resolve_skip_fastpath_bit_exact():
@@ -82,14 +99,10 @@ def test_resolve_skip_fastpath_bit_exact():
     scheduling change: owners execute identical ops, so the attribute
     image matches the always-run path BIT-EXACTLY — including tiles that
     are touched by pairs but entirely background (both modes yield 0)."""
-    from trident_tpu.ops.resolve_pallas import resolve_attrs_pallas
-
     w, h = 256, 128
-    bins, tri_tiles, records = _random_setup_and_records(w=w, h=h)
-    base = resolve_attrs_pallas(bins, tri_tiles, records, w, h,
-                                interpret=True, skip=False)
-    fast = resolve_attrs_pallas(bins, tri_tiles, records, w, h,
-                                interpret=True, skip=True)
+    setup, records = _random_setup_and_records(w=w, h=h)
+    base = _vis_resolve(setup, records, w, h, skip=False)
+    fast = _vis_resolve(setup, records, w, h, skip=True)
     np.testing.assert_array_equal(np.asarray(base), np.asarray(fast))
     assert np.abs(np.asarray(base)).sum() > 0  # scene actually drew
 
@@ -98,9 +111,7 @@ def test_resolve_skip_empty_scene():
     """No owners at all: every step is a loser aliasing the padding pair;
     the attribute image must come back all zeros, not garbage."""
     from trident_tpu.ops import planes as planes_mod
-    from trident_tpu.ops.raster_pallas import (
-        CHUNK, visibility_pallas_tiled)
-    from trident_tpu.ops.resolve_pallas import resolve_attrs_pallas
+    from trident_tpu.ops.raster_pallas import CHUNK
     from trident_tpu.ops.vertex import triangle_setup
 
     t, w, h = 8, 256, 64
@@ -109,12 +120,9 @@ def test_resolve_skip_empty_scene():
     setup = triangle_setup(jnp.asarray(clip),
                            jnp.arange(t * 3, dtype=jnp.int32).reshape(t, 3),
                            jnp.ones(t, bool), w, h)
-    bins, _, tri_tiles, _ = visibility_pallas_tiled(setup, w, h,
-                                                    interpret=True)
     rows = np.ones((t, planes_mod.RR_WIDTH), np.float32)
     records = planes_mod.chunk_resolve_rows(jnp.asarray(rows), CHUNK)
-    out = resolve_attrs_pallas(bins, tri_tiles, records, w, h,
-                               interpret=True, skip=True)
+    out = _vis_resolve(setup, records, w, h, skip=True)
     assert np.abs(np.asarray(out)).sum() == 0
 
 

@@ -48,9 +48,10 @@ def validate_checkpoint(directory: str,
             False, f"architecture mismatch: checkpoint is {got_bc}-wide, "
                    f"expected base_channels={base_channels}")
     try:
-        out = model.apply(variables,
-                          jnp.zeros((1, resolution[0], resolution[1], 6)),
-                          train=False)
+        import jax
+
+        out = jax.jit(lambda v, x: model.apply(v, x, train=False))(
+            variables, jnp.zeros((1, resolution[0], resolution[1], 6)))
     except Exception as exc:
         return ValidationResult(False, f"forward failed: {exc}")
     if out.shape != (1, resolution[0], resolution[1], 3):

@@ -33,7 +33,12 @@ from trident_tpu.parallel.mesh import (
 
 
 def run_dryrun(n_devices: int, resolution=(32, 32), batch_per_device: int = 1,
-               base_channels: int = 8) -> None:
+               base_channels: int = 8, include_render: bool = True) -> None:
+    """`include_render=False` skips the banded-render phases (the
+    interpret-mode graphs cost minutes of CPU compile each): the test
+    suite covers them directly in test_parallel's banded-vs-single parity
+    tests, and the driver runs THIS full dryrun (render included) on the
+    8-device virtual mesh every round."""
     devices = jax.devices()
     if len(devices) < n_devices:
         raise RuntimeError(
@@ -81,7 +86,8 @@ def run_dryrun(n_devices: int, resolution=(32, 32), batch_per_device: int = 1,
 
     _dryrun_explicit_collectives(n_devices, inputs_np, targets_np,
                                  config, float(loss))
-    _dryrun_banded_render(n_devices)
+    if include_render:
+        _dryrun_banded_render(n_devices)
 
 
 def _dryrun_explicit_collectives(n_devices: int, inputs_np, targets_np,
@@ -185,12 +191,15 @@ def _dryrun_banded_render(n_devices: int, size: int = 64) -> None:
                              center, radius)
 
     fb_mesh = Mesh(np.asarray(jax.devices()[:n_devices]), ("fb",))
-    out = render_frame_banded(
-        fb_mesh, "fb", geo, plan, tri_draw, params, palette, shade,
-        r.editor_camera.params(), lights, tex, sky, ai, light_cam,
+    # jitted: eager dispatch of the interpret-mode kernels costs minutes,
+    # the jitted graph compiles in seconds (and persists in the cache)
+    out = jax.jit(functools.partial(
+        render_frame_banded, fb_mesh, "fb",
         width=size, height=size, clear_color=(0.05, 0.05, 0.08, 1.0),
         raster="pallas", skinned=False, forward_shading=True,
-        shadow_size=size, shadow_pcf=True)
+        shadow_size=size, shadow_pcf=True))(
+        geo, plan, tri_draw, params, palette, shade,
+        r.editor_camera.params(), lights, tex, sky, ai, light_cam)
     color = np.asarray(out.color)
     assert color.shape == (size, size, 4)
     covered = int((np.asarray(out.tri_id) >= 0).sum())
@@ -210,11 +219,12 @@ def _dryrun_banded_render(n_devices: int, size: int = 64) -> None:
     nb = min(2, n_devices)            # half-res bands still need TILE_H rows
     half = nb * TILE_H
     mesh_up = Mesh(np.asarray(jax.devices()[:nb]), ("fb",))
-    out_up = render_frame_banded(
-        mesh_up, "fb", geo, plan, tri_draw, params, palette, shade,
-        r.editor_camera.params(), lights, tex, sky, ai,
+    out_up = jax.jit(functools.partial(
+        render_frame_banded, mesh_up, "fb",
         width=half, height=half, clear_color=(0.05, 0.05, 0.08, 1.0),
-        raster="pallas", skinned=False, forward_shading=True,
+        raster="pallas", skinned=False, forward_shading=True))(
+        geo, plan, tri_draw, params, palette, shade,
+        r.editor_camera.params(), lights, tex, sky, ai,
         upscale_params=up)
     assert np.asarray(out_up.color).shape == (half * 2, half * 2, 4)
     assert int((np.asarray(out_up.tri_id) >= 0).sum()) > 0
