@@ -162,6 +162,35 @@ def test_banded_render_full_featureset(eight_devices, corner):
     assert np.asarray(out.aux).reshape(-1, 2).sum() == 0
 
 
+def test_banded_render_composes_with_texel_mxu(eight_devices, monkeypatch):
+    """The windowed one-hot texel sampler (ops/texel_pallas.py) inside
+    the banded shard_map: per-band block windows see band-local attribute
+    images, so the result must match the banded gather-path render to
+    fma-fusion noise (≤1 display LSB)."""
+    import functools
+
+    from jax.sharding import Mesh
+    from trident_tpu.ops import texel_pallas as tp
+    from trident_tpu.parallel.framebuffer import render_frame_banded
+
+    w, h = 128, 128
+    r = build_scene(w, h)
+    args, _, _ = _frame_inputs(r)
+    common = dict(width=w, height=h, clear_color=(0.05, 0.05, 0.08, 1.0),
+                  raster="pallas", skinned=False, forward_shading=True)
+    mesh = Mesh(np.array(eight_devices[:2]), ("fb",))
+
+    frames = {}
+    for mxu in (False, True):
+        monkeypatch.setattr(tp, "TEXEL_MXU", mxu)
+        out = jax.jit(functools.partial(
+            render_frame_banded, mesh, "fb", **common))(*args)
+        frames[mxu] = np.asarray(out.color).astype(int)
+    diff = np.abs(frames[True] - frames[False])
+    assert diff.max() <= 1
+    assert (diff > 0).mean() < 1e-3
+
+
 def test_unet_dryrun_multichip(eight_devices):
     # 2 devices: same GSPMD + explicit-collective code paths at the
     # smallest mesh that still communicates. include_render=False: the

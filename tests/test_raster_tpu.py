@@ -132,3 +132,50 @@ def test_bench_configs_zero_overflow_on_hardware():
                else np.asarray(out.aux).reshape(-1, 2).sum(axis=0))
         print(f"{config}: aux={aux.tolist()}", flush=True)
         assert aux.sum() == 0, f"{config}: overflow {aux.tolist()}"
+
+
+@pytest.mark.skipif(jax.default_backend() == "cpu",
+                    reason="needs real TPU (conftest forces CPU)")
+def test_texel_mxu_matches_gather_on_hardware():
+    """The windowed one-hot MXU texel sampler (ops/texel_pallas.py) vs
+    the XLA gather path ON THE CHIP: selection must be exact (bf16-exact
+    one-hots/bytes, f32 accumulate), so the only allowed divergence is
+    fma-fusion noise. Mosaic-specific risks the CPU interpreter cannot
+    see: the dynamic-trip fori, dynamic-start VMEM slab slices, and the
+    M=16 dot shape."""
+    import jax.numpy as jnp
+
+    from trident_tpu.ops import shading
+    from trident_tpu.ops import texel_pallas as tp
+    from trident_tpu.io.image import checkerboard
+    from trident_tpu.render.textures import TextureSlots
+
+    store = TextureSlots()
+    store.acquire("checker", checkerboard(128, 8))
+    rng = np.random.default_rng(23)
+    img = rng.integers(0, 256, (64, 64, 4), dtype=np.uint8)
+    store.acquire("noise", img)
+    tex = store.device_arrays()
+
+    h, w = 256, 512
+    uv = jnp.asarray(rng.uniform(-1.5, 2.5, (h, w, 2)).astype(np.float32))
+    mip = jnp.asarray(rng.uniform(0.0, 8.0, (h, w)).astype(np.float32))
+    slot_img = rng.integers(1, 3, (h, w))
+    rows = np.asarray(tex.sizes)[slot_img]
+    size_hint = tuple(jnp.asarray(rows[..., i]) for i in range(4))
+
+    @jax.jit
+    def both(u, m):
+        ref = shading.sample_texture(tex, None, u, m, mode="bilinear",
+                                     size_hint=size_hint)
+        mip_i = jnp.round(jnp.clip(
+            m, 0.0, tex.max_level.astype(jnp.float32))).astype(jnp.int32)
+        idx, fx, fy = shading.bilinear_index(tex, None, u, mip_i, size_hint)
+        out = tp.sample_bilinear_mxu(tp.build_texel_table(tex.quads),
+                                     idx, fx, fy)
+        return ref, out
+
+    ref, out = both(uv, mip)
+    err = np.abs(np.asarray(out) - np.asarray(ref)).max()
+    print(f"texel MXU vs gather on hardware: max err {err}", flush=True)
+    assert err <= 2e-6, err
