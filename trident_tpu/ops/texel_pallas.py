@@ -58,21 +58,28 @@ SLAB = int(_os.environ.get("TRIDENT_TEXEL_SLAB", "512"))
                              # slabs → finer occupancy skipping (a block's
                              # touched entries cluster per (slot,mip)
                              # region) but more loop iterations; dev-sweep
-                             # knob, must be a multiple of the 8-sublane
-                             # granularity
-if SLAB < 8 or SLAB % 8 != 0:
-    raise ValueError(f"TRIDENT_TEXEL_SLAB={SLAB} must be a multiple of 8")
+                             # knob, must be a multiple of the bf16 VMEM
+                             # tile's 16-sublane granularity (the kernel
+                             # takes dynamic-start sublane slices of the
+                             # bf16 table; an unaligned start is a Mosaic
+                             # hazard)
+if SLAB < 16 or SLAB % 16 != 0:
+    raise ValueError(f"TRIDENT_TEXEL_SLAB={SLAB} must be a multiple of 16")
 BR = int(_os.environ.get("TRIDENT_TEXEL_BR", "8"))
 BC = int(_os.environ.get("TRIDENT_TEXEL_BC", "256"))
                              # pixel-block shape (rows, cols): P = BR·BC
                              # lanes per block. Smaller blocks → tighter
                              # index windows (fewer slabs) but less MXU
                              # utilization per dot; dev-sweep knob.
-MAX_TABLE_ENTRIES = int(_os.environ.get("TRIDENT_TEXEL_MAX_Q", "65536"))
-                             # (Qpad,16) bf16 must fit the VMEM budget
-                             # next to the one-hot slab + accumulator
-                             # (65536 → 2 MB); bigger atlases fall back
-                             # to the XLA gather path.
+MAX_TABLE_ENTRIES = int(_os.environ.get("TRIDENT_TEXEL_MAX_Q", "32768"))
+                             # the resident (Qpad,16) bf16 table is
+                             # lane-PADDED to 128 in VMEM — a row costs
+                             # 128·2 = 256 B, not 32 B — so 32768 entries
+                             # occupy 8 MB next to the (SLAB,P) one-hot
+                             # (2 MB at defaults) + accumulator; bigger
+                             # atlases fall back to the XLA gather path.
+                             # (The bench scenes' table is 24.3k entries
+                             # ≈ 6.2 MB padded.)
 
 
 def build_texel_table(quads: Array) -> Array:
