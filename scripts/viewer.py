@@ -341,6 +341,7 @@ class ViewerServer:
         from PIL import Image
 
         with self.lock:
+            t_in = time.perf_counter()
             self._bind_engine_thread()
             self.app.update()
             r = self.app.renderer
@@ -356,7 +357,10 @@ class ViewerServer:
             # the viewer loop bypasses draw_frame, so feed the timing ring
             # (and any active perf-capture session) from its own cadence
             ctx = r.viewports[vid]
-            last = getattr(self, "_last_frame_t", now)
+            # first frame has no previous timestamp — fall back to this
+            # call's own duration so a capture session spanning only the
+            # first frame still records a sample
+            last = getattr(self, "_last_frame_t", t_in)
             self._last_frame_t = now
             if now > last:
                 r.timing.accumulate((now - last) * 1000.0,
