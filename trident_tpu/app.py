@@ -116,8 +116,17 @@ class Application:
                     self.renderer.textures.replace(event.path, rgba,
                                                    mips=mips)
                     event.status = ReloadStatus.SUCCESS
+                elif (event.kind == ReloadType.SHADER
+                      and self.renderer.shader_hook.matches(event.path)):
+                    # the active custom shading module changed on disk:
+                    # re-import and retrace (Pipeline.cpp:997-1058's
+                    # rebuild-on-GLSL-change); a broken edit keeps the
+                    # previous shader live
+                    ok = self.renderer.shader_hook.load(event.path)
+                    event.status = (ReloadStatus.SUCCESS if ok
+                                    else ReloadStatus.FAILED)
                 else:
-                    event.status = ReloadStatus.SUCCESS  # model/shader reload = re-import on demand
+                    event.status = ReloadStatus.SUCCESS  # model reload = re-import on demand
                 logger.info("hot-reloaded %s", event.path)
             except Exception as exc:
                 event.status = ReloadStatus.FAILED

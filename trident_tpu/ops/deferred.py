@@ -73,7 +73,8 @@ def deferred_shade(gbuffer: GBuffer, planes: AttributePlanes,
                    sampling: str = "bilinear",
                    shadow=None, shadow_pcf: bool = False,
                    tonemap: bool = True, y_offset=0,
-                   full_height: Optional[int] = None) -> Array:
+                   full_height: Optional[int] = None,
+                   shader_fn=None) -> Array:
     """Shade the frame → (H,W,4) f32. tonemap=True gives display-space
     [0,1] with the AI blend applied; tonemap=False gives linear HDR (for a
     bloom pass; the caller tonemaps and AI-blends). `y_offset` (int or
@@ -149,7 +150,8 @@ def deferred_shade(gbuffer: GBuffer, planes: AttributePlanes,
         gbuffer, covered, normal, uv, mip, color_factor, metallic, roughness,
         ambient_strength, slot, textures, camera, lights, width, height,
         clear_color, skybox, ai, sampling, shadow, shadow_pcf, tonemap,
-        size_hint=size_hint, y_offset=y_offset, full_height=full_height)
+        size_hint=size_hint, y_offset=y_offset, full_height=full_height,
+        shader_fn=shader_fn)
 
 
 def deferred_shade_attrs(gbuffer: GBuffer, attrs: Array,
@@ -162,7 +164,8 @@ def deferred_shade_attrs(gbuffer: GBuffer, attrs: Array,
                          shadow=None, shadow_pcf: bool = False,
                          tonemap: bool = True, y_offset=0,
                          full_height: Optional[int] = None,
-                         texel_mxu: Optional[bool] = None) -> Array:
+                         texel_mxu: Optional[bool] = None,
+                         shader_fn=None) -> Array:
     """Shade from the kernel-resolved attribute image
     (ops/resolve_pallas.py channel layout) — the per-pixel plane-table
     gathers of `deferred_shade` are already done in the rasterizer; only
@@ -192,7 +195,7 @@ def deferred_shade_attrs(gbuffer: GBuffer, attrs: Array,
         ambient_strength, None, textures, camera, lights, width, height,
         clear_color, skybox, ai, sampling, shadow, shadow_pcf, tonemap,
         size_hint=size_hint, y_offset=y_offset, full_height=full_height,
-        texel_mxu=texel_mxu)
+        texel_mxu=texel_mxu, shader_fn=shader_fn)
 
 
 def _shade_common(gbuffer, covered, normal, uv, mip, color_factor, metallic,
@@ -200,12 +203,15 @@ def _shade_common(gbuffer, covered, normal, uv, mip, color_factor, metallic,
                   lights, width, height, clear_color, skybox, ai, sampling,
                   shadow, shadow_pcf, tonemap, size_hint=None,
                   y_offset=0, full_height=None,
-                  texel_mxu: bool | None = None) -> Array:
+                  texel_mxu: bool | None = None,
+                  shader_fn=None) -> Array:
     """Texture sample + PBR + background/tonemap/AI — shared by the
     plane-gather path and the kernel-resolved path. `slot` is unused (may
     be None) when size_hint carries the per-pixel texture geometry.
     `texel_mxu` overrides the TRIDENT_TEXEL_MXU one-hot sampler flag
-    (tests exercise both paths explicitly)."""
+    (tests exercise both paths explicitly). `shader_fn` replaces the
+    built-in Cook-Torrance lighting with a user shading function
+    (render/shader_hook.py contract) — the hot-reloadable-GLSL analogue."""
     from trident_tpu.ops import texel_pallas as tp
 
     if texel_mxu is None:
@@ -252,9 +258,10 @@ def _shade_common(gbuffer, covered, normal, uv, mip, color_factor, metallic,
         from trident_tpu.ops.shadow import shadow_factor
 
         dir_shadow = shadow_factor(shadow, world, pcf=shadow_pcf)
-    lit = shading.shade_pbr(world, normal, albedo, metallic, roughness,
-                            ambient_strength, camera.position, lights,
-                            dir_shadow=dir_shadow)
+    shade = shading.shade_pbr if shader_fn is None else shader_fn
+    lit = shade(world, normal, albedo, metallic, roughness,
+                ambient_strength, camera.position, lights,
+                dir_shadow=dir_shadow)
     background = _background(camera, skybox, width, height, clear_color,
                              y_offset=y_offset, full_height=full_height)
     a_out = jnp.where(covered[..., None], alpha, clear_color[3])

@@ -98,7 +98,8 @@ def render_frame_banded(mesh: Mesh, axis: str, geometry, plan, tri_draw,
                         shadow_pcf: bool = False, supersample: int = 1,
                         bloom: bool = False, bloom_threshold: float = 1.0,
                         bloom_strength: float = 0.6,
-                        upscale_params=None, prev=None) -> FrameOutput:
+                        upscale_params=None, prev=None,
+                        shader_fn=None) -> FrameOutput:
     """Render (height, width) split into `mesh.shape[axis]` row bands with
     the geometry phase sharded — the full render_frame feature set
     (shadows, SSAA, bloom, f16 planes, forward kernel shading).
@@ -256,7 +257,7 @@ def render_frame_banded(mesh: Mesh, axis: str, geometry, plan, tri_draw,
             chunk=chunk, sampling=sampling, vertex_colors=vertex_colors,
             forward_shading=forward_shading, shadow=shadow,
             shadow_pcf=shadow_pcf, tonemap=not bloom, interpret=interpret,
-            y_offset=y0, full_height=rh)
+            y_offset=y0, full_height=rh, shader_fn=shader_fn)
         if raster == "pallas":
             return frame, gbuf.depth, gbuf.tri_id, gbuf.aux
         return frame, gbuf.depth, gbuf.tri_id

@@ -66,6 +66,18 @@ class RenderCommand:
         """The offscreen image a UI would show (ImGui descriptor analogue)."""
         return cls.renderer().present(viewport_id)
 
+    # -- shaders ------------------------------------------------------------------
+    @classmethod
+    def set_custom_shader(cls, path: str) -> bool:
+        """Install a hot-reloadable user shading module (the reference's
+        GLSL-pipeline analogue; render/shader_hook.py contract). Edits to
+        the file under Assets/Shaders reload automatically each frame."""
+        return cls.renderer().set_custom_shader(path)
+
+    @classmethod
+    def clear_custom_shader(cls) -> None:
+        cls.renderer().clear_custom_shader()
+
     # -- cameras ----------------------------------------------------------------
     @classmethod
     def set_editor_camera(cls, position, target=None) -> None:

@@ -61,7 +61,7 @@ def _visibility_and_shade(setup, records, planes, textures, camera, lights,
                           vertex_colors: bool, forward_shading: bool,
                           shadow, shadow_pcf: bool, tonemap: bool,
                           interpret: bool, y_offset=0, full_height=None,
-                          profile_stop: str = ""):
+                          profile_stop: str = "", shader_fn=None):
     """Rasterize + shade a frame (or a horizontal band of one) from
     prebuilt per-triangle inputs. Exactly one of `records` (chunked resolve
     records, kernel-shading path) / `planes` (AttributePlanes, gather path)
@@ -117,7 +117,8 @@ def _visibility_and_shade(setup, records, planes, textures, camera, lights,
                                      sampling=sampling, shadow=shadow,
                                      shadow_pcf=shadow_pcf, tonemap=tonemap,
                                      y_offset=y_offset,
-                                     full_height=full_height)
+                                     full_height=full_height,
+                                     shader_fn=shader_fn)
         return frame, gbuf
 
     if raster == "pallas":
@@ -133,7 +134,7 @@ def _visibility_and_shade(setup, records, planes, textures, camera, lights,
                            skybox=skybox, ai=None, sampling=sampling,
                            shadow=shadow, shadow_pcf=shadow_pcf,
                            tonemap=tonemap, y_offset=y_offset,
-                           full_height=full_height)
+                           full_height=full_height, shader_fn=shader_fn)
     return frame, gbuf
 
 
@@ -155,7 +156,8 @@ def _render_frame_impl(geometry, plan, tri_draw, params, palette, shade_table,
                        bloom_strength: float = 0.6,
                        draw_stride: int = 0,
                        real_draws: int = 0,
-                       profile_stop: str = "") -> FrameOutput:
+                       profile_stop: str = "",
+                       shader_fn=None) -> FrameOutput:
     from trident_tpu.ops import post
     from trident_tpu.ops.deferred import apply_ai_blend
 
@@ -255,7 +257,7 @@ def _render_frame_impl(geometry, plan, tri_draw, params, palette, shade_table,
         chunk=chunk, sampling=sampling, vertex_colors=vertex_colors,
         forward_shading=forward_shading, shadow=shadow,
         shadow_pcf=shadow_pcf, tonemap=not bloom, interpret=interpret,
-        profile_stop=profile_stop)
+        profile_stop=profile_stop, shader_fn=shader_fn)
     if profile_stop:
         return FrameOutput(color=pack_rgba8(jnp.clip(frame, 0.0, 1.0)),
                            depth=gbuf.depth, tri_id=gbuf.tri_id,
@@ -304,7 +306,7 @@ def _render_frame_impl(geometry, plan, tri_draw, params, palette, shade_table,
                                              "bloom_threshold",
                                              "bloom_strength",
                                              "draw_stride", "real_draws",
-                                             "profile_stop"))
+                                             "profile_stop", "shader_fn"))
 def render_frame(geometry, plan, tri_draw, params, palette, shade_table,
                  camera, lights, textures, skybox, ai, light_camera=None,
                  corner_t=None, upscale_params=None, prev=None,
@@ -314,7 +316,8 @@ def render_frame(geometry, plan, tri_draw, params, palette, shade_table,
                  shadow_bias=2e-3, shadow_pcf=False, supersample=1,
                  bloom=False, bloom_threshold=1.0,
                  bloom_strength=0.6, draw_stride=0,
-                 real_draws=0, profile_stop="") -> FrameOutput:
+                 real_draws=0, profile_stop="",
+                 shader_fn=None) -> FrameOutput:
     return _render_frame_impl(
         geometry, plan, tri_draw, params, palette, shade_table, camera,
         lights, textures, skybox, ai, corner_t, upscale_params, prev,
@@ -327,14 +330,14 @@ def render_frame(geometry, plan, tri_draw, params, palette, shade_table,
         supersample=supersample, bloom=bloom,
         bloom_threshold=bloom_threshold, bloom_strength=bloom_strength,
         draw_stride=draw_stride, real_draws=real_draws,
-        profile_stop=profile_stop)
+        profile_stop=profile_stop, shader_fn=shader_fn)
 
 
 @functools.partial(jax.jit, static_argnames=(
     "shape", "width", "height", "clear_color", "raster", "chunk", "skinned",
     "sampling", "vertex_colors", "plane_f16", "forward_shading",
     "shadow_size", "shadow_pcf", "supersample", "bloom", "bloom_threshold",
-    "bloom_strength", "draw_stride", "real_draws"))
+    "bloom_strength", "draw_stride", "real_draws", "shader_fn"))
 def render_frame_bundled(geometry, plan, tri_draw, f32, i32, textures,
                          skybox, ai_image, corner_t=None, upscale_params=None,
                          prev=None,
@@ -345,7 +348,7 @@ def render_frame_bundled(geometry, plan, tri_draw, f32, i32, textures,
                          shadow_size=0, shadow_pcf=False, supersample=1,
                          bloom=False, bloom_threshold=1.0,
                          bloom_strength=0.6, draw_stride=0,
-                         real_draws=0) -> FrameOutput:
+                         real_draws=0, shader_fn=None) -> FrameOutput:
     """render_frame with every per-frame host value arriving in TWO packed
     blobs (render/bundle.py) — the interactive path. Uploads per frame:
     f32 blob + i32 blob (+ the AI image at its own cadence); everything
@@ -366,7 +369,8 @@ def render_frame_bundled(geometry, plan, tri_draw, f32, i32, textures,
         shadow_size=shadow_size, shadow_bias=shadow_bias,
         shadow_pcf=shadow_pcf, supersample=supersample, bloom=bloom,
         bloom_threshold=bloom_threshold, bloom_strength=bloom_strength,
-        draw_stride=draw_stride, real_draws=real_draws)
+        draw_stride=draw_stride, real_draws=real_draws,
+        shader_fn=shader_fn)
 
 
 @dataclass
@@ -394,6 +398,9 @@ class Renderer:
         self.geometry = GeometryCache()
         self.textures = TextureSlots(max_slots=rc.max_textures, edge=rc.texture_size)
         self.registry: Optional[Registry] = None
+        from trident_tpu.render.shader_hook import ShaderHook
+
+        self.shader_hook = ShaderHook()
         self.editor_camera = EditorCamera()
         self.runtime_camera = RuntimeCamera()
         self.runtime_camera_ready = False
@@ -471,6 +478,18 @@ class Renderer:
         )
         self._skybox_version = getattr(self, "_skybox_version", 0) + 1
 
+    def set_custom_shader(self, path: str) -> bool:
+        """Install (or hot-swap) a user shading module — the pipeline-
+        rebuild-on-GLSL-change analogue (render/shader_hook.py contract,
+        reference Pipeline.cpp:997-1058). The next frame retraces with the
+        new function; a failed load keeps the current shading live and
+        returns False (see shader_hook.last_error)."""
+        return self.shader_hook.load(path)
+
+    def clear_custom_shader(self) -> None:
+        """Back to the built-in Cook-Torrance PBR."""
+        self.shader_hook.clear()
+
     def set_ai_frame(self, image: Optional[np.ndarray], blend: float) -> None:
         self._ai_image = None if image is None else jnp.asarray(image, jnp.float32)
         self.ai_blend = float(blend)
@@ -539,7 +558,7 @@ class Renderer:
                     "chunk", "sampling", "vertex_colors", "plane_f16",
                     "forward_shading", "shadow_size", "shadow_bias",
                     "shadow_pcf", "supersample", "bloom", "bloom_threshold",
-                    "bloom_strength"))
+                    "bloom_strength", "shader_fn"))
             self._banded_n = n
         return self._banded_jit
 
@@ -682,7 +701,8 @@ class Renderer:
                 supersample=max(int(rc.supersample), 1),
                 bloom=rc.bloom, bloom_threshold=rc.bloom_threshold,
                 bloom_strength=rc.bloom_strength,
-                upscale_params=up, prev=prev)
+                upscale_params=up, prev=prev,
+                shader_fn=self.shader_hook.fn)
             if up is not None:
                 hp = jax.lax.Precision.HIGHEST
                 p = cam.params()
@@ -720,7 +740,7 @@ class Renderer:
                    rc.sampling, rc.plane_f16, rc.forward_shading,
                    rc.shadow_pcf, int(rc.supersample), rc.bloom,
                    rc.bloom_threshold, rc.bloom_strength,
-                   tuple(rc.clear_color))
+                   tuple(rc.clear_color), self.shader_hook.version)
             if ctx.last_frame is not None and ctx.last_sig == sig:
                 return ctx.last_frame
             ctx.last_sig = sig
@@ -741,6 +761,7 @@ class Renderer:
                 bloom=rc.bloom,
                 bloom_threshold=rc.bloom_threshold,
                 bloom_strength=rc.bloom_strength,
+                shader_fn=self.shader_hook.fn,
                 **self._stride_kwargs(skinned))
             if up is not None:
                 hp = jax.lax.Precision.HIGHEST
