@@ -108,6 +108,25 @@ def test_custom_shader_on_kernel_path_and_idle_cache(tmp_path):
     assert np.abs(out.astype(int) - base.astype(int)).max() > 8
 
 
+def test_custom_shader_composes_with_banding(tmp_path):
+    # shader_fn rides through render_frame_banded's shard_map as a jit
+    # static; two row bands must produce the single-chip image exactly
+    import jax
+
+    if len(jax.devices()) < 2:
+        import pytest
+        pytest.skip("needs 2 devices")
+    shader = tmp_path / "unlit.py"
+    shader.write_text(ALBEDO_SHADER)
+
+    frames = {}
+    for bands in (1, 2):
+        r = _cube_renderer(bands=bands)
+        assert r.set_custom_shader(str(shader))
+        frames[bands] = np.asarray(r.read_frame())
+    np.testing.assert_array_equal(frames[1], frames[2])
+
+
 def test_watcher_reloads_active_shader(tmp_path):
     from trident_tpu.app import Application
 
