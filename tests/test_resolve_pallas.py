@@ -107,6 +107,29 @@ def test_resolve_skip_fastpath_bit_exact():
     assert np.abs(np.asarray(base)).sum() > 0  # scene actually drew
 
 
+def test_resolve_half_contraction_bit_exact(monkeypatch):
+    """TRIDENT_RESOLVE_HALF (two gated K=CHUNK/2 contractions) selects the
+    same winner rows as the single K=CHUNK dot — exactly: the one-hot
+    halves partition the chunk, so each pixel's record row is produced by
+    precisely one half."""
+    from trident_tpu.ops import resolve_pallas as rp
+
+    w, h = 256, 128
+    setup, records = _random_setup_and_records(w=w, h=h)
+    frames = {}
+    for half in (False, True):
+        monkeypatch.setattr(rp, "RESOLVE_HALF", half)
+        frames[half] = np.asarray(_vis_resolve(setup, records, w, h,
+                                               skip=False))
+    np.testing.assert_array_equal(frames[False], frames[True])
+    assert np.abs(frames[False]).sum() > 0
+
+    # ...and composed with the loser fast-path
+    monkeypatch.setattr(rp, "RESOLVE_HALF", True)
+    fast = np.asarray(_vis_resolve(setup, records, w, h, skip=True))
+    np.testing.assert_array_equal(frames[True], fast)
+
+
 def test_resolve_skip_empty_scene():
     """No owners at all: every step is a loser aliasing the padding pair;
     the attribute image must come back all zeros, not garbage."""

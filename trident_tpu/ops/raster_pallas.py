@@ -256,7 +256,7 @@ def build_bins(setup: TriangleSetup, width: int, height: int) -> PallasBins:
     qtx0 = jnp.where(q_nonempty, jnp.clip(qx0 // TILE_W, 0, ntx - 1), 32767)
     qtx1 = jnp.where(q_nonempty, jnp.clip((qx1 - 1) // TILE_W, 0, ntx - 1), -1)
 
-    def quarter_hit(ty, tx, sel=None):
+    def subblock_hit(ty, tx, sel=None):
         """Does ANY sub-block bbox touch the candidate tile? (Pruning only:
         the survivors' per-sub-block masks are recomputed post-sort, so the
         tiers never pack bits — NSUB may exceed one i32's worth.) `sel`
@@ -297,7 +297,7 @@ def build_bins(setup: TriangleSetup, width: int, height: int) -> PallasBins:
     dy = jnp.arange(k, dtype=jnp.int32) // span0
     tx = ctx0[:, None] + dx[None, :]
     ty = cty0[:, None] + dy[None, :]
-    in_range = small[:, None] & quarter_hit(ty, tx)
+    in_range = small[:, None] & subblock_hit(ty, tx)
     tile_of = ty * ntx + tx
     small_pairs = jnp.where(
         in_range, (tile_of << CHUNK_BITS) | slot_ids[:, None],
@@ -329,7 +329,7 @@ def build_bins(setup: TriangleSetup, width: int, height: int) -> PallasBins:
         dy = jnp.arange(kk, dtype=jnp.int32) // wx
         tx = ctx0[gsel][:, None] + dx[None, :]
         ty = cty0[gsel][:, None] + dy[None, :]
-        m = gvalid[:, None] & quarter_hit(ty, tx, gsel)
+        m = gvalid[:, None] & subblock_hit(ty, tx, gsel)
         parts.append(jnp.where(
             m, ((ty * ntx + tx) << CHUNK_BITS) | slot_ids[gsel][:, None],
             sentinel).astype(jnp.int32).reshape(-1))
@@ -345,7 +345,7 @@ def build_bins(setup: TriangleSetup, width: int, height: int) -> PallasBins:
     tile_ids = jnp.arange(n_tiles, dtype=jnp.int32)
     g_ty = jnp.broadcast_to(tile_ids[None, :] // ntx, (g, n_tiles))
     g_tx = jnp.broadcast_to(tile_ids[None, :] % ntx, (g, n_tiles))
-    big_mask = gvalid[:, None] & quarter_hit(g_ty, g_tx, gsel)
+    big_mask = gvalid[:, None] & subblock_hit(g_ty, g_tx, gsel)
     big_pairs = jnp.where(
         big_mask,
         (tile_ids[None, :] << CHUNK_BITS) | (gsel[:, None] + 1),
@@ -408,9 +408,6 @@ def build_bins(setup: TriangleSetup, width: int, height: int) -> PallasBins:
 
 def _visibility_kernel(band_ref, pair_tile_ref, pair_chunk_ref, *refs,
                        ntx: int):
-    # refs = MASK_WORDS mask words (scalar-prefetch), records, depth, tri
-    mask_refs = refs[:MASK_WORDS]
-    rec_ref, depth_out, tri_out = refs[MASK_WORDS:]
     """Layouts chosen for Mosaic: triangles on sublanes (C,1), pixels on
     lanes (1,npx); outputs are flat (1,1,npx) tile rows — no in-kernel
     reshapes or transposes.
@@ -421,16 +418,20 @@ def _visibility_kernel(band_ref, pair_tile_ref, pair_chunk_ref, *refs,
     band seams are bit-exact. (It is a scalar-prefetch input because under
     shard_map the offset is a traced per-device value, not a constant.)
 
-    Each pair evaluates its chunk in FOUR C/4-triangle quarters, gated by
-    the pair's precomputed quarter hit mask (build_bins tests each
-    quarter's bbox against THIS tile exactly) — Morton order makes
-    quarters spatially compact, so a chunk overlapping a tile usually
-    does it with one quarter (~6-10× VPU waste at 1M tris came from
-    evaluating all 64 triangles per visited tile; round-2's half-chunk
-    skip halved that, the mask halves it again and prunes dead pairs in
-    the binner). The merge keeps LESS_OR_EQUAL later-wins semantics
-    exactly: quarter q carries higher triangle ids than q-1 and
-    overwrites equal depths."""
+    Each pair evaluates its chunk in NSUB SUB-triangle sub-blocks, gated
+    by the pair's precomputed sub-block hit mask (build_bins tests each
+    sub-block's bbox against THIS tile exactly; 30 mask bits per SMEM
+    word, MASK_WORDS words) — Morton order makes sub-blocks spatially
+    compact, so a chunk overlapping a tile usually touches it with a few
+    of them (~6-10× VPU waste at 1M tris came from evaluating all 64
+    triangles per visited tile; round-2's half-chunk skip halved that,
+    the 16-triangle masks prune further and kill dead pairs in the
+    binner). The merge keeps LESS_OR_EQUAL later-wins semantics exactly:
+    sub-block q carries higher triangle ids than q-1 and overwrites equal
+    depths."""
+    # refs = MASK_WORDS mask words (scalar-prefetch), records, depth, tri
+    mask_refs = refs[:MASK_WORDS]
+    rec_ref, depth_out, tri_out = refs[MASK_WORDS:]
     i = pl.program_id(0)
     tile = pair_tile_ref[i]
     prev = pair_tile_ref[jnp.maximum(i - 1, 0)]

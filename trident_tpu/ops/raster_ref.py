@@ -55,7 +55,13 @@ def visibility_ref(setup: TriangleSetup, width: int, height: int,
         z_interp = jnp.einsum("ck,ckhw->chw", c_z, e)
         safe_w = jnp.where(jnp.abs(w_interp) < 1e-12, 1e-12, w_interp)
         depth = z_interp / safe_w
-        cover &= (w_interp > 1e-12) & (depth >= 0.0) & (depth <= 1.0)
+        # depth-range test in the SAME cross-multiplied form as the Pallas
+        # kernel (raster_pallas._visibility_kernel): with w>0 it equals
+        # 0 ≤ z/w ≤ 1 mathematically, but the divided form can disagree by
+        # one rounding step at the far plane (z/w rounding to exactly 1.0
+        # while z > w) — the oracle must make the identical decision
+        cover &= ((w_interp > 1e-12) & (z_interp >= 0.0)
+                  & (z_interp <= w_interp))
         cover &= c_valid[:, None, None]
         depth = jnp.where(cover, depth, jnp.inf)
 

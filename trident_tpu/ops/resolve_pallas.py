@@ -50,6 +50,13 @@ import os as _os
 # K=128 one-hot dot costs half the K=256 one when winners sit in one half)
 RESOLVE_HALF = _os.environ.get("TRIDENT_RESOLVE_HALF", "0") == "1"
 
+if RESOLVE_HALF and CHUNK % 2 != 0:
+    # hc = CHUNK//2 half-blocks would drop the last record row: a winner
+    # with rel == CHUNK-1 matches neither half and keeps its reset zeros
+    raise ValueError(
+        f"TRIDENT_RESOLVE_HALF=1 requires an even chunk; TRIDENT_CHUNK="
+        f"{CHUNK} leaves the odd last record row outside both halves")
+
 # TRIDENT_RESOLVE_COMPACT=1 enables the owning-pair compaction (A/B knob):
 # the resolve grid then runs only over pairs whose chunk actually WON at
 # least one pixel of its tile — loser pairs (the majority: every tile's
@@ -74,6 +81,17 @@ RESOLVE_COMPACT = _os.environ.get("TRIDENT_RESOLVE_COMPACT", "0") == "1"
 # from "first pair of tile" to "first OWNING pair of tile" (won == 2),
 # carried in by a fourth scalar-prefetch array.
 RESOLVE_SKIP = _os.environ.get("TRIDENT_RESOLVE_SKIP", "0") == "1"
+
+# Winner-select contract precision. Mosaic lowers Precision.DEFAULT to its
+# own default contract precision and only HIGHEST maps to an explicit
+# #tpu.contract_precision<fp32> (jax/_src/pallas/mosaic/lowering.py) — if
+# the default is a single bf16 pass, the f32 plane records would quantize
+# to 8 mantissa bits INSIDE the select (UV/normal/denominator wobble the
+# CPU interpreter can never see: it computes plain f32). The one-hot side
+# is exact either way; pin fp32 on the records by default and keep the
+# bf16 escape as a measured-cost A/B knob (TRIDENT_RESOLVE_PREC=bf16).
+_PREC = (None if _os.environ.get("TRIDENT_RESOLVE_PREC", "fp32") == "bf16"
+         else jax.lax.Precision.HIGHEST)
 
 
 def _cummax_i32(x: Array, rows: int = 256) -> Array:
@@ -221,7 +239,8 @@ def _resolve_kernel(band_ref, pair_tile_ref, pair_chunk_ref, won_ref,
                      == rel - h * hc).astype(jnp.float32), 0.0)
                 blk = rec_ref[0, h * hc:(h + 1) * hc, :]
                 sel = jax.lax.dot_general(blk, oh, (((0,), (0,)), ((), ())),
-                                          preferred_element_type=jnp.float32)
+                                          preferred_element_type=jnp.float32,
+                                          precision=_PREC)
                 interpolants(sel, mine_h)
     else:
         # skip mode gates on the SCALAR owner flag alone: owners have
@@ -235,7 +254,8 @@ def _resolve_kernel(band_ref, pair_tile_ref, pair_chunk_ref, won_ref,
                   == rel).astype(jnp.float32)
             rec = rec_ref[0]                       # (C, RW)
             sel = jax.lax.dot_general(rec, oh, (((0,), (0,)), ((), ())),
-                                      preferred_element_type=jnp.float32)
+                                      preferred_element_type=jnp.float32,
+                                      precision=_PREC)
             interpolants(sel, mine)
 
 
