@@ -30,7 +30,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from trident_tpu.ops.vertex import TriangleSetup
+from trident_tpu.ops.vertex import TriangleSetup, _cofactor3, planar_setup
 from trident_tpu.render.types import CameraParams, DrawParams
 
 Array = jax.Array
@@ -51,12 +51,6 @@ def build_corner_table(attr_table: np.ndarray, vtx_src: np.ndarray,
         corners.reshape(t, 36).T.astype(np.float32))
 
 
-def _cofactor3_batched(m: Array) -> Array:
-    r0, r1, r2 = m[..., 0, :], m[..., 1, :], m[..., 2, :]
-    return jnp.stack([jnp.cross(r1, r2), jnp.cross(r2, r0),
-                      jnp.cross(r0, r1)], axis=-2)
-
-
 def build_draw_rows(params: DrawParams, camera: CameraParams,
                     width: int, height: int,
                     draw_consts: Optional[Array] = None) -> Array:
@@ -74,7 +68,7 @@ def build_draw_rows(params: DrawParams, camera: CameraParams,
     row_sy = (mvp[:, 1, :] + mvp[:, 3, :]) * (0.5 * height)
     row_w = mvp[:, 3, :]
     row_z = mvp[:, 2, :]
-    cof = _cofactor3_batched(model[:, :3, :3]).reshape(d, 9)
+    cof = _cofactor3(model[:, :3, :3]).reshape(d, 9)
     uv_scale = params.xform_b[:, 4:6] * params.xform_b[:, 8:9]
     uv_offset = params.xform_b[:, 6:8]
     consts = (jnp.zeros((d, 12), jnp.float32) if draw_consts is None
@@ -159,36 +153,9 @@ def corner_stage(corner_t: Array, draw_rows: Array, tri_draw: Array,
             col_cols += [corner_t[12 * k + 8], corner_t[12 * k + 9],
                          corner_t[12 * k + 10]]
 
-    def cross(j, k):
-        return (sy[j] * wz[k] - wz[j] * sy[k],
-                wz[j] * sx[k] - sx[j] * wz[k],
-                sx[j] * sy[k] - sy[j] * sx[k])
-
-    e0, e1, e2 = cross(1, 2), cross(2, 0), cross(0, 1)
-    det = sx[0] * e0[0] + sy[0] * e0[1] + wz[0] * e0[2]
-    front = det > 1e-12
-
-    safe_w = [jnp.where(jnp.abs(w) < 1e-8, 1e-8, w) for w in wz]
-    px_ = [s / w for s, w in zip(sx, safe_w)]
-    py_ = [s / w for s, w in zip(sy, safe_w)]
-    any_behind = (wz[0] <= 1e-6) | (wz[1] <= 1e-6) | (wz[2] <= 1e-6)
-    min3 = lambda v: jnp.minimum(jnp.minimum(v[0], v[1]), v[2])
-    max3 = lambda v: jnp.maximum(jnp.maximum(v[0], v[1]), v[2])
-    x0 = jnp.where(any_behind, 0.0, jnp.floor(min3(px_)))
-    y0 = jnp.where(any_behind, 0.0, jnp.floor(min3(py_)))
-    x1 = jnp.where(any_behind, float(width), jnp.ceil(max3(px_)) + 1.0)
-    y1 = jnp.where(any_behind, float(height), jnp.ceil(max3(py_)) + 1.0)
-    x0 = jnp.clip(x0, 0, width).astype(jnp.int32)
-    y0 = jnp.clip(y0, 0, height).astype(jnp.int32)
-    x1 = jnp.clip(x1, 0, width).astype(jnp.int32)
-    y1 = jnp.clip(y1, 0, height).astype(jnp.int32)
-
-    setup = TriangleSetup(
-        edge=jnp.stack([*e0, *e1, *e2], axis=-1).reshape(t, 3, 3),
-        z=jnp.stack(zz, axis=-1),
-        w=jnp.stack(wz, axis=-1),
-        bbox=jnp.stack([x0, y0, x1, y1], axis=-1),
-        valid=tri_valid & front & (x1 > x0) & (y1 > y0))
+    # the edge/winding/bbox numerics are SHARED with the indexed path
+    # (ops/vertex.planar_setup) — both must make bit-identical decisions
+    setup = planar_setup(sx, sy, wz, zz, tri_valid, width, height)
     corner_nrm = jnp.stack(nrm_cols, axis=-1).reshape(t, 3, 3)
     corner_uv = jnp.stack(uv_cols, axis=-1).reshape(t, 3, 2)
     corner_col = (jnp.stack(col_cols, axis=-1).reshape(t, 3, 3)

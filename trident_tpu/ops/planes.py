@@ -167,7 +167,7 @@ def build_resolve_rows(setup: TriangleSetup, corner_nrm: Array,
         cols += [plane(corner_col[..., 0]), plane(corner_col[..., 1]),
                  plane(corner_col[..., 2])]
         rw = RR_WIDTH_VCOLOR
-    rows = jnp.concatenate(cols, axis=1)           # (T, 28|37)
+    rows = jnp.concatenate(cols, axis=1)           # (T, 30|39)
     return jnp.pad(rows, ((0, 0), (0, rw - rows.shape[1])))
 
 

@@ -152,6 +152,58 @@ class TriangleSetup(NamedTuple):
     valid: Array
 
 
+def planar_setup(sx, sy, ws, zs, tri_valid: Array,
+                 width: int, height: int) -> TriangleSetup:
+    """Edge functions / winding / bbox / validity from planar per-corner
+    lists (each a 3-list of (T,) vectors; sx/sy are viewport-scaled
+    homogeneous coords, ws/zs clip w and z). The SINGLE implementation of
+    the raster-setup numerics: the indexed path (triangle_setup) and the
+    corner-major path (ops/corner.corner_stage) must make bit-identical
+    cover/winding decisions, so every epsilon lives only here."""
+    t = ws[0].shape[0]
+
+    def cross(j, k):  # adjugate row i = cross(vertex_j, vertex_k), planar
+        return (sy[j] * ws[k] - ws[j] * sy[k],
+                ws[j] * sx[k] - sx[j] * ws[k],
+                sx[j] * sy[k] - sy[j] * sx[k])
+
+    e0 = cross(1, 2)                     # e = (a,b,c) with p = (px,py,1)
+    e1 = cross(2, 0)
+    e2 = cross(0, 1)
+    det = sx[0] * e0[0] + sy[0] * e0[1] + ws[0] * e0[2]
+
+    # Vulkan front face: counter-clockwise in framebuffer coords. With the
+    # Y-flip proj + y-down pixel mapping, CCW-wound geometry yields
+    # det > 0 for camera-facing triangles (validated by the cube golden).
+    front = det > 1e-12
+
+    # bbox in pixels, from NDC projections of vertices with w>0. Triangles
+    # crossing w<=0 (near plane) get a conservative full-screen bbox.
+    safe_w = [jnp.where(jnp.abs(w) < 1e-8, 1e-8, w) for w in ws]
+    px = [s / w for s, w in zip(sx, safe_w)]
+    py = [s / w for s, w in zip(sy, safe_w)]
+    any_behind = (ws[0] <= 1e-6) | (ws[1] <= 1e-6) | (ws[2] <= 1e-6)
+    min3 = lambda v: jnp.minimum(jnp.minimum(v[0], v[1]), v[2])
+    max3 = lambda v: jnp.maximum(jnp.maximum(v[0], v[1]), v[2])
+    x0 = jnp.where(any_behind, 0.0, jnp.floor(min3(px)))
+    y0 = jnp.where(any_behind, 0.0, jnp.floor(min3(py)))
+    x1 = jnp.where(any_behind, float(width), jnp.ceil(max3(px)) + 1.0)
+    y1 = jnp.where(any_behind, float(height), jnp.ceil(max3(py)) + 1.0)
+    x0 = jnp.clip(x0, 0, width).astype(jnp.int32)
+    y0 = jnp.clip(y0, 0, height).astype(jnp.int32)
+    x1 = jnp.clip(x1, 0, width).astype(jnp.int32)
+    y1 = jnp.clip(y1, 0, height).astype(jnp.int32)
+    bbox = jnp.stack([x0, y0, x1, y1], axis=-1)
+
+    on_screen = (x1 > x0) & (y1 > y0)
+    valid = tri_valid & front & on_screen
+
+    edge = jnp.stack([*e0, *e1, *e2], axis=-1).reshape(t, 3, 3)
+    z = jnp.stack(zs, axis=-1)
+    w = jnp.stack(ws, axis=-1)
+    return TriangleSetup(edge=edge, z=z, w=w, bbox=bbox, valid=valid)
+
+
 def triangle_setup(clip: Array, tri_vtx: Array, tri_valid: Array,
                    width: int, height: int) -> TriangleSetup:
     """Compute homogeneous edge functions in pixel space.
@@ -183,47 +235,7 @@ def triangle_setup(clip: Array, tri_vtx: Array, tri_valid: Array,
     # (so sx/w = pixel x). Keep w as third coord.
     sx = [(x + w) * (0.5 * width) for x, w in zip(xs, ws)]
     sy = [(y + w) * (0.5 * height) for y, w in zip(ys, ws)]
-
-    def cross(j, k):  # adjugate row i = cross(vertex_j, vertex_k), planar
-        return (sy[j] * ws[k] - ws[j] * sy[k],
-                ws[j] * sx[k] - sx[j] * ws[k],
-                sx[j] * sy[k] - sy[j] * sx[k])
-
-    e0 = cross(1, 2)                     # e = (a,b,c) with p = (px,py,1)
-    e1 = cross(2, 0)
-    e2 = cross(0, 1)
-    det = sx[0] * e0[0] + sy[0] * e0[1] + ws[0] * e0[2]
-
-    # Vulkan front face: counter-clockwise in framebuffer coords. With the
-    # Y-flip proj + y-down pixel mapping above, CCW-wound geometry yields
-    # det > 0 for camera-facing triangles (validated by the cube golden).
-    front = det > 1e-12
-
-    # bbox in pixels, from NDC projections of vertices with w>0. Triangles
-    # crossing w<=0 (near plane) get a conservative full-screen bbox.
-    safe_w = [jnp.where(jnp.abs(w) < 1e-8, 1e-8, w) for w in ws]
-    px = [s / w for s, w in zip(sx, safe_w)]
-    py = [s / w for s, w in zip(sy, safe_w)]
-    any_behind = (ws[0] <= 1e-6) | (ws[1] <= 1e-6) | (ws[2] <= 1e-6)
-    min3 = lambda v: jnp.minimum(jnp.minimum(v[0], v[1]), v[2])
-    max3 = lambda v: jnp.maximum(jnp.maximum(v[0], v[1]), v[2])
-    x0 = jnp.where(any_behind, 0.0, jnp.floor(min3(px)))
-    y0 = jnp.where(any_behind, 0.0, jnp.floor(min3(py)))
-    x1 = jnp.where(any_behind, float(width), jnp.ceil(max3(px)) + 1.0)
-    y1 = jnp.where(any_behind, float(height), jnp.ceil(max3(py)) + 1.0)
-    x0 = jnp.clip(x0, 0, width).astype(jnp.int32)
-    y0 = jnp.clip(y0, 0, height).astype(jnp.int32)
-    x1 = jnp.clip(x1, 0, width).astype(jnp.int32)
-    y1 = jnp.clip(y1, 0, height).astype(jnp.int32)
-    bbox = jnp.stack([x0, y0, x1, y1], axis=-1)
-
-    on_screen = (x1 > x0) & (y1 > y0)
-    valid = tri_valid & front & on_screen
-
-    edge = jnp.stack([*e0, *e1, *e2], axis=-1).reshape(t, 3, 3)
-    z = jnp.stack(zs, axis=-1)
-    w = jnp.stack(ws, axis=-1)
-    return TriangleSetup(edge=edge, z=z, w=w, bbox=bbox, valid=valid)
+    return planar_setup(sx, sy, ws, zs, tri_valid, width, height)
 
 
 def band_slice_setup(setup: TriangleSetup, y0, band_h: int) -> TriangleSetup:

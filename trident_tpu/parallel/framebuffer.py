@@ -43,16 +43,6 @@ from trident_tpu.render.types import DrawPlan, FrameOutput
 Array = jax.Array
 
 
-def crop_projection(proj: Array, y0: Array, y1: Array) -> Array:
-    """Projection for the sub-viewport covering ndc-y ∈ [y0, y1]:
-    P'[1,:] = (P[1,:] − center·P[3,:]) / halfspan. Works for perspective
-    and orthographic RH_ZO matrices."""
-    center = (y0 + y1) * 0.5
-    halfspan = jnp.maximum((y1 - y0) * 0.5, 1e-8)
-    new_row = (proj[1, :] - center * proj[3, :]) / halfspan
-    return proj.at[1, :].set(new_row)
-
-
 def _pad_to(x: Array, m: int, value=0):
     pad = -x.shape[0] % m
     if pad == 0:
@@ -148,7 +138,8 @@ def render_frame_banded(mesh: Mesh, axis: str, geometry, plan, tri_draw,
 
     def band_render(vtx_src, vtx_draw, tri_vtx, tri_valid, tri_draw,
                     geometry, params, palette, shade_table, camera, lights,
-                    textures, skybox, light_camera, corner_sl):
+                    textures, skybox, light_camera, corner_sl,
+                    shadow_bias_v):
         from trident_tpu.ops.planes import (
             build_planes_corners, build_resolve_rows, chunk_resolve_rows)
         from trident_tpu.ops.raster_pallas import visibility_pallas
@@ -246,7 +237,7 @@ def render_frame_banded(mesh: Mesh, axis: str, geometry, plan, tri_draw,
                 light_vp=jnp.matmul(light_camera.proj, light_camera.view,
                                     precision=jax.lax.Precision.HIGHEST),
                 enabled=jnp.asarray(True),
-                bias=jnp.asarray(shadow_bias, jnp.float32))
+                bias=shadow_bias_v)
 
         # ---- phases 2+3: band cull, raster + shade at global pixels ----
         y0 = idx * band_h
@@ -264,7 +255,7 @@ def render_frame_banded(mesh: Mesh, axis: str, geometry, plan, tri_draw,
 
     in_specs = (P(axis), P(axis), P(axis), P(axis), P(axis),
                 P(), P(), P(), P(), P(), P(), P(), P(), P(),
-                P(None, axis) if use_corner else P())
+                P(None, axis) if use_corner else P(), P())
     out_specs = (P(axis), P(axis), P(axis)) + (
         (P(axis),) if raster == "pallas" else ())
     # check_vma=False: pallas_call out_shapes don't carry varying-mesh-axis
@@ -273,7 +264,8 @@ def render_frame_banded(mesh: Mesh, axis: str, geometry, plan, tri_draw,
                    out_specs=out_specs, check_vma=False)
     out = fn(vtx_src, vtx_draw, tri_vtx, tri_valid, tri_draw_p,
              geometry, params, palette, shade_table, camera, lights,
-             textures, skybox, light_camera, corner_arg)
+             textures, skybox, light_camera, corner_arg,
+             jnp.asarray(shadow_bias, jnp.float32))
     frame, depth, tri_id = out[:3]
     aux = out[3] if raster == "pallas" else None
 
@@ -302,3 +294,47 @@ def render_frame_banded(mesh: Mesh, axis: str, geometry, plan, tri_draw,
     return FrameOutput(color=pack_rgba8(frame),
                        depth=depth_out, tri_id=tri_out,
                        aux=aux)
+
+
+def render_frame_banded_bundled(mesh: Mesh, axis: str, geometry, plan,
+                                tri_draw, f32, i32, textures, skybox,
+                                ai_image, corner_t=None, upscale_params=None,
+                                prev=None, *, shape,
+                                width: int, height: int, clear_color,
+                                raster: str, skinned: bool, chunk: int = 64,
+                                sampling: str = "bilinear",
+                                vertex_colors: bool = False,
+                                plane_f16: bool = False,
+                                forward_shading: bool = True,
+                                shadow_size: int = 0,
+                                shadow_pcf: bool = False,
+                                supersample: int = 1, bloom: bool = False,
+                                bloom_threshold: float = 1.0,
+                                bloom_strength: float = 0.6,
+                                shader_fn=None) -> FrameOutput:
+    """render_frame_banded with every per-frame host value arriving in the
+    TWO packed blobs of render/bundle.py — the interactive multi-chip
+    path. The unbundled variant was shipping ~13 separate host arrays per
+    frame; at the measured ~0.6 ms/upload that is ~8 ms of pure upload
+    the single-chip path had already eliminated (CLAUDE.md dispatch
+    finding). Unpacking is free slicing inside the jitted graph; shadow
+    bias and the AI blend arrive traced (shadow_bias enters the shard_map
+    as an explicit replicated arg)."""
+    from trident_tpu.render.bundle import unpack_frame
+    from trident_tpu.render.types import AiBlend
+
+    (params, palette, shade_table, camera, lights, light_cam, ai_blend,
+     shadow_bias) = unpack_frame(f32, i32, shape)
+    ai = AiBlend(image=ai_image, blend=ai_blend)
+    return render_frame_banded(
+        mesh, axis, geometry, plan, tri_draw, params, palette, shade_table,
+        camera, lights, textures, skybox, ai,
+        light_camera=light_cam if shadow_size else None,
+        corner_t=corner_t, width=width, height=height,
+        clear_color=clear_color, raster=raster, skinned=skinned,
+        chunk=chunk, sampling=sampling, vertex_colors=vertex_colors,
+        plane_f16=plane_f16, forward_shading=forward_shading,
+        shadow_size=shadow_size, shadow_bias=shadow_bias,
+        shadow_pcf=shadow_pcf, supersample=supersample, bloom=bloom,
+        bloom_threshold=bloom_threshold, bloom_strength=bloom_strength,
+        upscale_params=upscale_params, prev=prev, shader_fn=shader_fn)

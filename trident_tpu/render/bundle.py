@@ -100,6 +100,15 @@ def unpack_frame(f32, i32, shape: BundleShape):
     point_pos_range = take(lp * 4, (lp, 4))
     point_color_intensity = take(lp * 4, (lp, 4))
     palette = take(p * 16, (p, 4, 4))
+    # pack/unpack agree on ~16 field orderings by discipline alone; this
+    # trace-time check turns any one-sided layout drift into a loud error
+    # instead of silently mis-sliced lights/palette (shapes are static, so
+    # it costs nothing at run time)
+    expected = _HDR + d * 32 + lp * 8 + p * 16
+    if o != expected or f32.shape[0] != expected:
+        raise ValueError(
+            f"frame bundle layout drift: consumed {o}, blob {f32.shape[0]}, "
+            f"layout expects {expected} for shape {shape}")
 
     zero_d = jnp.zeros((d,), jnp.float32)
     params = DrawParams(

@@ -547,16 +547,17 @@ class Renderer:
         if self._banded_jit is None or self._banded_n != n:
             from jax.sharding import Mesh
 
-            from trident_tpu.parallel.framebuffer import render_frame_banded
+            from trident_tpu.parallel.framebuffer import (
+                render_frame_banded_bundled)
 
             mesh = Mesh(np.asarray(devices[:n]), ("fb",))
             self._banded_mesh = mesh
             self._banded_jit = jax.jit(
-                functools.partial(render_frame_banded, mesh, "fb"),
+                functools.partial(render_frame_banded_bundled, mesh, "fb"),
                 static_argnames=(
-                    "width", "height", "clear_color", "raster", "skinned",
-                    "chunk", "sampling", "vertex_colors", "plane_f16",
-                    "forward_shading", "shadow_size", "shadow_bias",
+                    "shape", "width", "height", "clear_color", "raster",
+                    "skinned", "chunk", "sampling", "vertex_colors",
+                    "plane_f16", "forward_shading", "shadow_size",
                     "shadow_pcf", "supersample", "bloom", "bloom_threshold",
                     "bloom_strength", "shader_fn"))
             self._banded_n = n
@@ -679,18 +680,23 @@ class Renderer:
             textures = _rep(textures)
             skybox = _rep(skybox)
             ai_image = _rep(ai_image)
-            ai = AiBlend(image=ai_image,
-                         blend=jnp.asarray(ai_blend, jnp.float32))
             corner_t = (None if skinned
                         else _rep(self._plan_cache.corner_table(packed)))
             if up is not None:
                 up = _rep(up)
             prev = ctx.prev_state if up is not None else None
+            # per-frame host state ships as the same TWO packed blobs the
+            # single-chip interactive path uses (render/bundle.py): the
+            # unbundled call was ~13 host uploads ≈ 8 ms/frame on hardware
+            from trident_tpu.render.bundle import pack_frame
+
+            f32b, i32b, bshape = pack_frame(
+                params, palette, shade_table, cam.params(), lights,
+                light_cam, ai_blend)
             out = banded(
-                device_geo, plan, tri_draw, params, palette, shade_table,
-                cam.params(), lights, textures, skybox, ai, light_cam,
-                corner_t,
-                width=w_r, height=h_r,
+                device_geo, plan, tri_draw, f32b, i32b, textures, skybox,
+                ai_image, corner_t, up, prev,
+                shape=bshape, width=w_r, height=h_r,
                 clear_color=tuple(rc.clear_color),
                 raster=self._raster_mode(), chunk=64, skinned=skinned,
                 sampling=rc.sampling, vertex_colors=self._vertex_colors,
@@ -701,7 +707,6 @@ class Renderer:
                 supersample=max(int(rc.supersample), 1),
                 bloom=rc.bloom, bloom_threshold=rc.bloom_threshold,
                 bloom_strength=rc.bloom_strength,
-                upscale_params=up, prev=prev,
                 shader_fn=self.shader_hook.fn)
             if up is not None:
                 hp = jax.lax.Precision.HIGHEST
