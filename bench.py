@@ -37,7 +37,14 @@ def build_scene(config: str):
     from trident_tpu.io.image import checkerboard
     from trident_tpu.render.renderer import Renderer
 
-    grid = {"spheres1080": 12, "spheres1080_1m": 36, "ultra4k": 36}.get(config, 0)
+    known = {"cube512": 0, "spheres1080": 12, "spheres1080_1m": 36,
+             "ultra4k": 36}
+    if config not in known:
+        # a typo'd BENCH_CONFIG must fail loudly, not silently bench the
+        # cube512 scene under a plausible-looking metric name
+        raise SystemExit(f"unknown BENCH_CONFIG {config!r}; "
+                         f"expected one of {sorted(known)} (plus ':ai')")
+    grid = known[config]
     if config == "ultra4k":
         w, h = 3840, 2160
     else:
@@ -340,17 +347,20 @@ def _main_inner() -> None:
     extra_quality = {}
     if use_ai:
         # PSNR on frame 1 of the rotation sequence; a temporal net first
-        # reconstructs frame 0 (no history) and consumes it as history —
-        # exactly the runtime recurrence
+        # reconstructs frame 0 (prev=None → the net's zero-validity
+        # spatial fallback, exactly the runtime's ViewportContext start
+        # state — NOT the zeros-but-valid prev0 the timed loops use for
+        # jit-structure stability) and consumes it as history
         native = render_frame(
             geo, *plans[1][:2], *plans[1][2:], cam, lights, tex, sky, ai,
             corner_t=corner_t, width=w, height=h,
             clear_color=tuple(renderer.config.render.clear_color),
             raster=raster, chunk=64, skinned=False,
             bloom=renderer.config.render.bloom, **stride_kw)
-        prev_eval = prev0
+        check_aux(native.aux, f"native {w}x{h} PSNR oracle frame")
+        prev_eval = None
         if temporal_ai:
-            r0 = frame(jnp.zeros((), jnp.float32), *plans[0], prev0)
+            r0 = frame(jnp.zeros((), jnp.float32), *plans[0], None)
             prev_eval = (r0.color, vp_mat)
         recon = frame(jnp.zeros((), jnp.float32), *plans[1], prev_eval)
         a = np.asarray(native.color[..., :3]).astype(np.float32) / 255.0

@@ -9,6 +9,7 @@ reconstruction mode (BENCH_AI=1) for that entry, e.g.
 
     python scripts/bench_sweep.py spheres1080_1m spheres1080_1m:ai
 """
+import json
 import os
 import sys
 
@@ -21,5 +22,17 @@ for cfg in CONFIGS:
     name, _, mode = cfg.partition(":")
     os.environ["BENCH_CONFIG"] = name
     os.environ["BENCH_AI"] = "1" if mode == "ai" else "0"
-    bench.main()
+    try:
+        bench.main()
+    except SystemExit as exc:          # check_aux overflow / bad config
+        print(json.dumps({
+            "metric": f"bench_error_{cfg}", "value": 0, "unit": "none",
+            "vs_baseline": 0, "extra": {"error": str(exc)}}), flush=True)
+    except Exception as exc:           # e.g. a missing :ai checkpoint
+        # one failing config must not abort the sweep: the whole point of
+        # this script is amortizing the 2-6 min per-process cold start
+        print(json.dumps({
+            "metric": f"bench_error_{cfg}", "value": 0, "unit": "none",
+            "vs_baseline": 0,
+            "extra": {"error": f"{type(exc).__name__}: {exc}"}}), flush=True)
     sys.stdout.flush()

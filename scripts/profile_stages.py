@@ -6,7 +6,7 @@ per-iteration forcing measures compute. Stages are therefore CHAINED on
 device (iteration i's input depends on iteration i-1's output token) and
 forced ONCE at the end. See PERF.md for the numbers this produced.
 
-    PYTHONPATH=.:$PYTHONPATH python scripts/profile_stages.py [--grid N]
+    PYTHONPATH=.:$PYTHONPATH python scripts/profile_stages.py [--scale {small,mid,large,all}]
 """
 from __future__ import annotations
 
@@ -64,7 +64,7 @@ def profile(width, height, grid, label, n=10):
     from trident_tpu.ops.raster_pallas import build_bins, visibility_pallas
     from trident_tpu.ops.vertex import triangle_setup, vertex_stage
     from trident_tpu.render.frame import (
-        build_draw_params, build_draw_plan, gather_mesh_draws, geometry_to_device,
+        build_draw_params, gather_mesh_draws, geometry_to_device,
     )
     from trident_tpu.render.lights import gather_lights
     from trident_tpu.render.renderer import render_frame
@@ -162,8 +162,7 @@ def profile(width, height, grid, label, n=10):
     from trident_tpu.ops.corner import build_draw_rows, corner_stage
 
     corner_t = r._plan_cache.corner_table(packed)
-    tex_wh2 = tex.sizes[params.texture_slot].astype(jnp.float32)
-    dc = jnp.concatenate([shade, tex_wh2], axis=1)
+    dc = draw_consts      # same per-draw consts the resolve path built
 
     def corner_fn(tok, ct):
         rows = build_draw_rows(params, CameraParams(

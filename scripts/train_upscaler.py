@@ -332,8 +332,7 @@ def main():
             mark = ""
             if net_p > best:
                 best = net_p
-                save_upscaler(jax.device_get(params), args.out,
-                              args.channels)
+                save_upscaler(jax.device_get(params), args.out)
                 mark = " [saved]"
             detail = (" [" + " ".join(per_res) + "]"
                       if len(per_res) > 1 else "")
@@ -344,7 +343,7 @@ def main():
 
     net_p, base_p, _ = eval_all(params)
     if net_p > best:
-        save_upscaler(jax.device_get(params), args.out, args.channels)
+        save_upscaler(jax.device_get(params), args.out)
     print(f"saved {args.out}: best val PSNR {max(best, net_p):.2f}dB "
           f"vs bilinear={base_p:.2f}dB")
 

@@ -213,7 +213,7 @@ def test_banded_render_with_ai_upscale(eight_devices, tmp_path):
     from trident_tpu.ai.upscaler import init_upscaler, save_upscaler
 
     _, variables = init_upscaler(jax.random.PRNGKey(3), base_channels=8)
-    save_upscaler(jax.device_get(variables["params"]), str(tmp_path), 8)
+    save_upscaler(jax.device_get(variables["params"]), str(tmp_path))
 
     from trident_tpu.core.config import AiConfig, EngineConfig, RenderConfig
     from trident_tpu.ecs.components import (
@@ -260,7 +260,7 @@ def test_banded_indivisible_heights_degrade(eight_devices, tmp_path):
     from trident_tpu.render.renderer import Renderer
 
     _, variables = init_upscaler(jax.random.PRNGKey(4), base_channels=8)
-    save_upscaler(jax.device_get(variables["params"]), str(tmp_path), 8)
+    save_upscaler(jax.device_get(variables["params"]), str(tmp_path))
 
     def scene(w, h, ai, bands):
         r = Renderer(EngineConfig(

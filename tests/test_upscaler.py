@@ -22,7 +22,7 @@ def test_checkpoint_roundtrip_and_apply(tmp_path):
         apply_upscaler, init_upscaler, load_upscaler, save_upscaler)
 
     _, variables = init_upscaler(jax.random.PRNGKey(1), base_channels=8)
-    save_upscaler(jax.device_get(variables["params"]), str(tmp_path), 8)
+    save_upscaler(jax.device_get(variables["params"]), str(tmp_path))
     params, bc = load_upscaler(str(tmp_path))
     assert bc == 8
     img = jnp.zeros((16, 16, 3), jnp.float32)
@@ -58,7 +58,7 @@ def test_renderer_upscale_mode(tmp_path):
     from trident_tpu.ai.upscaler import init_upscaler, save_upscaler
 
     _, variables = init_upscaler(jax.random.PRNGKey(2), base_channels=8)
-    save_upscaler(jax.device_get(variables["params"]), str(tmp_path), 8)
+    save_upscaler(jax.device_get(variables["params"]), str(tmp_path))
     r = _scene(tmp_path, str(tmp_path))
     frame = r.read_frame()
     assert frame.shape == (64, 64, 4)           # full target size
@@ -133,7 +133,7 @@ def test_temporal_checkpoint_roundtrip(tmp_path):
 
     _, variables = init_upscaler(jax.random.PRNGKey(3), base_channels=8,
                                  in_channels=TEMPORAL_CHANNELS)
-    save_upscaler(jax.device_get(variables["params"]), str(tmp_path), 8)
+    save_upscaler(jax.device_get(variables["params"]), str(tmp_path))
     params, _bc = load_upscaler(str(tmp_path))
     assert upscaler_in_channels(params) == TEMPORAL_CHANNELS
 
@@ -146,7 +146,7 @@ def test_renderer_temporal_upscale_chains_frames(tmp_path):
 
     _, variables = init_upscaler(jax.random.PRNGKey(4), base_channels=8,
                                  in_channels=TEMPORAL_CHANNELS)
-    save_upscaler(jax.device_get(variables["params"]), str(tmp_path), 8)
+    save_upscaler(jax.device_get(variables["params"]), str(tmp_path))
     r = _scene(tmp_path, str(tmp_path))
     f0 = r.read_frame()
     assert r.viewports[0].prev_state is not None
@@ -238,7 +238,7 @@ def test_depth_channel_layouts(tmp_path):
     # renderer end-to-end with a depth-channel checkpoint
     _, variables = init_upscaler(jax.random.PRNGKey(4), base_channels=8,
                                  in_channels=4)
-    save_upscaler(jax.device_get(variables["params"]), str(tmp_path), 8)
+    save_upscaler(jax.device_get(variables["params"]), str(tmp_path))
     r = _scene(tmp_path, str(tmp_path))
     frame = r.read_frame()
     assert frame.shape == (64, 64, 4)

@@ -174,7 +174,7 @@ def apply_upscaler(params, image: Array, temporal: Array = None,
     return model.apply({"params": params}, x[None])[0]
 
 
-def save_upscaler(params, directory: str, base_channels: int = 32) -> str:
+def save_upscaler(params, directory: str) -> str:
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(os.path.join(directory, "params"))
@@ -182,7 +182,12 @@ def save_upscaler(params, directory: str, base_channels: int = 32) -> str:
     ckptr.save(path, {"params": params}, force=True)
     ckptr.wait_until_finished()
     with open(os.path.join(directory, "meta.json"), "w") as f:
-        json.dump({"base_channels": base_channels, "scale": 2,
+        # both meta fields are INFERRED from params (exactly how
+        # apply_upscaler infers them at run time) — a caller-supplied
+        # width that disagreed with the actual weights would write a
+        # checkpoint load_upscaler can never restore
+        json.dump({"base_channels": int(params["Conv_0"]["kernel"].shape[-1]),
+                   "scale": 2,
                    "in_channels": upscaler_in_channels(params)}, f)
     return path
 
