@@ -120,14 +120,24 @@ def test_system_uses_one_dispatch_per_group(monkeypatch):
 
 
 def test_instance_count_bucketing_no_retrace():
-    """Adding one instance must not retrace: N pads to pow2 buckets."""
+    """Adding one instance must not retrace: N pads to pow2 buckets. The
+    jitted sampler is MODULE-level so equal-shape samplers (and rebuilt
+    LRU evictees) share one compiled executable."""
+    from trident_tpu.anim import batch as batch_mod
+
     sk = chain_skeleton(3)
     clip = busy_clip()
     sampler = BatchedClipSampler(clip, sk)
     out5 = sampler(np.linspace(0, 1, 5).astype(np.float32))
     assert out5.shape[0] == 5
-    traces = sampler._eval._cache_size() if hasattr(sampler._eval, "_cache_size") else None
+    fn = batch_mod._sample_palettes_jit
+    traces = fn._cache_size() if hasattr(fn, "_cache_size") else None
     out7 = sampler(np.linspace(0, 1, 7).astype(np.float32))
     assert out7.shape[0] == 7
     if traces is not None:
-        assert sampler._eval._cache_size() == traces  # same pow2 bucket (8)
+        assert fn._cache_size() == traces  # same pow2 bucket (8)
+        # a second sampler with identical table shapes also reuses it
+        sampler2 = BatchedClipSampler(busy_clip(), chain_skeleton(3))
+        out2 = sampler2(np.linspace(0, 1, 6).astype(np.float32))
+        assert out2.shape[0] == 6
+        assert fn._cache_size() == traces

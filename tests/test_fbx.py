@@ -7,6 +7,7 @@ load_model path (reference behavior: ModelLoader.cpp:27-38 via Assimp).
 """
 
 import struct
+import unittest.mock as mock
 
 import numpy as np
 import pytest
@@ -411,3 +412,147 @@ def test_fbx_garbage_rejected(tmp_path):
         f.write(b"\x89PNG not an fbx at all")
     with pytest.raises(Exception, match="FBX"):
         load_model(p)
+
+
+def _capture_nodes(fixture_fn, path):
+    """Run a write_fbx-based fixture but capture its node tree instead of
+    writing, so tests can splice nodes before serializing themselves."""
+    captured = {}
+    with mock.patch(f"{__name__}.write_fbx",
+                    lambda p, top: captured.update(nodes=top)):
+        fixture_fn(path)
+    return captured["nodes"]
+
+
+def test_fbx_instanced_geometry_emits_all_models(tmp_path):
+    """One Geometry OO-connected to N Models is FBX instancing: every
+    parent Model must yield a mesh entry with its own transform (the
+    welded arrays are shared)."""
+    path = str(tmp_path / "inst.fbx")
+    nodes = [
+        ("Objects", [], [
+            _geometry_node(100),
+            ("Model", [200, _obj_name("treeA", "Model"), "Mesh"], [
+                ("Properties70", [], [
+                    _p("Lcl Translation", "Lcl Translation", 2.0, 0.0, 0.0)]),
+            ]),
+            ("Model", [201, _obj_name("treeB", "Model"), "Mesh"], [
+                ("Properties70", [], [
+                    _p("Lcl Translation", "Lcl Translation", -5.0, 0.0, 0.0)]),
+            ]),
+        ]),
+        ("Connections", [], [
+            ("C", ["OO", 200, 0], []),
+            ("C", ["OO", 201, 0], []),
+            ("C", ["OO", 100, 200], []),
+            ("C", ["OO", 100, 201], []),
+        ]),
+    ]
+    write_fbx(path, nodes)
+    data = load_model(path)
+    assert len(data.meshes) == 2
+    xs = sorted(t[0, 3] for t in data.instance_transforms)
+    assert xs == pytest.approx([-5.0, 2.0])
+    np.testing.assert_array_equal(data.meshes[0].positions,
+                                  data.meshes[1].positions)
+
+
+def test_fbx_clip_duration_ignores_non_bone_tracks(tmp_path):
+    """Camera/mesh-node tracks must not inflate clip.duration: the runtime
+    samples bone channels only, so a 10s camera track on a 1s skeletal
+    clip would freeze loops in the end pose for 9s."""
+    path = str(tmp_path / "arm.fbx")
+    _write_skinned_two_bone(path)
+    base_duration = load_model(path).clips[0].duration
+
+    # rebuild with an extra 10s track targeting the MESH model (id 200)
+    nodes = _capture_nodes(_write_skinned_two_bone, path)
+    ktime10 = (np.array([0.0, 10.0]) * 46186158000).astype(np.int64)
+    nodes[0][2].extend([
+        ("AnimationCurveNode", [702, _obj_name("T", "AnimCurveNode"), ""], []),
+        ("AnimationCurve", [703, _obj_name("", "AnimCurve"), ""], [
+            ("KeyTime", [ktime10], []),
+            ("KeyValueFloat", [np.asarray([0.0, 4.0], np.float32)], []),
+        ]),
+    ])
+    nodes[1][2].extend([
+        ("C", ["OO", 702, 601], []),
+        ("C", ["OP", 702, 200, "Lcl Translation"], []),
+        ("C", ["OP", 703, 702, "d|X"], []),
+    ])
+    path2 = str(tmp_path / "arm2.fbx")
+    write_fbx(path2, nodes)
+    data2 = load_model(path2)
+    assert data2.clips[0].duration == pytest.approx(base_duration)
+
+
+def test_fbx_pivoted_bone_animation_bakes_full_chain(tmp_path):
+    """An animated bone with RotationPivot: the baked T·R·S channel must
+    reproduce local_matrix()'s full pivot chain, not the raw Lcl values
+    (3ds Max exports pivots routinely)."""
+    path = str(tmp_path / "arm.fbx")
+    nodes = _capture_nodes(_write_skinned_two_bone, path)
+    # give the animated bone (Spine, id 401) a rotation pivot, drop its
+    # PreRotation, and switch its animation to a Z rotation 0 -> 90 deg
+    for node in nodes[0][2]:
+        if node[0] == "Model" and node[1][0] == 401:
+            props = node[2][0][2]
+            props[:] = [p for p in props if p[1][0] != "PreRotation"]
+            props.append(_p("RotationPivot", "Vector3D", 0.0, 1.0, 0.0))
+        if node[0] == "AnimationCurve" and node[1][0] == 603:
+            node[2][1] = ("KeyValueFloat",
+                          [np.asarray([0.0, 45.0, 90.0], np.float32)], [])
+    conns = nodes[1][2]
+    for i, c in enumerate(conns):
+        if c[1][:3] == ["OP", 602, 401]:
+            conns[i] = ("C", ["OP", 602, 401, "Lcl Rotation"], [])
+    write_fbx(path, nodes)
+    data = load_model(path)
+    ch = next(c for c in data.clips[0].channels
+              if "spine" in c.bone_name.lower())
+    # t=0: rotation identity -> pivot cancels -> raw translation (0,2,0)
+    np.testing.assert_allclose(ch.positions[0], [0.0, 2.0, 0.0], atol=1e-5)
+    # the curve animates d|X -> Rx(90) at t=end; the pivot sits on Y so
+    # it does NOT cancel: trans = t + rp + Rx90 @ (-rp)
+    #                           = (0,2,0) + (0,1,0) + (0,0,-1) = (0,3,-1)
+    np.testing.assert_allclose(ch.positions[-1], [0.0, 3.0, -1.0], atol=1e-4)
+
+
+def test_fbx_ascii_msvc_inf_literals(tmp_path):
+    """Windows printf writes 1.#INF / -1.#IND into ASCII arrays; the
+    tokenizer must treat them as one non-finite number (sanitized to 0
+    downstream) instead of splitting into '1.' + ident and shifting every
+    later element."""
+    path = str(tmp_path / "cube.fbx")
+    with mock.patch(f"{__name__}.write_fbx", write_fbx_ascii):
+        _write_static_cube(path)
+    verts, _, _, _, _ = _quad_cube()
+    text = open(path).read()
+    assert str(float(verts[0])) in text
+    text = text.replace(str(float(verts[0])), "1.#INF", 1)
+    open(path, "w").write(text)
+    data = load_model(path)
+    assert len(data.meshes) == 1
+    m = data.meshes[0]
+    assert np.isfinite(m.positions).all()
+    # the remaining coordinates must NOT have shifted: the cube still
+    # spans +-1 on y/z
+    assert m.positions[:, 1].min() == pytest.approx(-1.0)
+    assert m.positions[:, 2].max() == pytest.approx(1.0)
+
+
+def test_fbx_truncated_uv_index_degrades(tmp_path):
+    """A UVIndex array shorter than the corner count must degrade (pad
+    with the last value) instead of crashing the per-corner gather."""
+    path = str(tmp_path / "cube.fbx")
+    nodes = _capture_nodes(_write_static_cube, path)
+    geo = nodes[0][2][0]
+    for layer in geo[2]:
+        if layer[0] == "LayerElementUV":
+            for i, sub in enumerate(layer[2]):
+                if sub[0] == "UVIndex":
+                    layer[2][i] = ("UVIndex", [sub[1][0][:5]], [])
+    write_fbx(path, nodes)
+    data = load_model(path)
+    assert len(data.meshes) == 1
+    assert np.isfinite(data.meshes[0].uvs).all()

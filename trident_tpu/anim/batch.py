@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 
 from trident_tpu.anim.data import AnimationClip, Skeleton
-from trident_tpu.anim.pose import Pose, _decompose
+from trident_tpu.anim.pose import Pose
 from trident_tpu.mathx.quat import quat_normalize, quat_slerp, quat_to_mat3
 
 _FAR = 1e30  # finite "+inf" pad keeps (t - t_lo) / (pad - t_lo) == 0 exact
@@ -118,7 +118,6 @@ class BatchedClipSampler:
         if self._device is not None:
             tables = jax.device_put(tables, self._device)
         self._tables = tables
-        self._eval = jax.jit(_sample_palettes)
 
     def __call__(self, times: np.ndarray) -> np.ndarray:
         """times: (N,) seconds, already wrapped to the clip duration
@@ -129,17 +128,21 @@ class BatchedClipSampler:
         npad = max(1, 1 << (n - 1).bit_length())
         t_in = np.zeros(npad, np.float32)
         t_in[:n] = times
+        # _sample_palettes_jit is MODULE-level: samplers with equal table/
+        # bucket shapes (or an LRU-evicted sampler rebuilt later) share one
+        # compiled executable instead of re-tracing per instance
         if self._device is not None:
             with jax.default_device(self._device):
-                out = self._eval(self._tables, jnp.asarray(t_in))
+                out = _sample_palettes_jit(self._tables, jnp.asarray(t_in))
         else:
-            out = self._eval(self._tables, jnp.asarray(t_in))
+            out = _sample_palettes_jit(self._tables, jnp.asarray(t_in))
         return np.asarray(out)[:n]
 
 
-def _track(times_tab: jnp.ndarray, vals_tab: jnp.ndarray,
-           t: jnp.ndarray) -> jnp.ndarray:
-    """times_tab (B,K), vals_tab (B,K,C), t (N,) → (N,B,C) linear samples."""
+def _track(times_tab: jnp.ndarray, vals_tab: jnp.ndarray, t: jnp.ndarray):
+    """times_tab (B,K), vals_tab (B,K,C), t (N,) → (v_lo, v_hi, f): the
+    (N,B,C) bracketing values and the (N,B) lerp fraction (rotations need
+    the raw pair for slerp, so the lerp itself happens at the caller)."""
     # hi: first key strictly after t, clamped into the padded window
     hi = jnp.clip(
         jax.vmap(lambda tt: jnp.searchsorted(tt, t, side="right"))(times_tab),
@@ -191,3 +194,6 @@ def _sample_palettes(tables: Dict[str, jnp.ndarray],
                                (tables["topo"], tables["parent"]))
     return jnp.matmul(global_m, tables["inv_bind"][None],
                       precision=jax.lax.Precision.HIGHEST)
+
+
+_sample_palettes_jit = jax.jit(_sample_palettes)

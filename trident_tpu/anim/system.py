@@ -112,6 +112,12 @@ class AnimationSystem:
             anim.time = player.time
             key = (id(player.skeleton), id(player.clip))
             groups.setdefault(key, []).append((anim, player))
+        # the LRU cap must exceed the LIVE group count or every frame
+        # evicts-and-rebuilds all samplers in rotation (a full host table
+        # bake + XLA compile per group per frame); grow it to fit — the
+        # cap still bounds dead load/unload-cycle assets
+        if len(groups) + 8 > cls._SAMPLER_CAP:
+            cls._SAMPLER_CAP = len(groups) + 8
         for items in groups.values():
             _, player0 = items[0]
             sampler = cls._sampler_for(player0.skeleton, player0.clip)
@@ -120,3 +126,10 @@ class AnimationSystem:
                 pal = np.ascontiguousarray(pal)
                 anim.bone_matrices = pal
                 player._palette = pal
+        # players are keyed by entity id: prune entries whose entity no
+        # longer carries an AnimationComponent so destroy/re-spawn cycles
+        # don't pin skeletons and palettes forever
+        if len(cls._players) > 4 * max(len(groups), 1) + 64:
+            live = {e for e, _ in registry.view(AnimationComponent)}
+            cls._players = {e: p for e, p in cls._players.items()
+                            if e in live}

@@ -159,11 +159,12 @@ import re as _re
 
 _ASCII_TOKEN = _re.compile(r"""
     "(?P<str>[^"]*)"                                  # quoted string
+  | (?P<special>[+-]?1\.\#(?:INF|IND|QNAN|SNAN)\w*)   # MSVC printf specials
   | (?P<num>[+-]?(?:\d+\.\d*|\.\d+|\d+)(?:[eE][+-]?\d+)?)
   | \*(?P<arr>\d+)                                    # *N array header
   | (?P<ident>[A-Za-z_][A-Za-z0-9_|\-]*)              # bare word
   | (?P<punct>[{}:,])
-""", _re.VERBOSE)
+""", _re.VERBOSE | _re.IGNORECASE)
 
 
 def _ascii_tokens(text: str):
@@ -194,6 +195,15 @@ def _ascii_value(m):
         if any(c in t for c in ".eE"):
             return float(t)
         return int(t)
+    if m.lastgroup == "special":
+        # MSVC-printf non-finite literals (1.#INF / 1.#QNAN / -1.#IND):
+        # without this pattern the tokenizer would split them into '1.'
+        # + a stray ident, shifting every later array element. The float
+        # sanitizers downstream then zero these like any other non-finite.
+        t = m.group("special").upper()
+        if "INF" in t:
+            return float("-inf") if t.startswith("-") else float("inf")
+        return float("nan")
     return m.group("ident")                   # bare words (T, W, Y, ...)
 
 
@@ -442,9 +452,22 @@ def _layer_values(geom: FbxNode, layer_name: str, value_name: str,
 
     def direct(count):
         if idx is not None:
-            safe = np.clip(idx[:count], 0, values.shape[0] - 1)
-            return values[np.where(idx[:count] >= 0, safe, 0)]
-        return values[:count]
+            ii = idx[:count]
+            safe = np.clip(ii, 0, max(values.shape[0] - 1, 0))
+            out = values[np.where(ii >= 0, safe, 0)] \
+                if values.shape[0] else np.zeros((0, width), np.float64)
+        else:
+            out = values[:count]
+        if out.shape[0] < count:
+            # truncated/hostile layer (fewer index or value rows than
+            # corners): repeat the last row / zero-fill instead of letting
+            # the later per-corner gather IndexError out of load_fbx —
+            # consistent with the NaN/inf sanitization below
+            pad = (np.zeros((count - out.shape[0], width), np.float64)
+                   if out.shape[0] == 0
+                   else np.repeat(out[-1:], count - out.shape[0], axis=0))
+            out = np.concatenate([out, pad], axis=0)
+        return out
 
     if mapping == "ByPolygonVertex":
         return direct(n_corners)
@@ -666,15 +689,12 @@ def load_fbx(path: str):
         poly_mat = _material_of_corner(node, int(poly_of.max()) + 1
                                        if poly_of.size else 1)
 
-        # model instance + material objects connected to the parent Model
-        model_oid = next((p for p in doc.oo_parents.get(oid, [])
-                          if p in models), None)
-        inst = (global_matrix(model_oid) if model_oid is not None
-                else np.eye(4)).astype(np.float32)
-        mat_ids = ([c for c in doc.oo_children.get(model_oid, [])
-                    if c in doc.objects
-                    and doc.objects[c].name == "Material"]
-                   if model_oid is not None else [])
+        # model instances: one Geometry OO-connected to N Models is FBX
+        # instancing — every parent Model gets its own engine mesh entry
+        # (the welded arrays are SHARED numpy objects; only the transform
+        # and material binding differ per instance)
+        parent_models = [p for p in doc.oo_parents.get(oid, [])
+                         if p in models] or [None]
 
         # skin clusters → per-vertex ≤4 influences
         bone_idx = np.full((n_vertices, 4), -1, np.int32)
@@ -749,20 +769,27 @@ def load_fbx(path: str):
                 v_nrm = _compute_normals(v_pos, indices)
             tan, bit = _compute_tangents(v_pos, v_nrm, v_uv, indices)
             slot_i = int(slot_id)
-            mat_id = mat_ids[slot_i] if 0 <= slot_i < len(mat_ids) else (
-                mat_ids[0] if mat_ids else -1)
-            mindex = _material_index(mat_id) if mat_id >= 0 else 0
-            if not data.materials:
-                data.materials.append(Material(name="default"))
-            data.meshes.append(Mesh(
-                v_pos, indices, normals=v_nrm, tangents=tan, bitangents=bit,
-                uvs=v_uv,
-                bone_indices=bone_idx[v_src] if has_skin else None,
-                bone_weights=bone_wgt[v_src] if has_skin else None,
-                material_index=mindex,
-                name=_split_name(str(node.prop(1, "")))
-                or os.path.basename(path)))
-            data.instance_transforms.append(inst)
+            for model_oid in parent_models:
+                inst = (global_matrix(model_oid) if model_oid is not None
+                        else np.eye(4)).astype(np.float32)
+                mat_ids = ([c for c in doc.oo_children.get(model_oid, [])
+                            if c in doc.objects
+                            and doc.objects[c].name == "Material"]
+                           if model_oid is not None else [])
+                mat_id = mat_ids[slot_i] if 0 <= slot_i < len(mat_ids) else (
+                    mat_ids[0] if mat_ids else -1)
+                mindex = _material_index(mat_id) if mat_id >= 0 else 0
+                if not data.materials:
+                    data.materials.append(Material(name="default"))
+                data.meshes.append(Mesh(
+                    v_pos, indices, normals=v_nrm, tangents=tan,
+                    bitangents=bit, uvs=v_uv,
+                    bone_indices=bone_idx[v_src] if has_skin else None,
+                    bone_weights=bone_wgt[v_src] if has_skin else None,
+                    material_index=mindex,
+                    name=_split_name(str(node.prop(1, "")))
+                    or os.path.basename(path)))
+                data.instance_transforms.append(inst)
 
     if not data.materials:
         data.materials.append(Material(name="default"))
@@ -850,6 +877,12 @@ def _load_clips(doc: _Document, models: Dict[int, _Model],
             name=_split_name(str(stack.prop(1, f"clip{len(clips)}"))),
             duration=0.0)
         for model_id, kinds in targets.items():
+            if bone_of_model and model_id not in bone_of_model:
+                # camera/light/mesh-node tracks: the runtime samples BONE
+                # channels only (AnimationClip.channel_for), and a longer
+                # non-bone key range would inflate clip.duration past the
+                # skeletal animation (loops would freeze in the end pose)
+                continue
             model = models[model_id]
             # union of key times across this bone's curves
             all_t: List[np.ndarray] = []
@@ -879,9 +912,19 @@ def _load_clips(doc: _Document, models: Dict[int, _Model],
             tv = axes("T", dt) if "T" in kinds else np.tile(dt, (len(times), 1))
             rv = axes("R", dr) if "R" in kinds else np.tile(dr, (len(times), 1))
             sv = axes("S", ds) if "S" in kinds else np.tile(ds, (len(times), 1))
-            quats = np.stack([
-                _mat3_to_quat_wxyz(model.rotation_chain(rv[k]))
-                for k in range(len(times))], axis=0)
+            rots = [model.rotation_chain(rv[k]) for k in range(len(times))]
+            # bake the full pivot/offset chain into the stored translation
+            # so the runtime's plain T·R·S compose (anim/pose.py) equals
+            # local_matrix(): trans = t + roff + rp + R·(−rp+soff+sp−s·sp)
+            # (the linear part R·diag(s) already IS the stored R,S)
+            roff, rp = _vec3(p, "RotationOffset"), _vec3(p, "RotationPivot")
+            soff, sp = _vec3(p, "ScalingOffset"), _vec3(p, "ScalingPivot")
+            if np.any(roff) or np.any(rp) or np.any(soff) or np.any(sp):
+                tv = np.stack([
+                    tv[k] + roff + rp
+                    + rots[k] @ (-rp + soff + sp - sv[k] * sp)
+                    for k in range(len(times))], axis=0)
+            quats = np.stack([_mat3_to_quat_wxyz(m) for m in rots], axis=0)
             # enforce quaternion continuity for slerp
             for k in range(1, quats.shape[0]):
                 if np.dot(quats[k], quats[k - 1]) < 0:

@@ -23,6 +23,13 @@ Shader module contract (all arrays are JAX tracers under jit):
 The engine applies tonemap/background/AI-blend around it unchanged, so a
 custom shader composes with shadows, bloom, supersampling, banding and the
 neural upscaler.
+
+Memory note: each reload's new function object is a new static key in the
+frame-function jit caches, so an edit session keeps one compiled frame
+variant per save for the process lifetime (the reference destroys the old
+VkPipeline; XLA's jit cache has no per-entry eviction). Bounded by the
+number of edits — dozens of saves cost dozens of executables, acceptable
+for a dev loop; call jax.clear_caches() if a marathon session needs it.
 """
 
 from __future__ import annotations
