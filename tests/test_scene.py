@@ -126,3 +126,85 @@ def test_registry_uuid_autoattach():
     e = reg.create()
     assert reg.has(e, UUIDComponent)
     assert reg.get(e, UUIDComponent).uuid != 0
+
+
+def test_roundtrip_tint_uv_and_newline_tag(tmp_path):
+    """Render-affecting fields (mesh tint, texture UV transform) and
+    newline-bearing strings must survive save->load exactly."""
+    scene = Scene()
+    reg = scene.editor_registry
+    e = reg.create()
+    reg.add(e, TagComponent("line1\nline2"))
+    m = reg.add(e, MeshComponent(primitive=PrimitiveType.CUBE))
+    m.tint = np.array([1.0, 0.25, 0.1, 0.8], np.float32)
+    tex = reg.add(e, TextureComponent(path="checker"))
+    tex.uv_scale = np.array([2.0, 3.0], np.float32)
+    tex.uv_offset = np.array([0.25, -0.5], np.float32)
+    tex.tiling = 4.0
+    p = str(tmp_path / "s.trident")
+    scene.save(p)
+    scene2 = Scene()
+    scene2.load(p)
+    reg2 = scene2.editor_registry
+    e2 = next(en for en, (tag,) in reg2.view(TagComponent)
+              if tag.tag.startswith("line1"))
+    assert reg2.get(e2, TagComponent).tag == "line1\nline2"
+    np.testing.assert_allclose(reg2.get(e2, MeshComponent).tint,
+                               [1.0, 0.25, 0.1, 0.8], atol=1e-5)
+    t2 = reg2.get(e2, TextureComponent)
+    np.testing.assert_allclose(t2.uv_scale, [2.0, 3.0], atol=1e-5)
+    np.testing.assert_allclose(t2.uv_offset, [0.25, -0.5], atol=1e-5)
+    assert t2.tiling == pytest.approx(4.0)
+
+
+def test_load_reresolves_texture_slots(tmp_path):
+    """Saved texture slots are session-local acquire order: load must
+    re-resolve by PATH (lookup for live keys, slot-0 white otherwise),
+    never trust the stored index."""
+    from trident_tpu.core.config import EngineConfig, RenderConfig
+    from trident_tpu.io.image import checkerboard
+    from trident_tpu.render.renderer import Renderer
+
+    r = Renderer(EngineConfig(render=RenderConfig(width=32, height=32,
+                                                  use_pallas=False)))
+    scene = Scene(renderer=r)
+    reg = scene.editor_registry
+    r.set_active_registry(reg)
+    slot = r.acquire_texture("checker", checkerboard(16, 4))
+    e = reg.create()
+    reg.add(e, MeshComponent(primitive=PrimitiveType.CUBE))
+    reg.add(e, TextureComponent(path="checker", slot=slot))
+    stale = reg.create()
+    reg.add(stale, TextureComponent(path="never_acquired", slot=77))
+    p = str(tmp_path / "s.trident")
+    scene.save(p)
+    scene.load(p)
+    reg2 = scene.editor_registry
+    texes = {t.path: t for _e, (t,) in reg2.view(TextureComponent)}
+    assert texes["checker"].slot == slot          # live key resolves
+    assert not texes["checker"].dirty
+    assert texes["never_acquired"].slot == 0      # white fallback, not 77
+    assert texes["never_acquired"].dirty
+
+
+def test_script_destroying_entity_does_not_skip_updates(tmp_path):
+    """A script that destroys its own entity mutates the alive list; the
+    NEXT entity's script must still run that frame."""
+    calls = []
+
+    def runner(entity, registry, script, dt):
+        calls.append(script.module)
+        if script.module == "killer":
+            registry.destroy(entity)
+
+    scene = Scene()
+    reg = scene.editor_registry
+    for name in ("killer", "survivor_a", "survivor_b"):
+        e = reg.create()
+        reg.add(e, ScriptComponent(path=f"{name}.py", autostart=True,
+                                   module=name))
+    scene.script_runner = runner
+    scene.play()
+    scene.update(0.016)
+    assert calls.count("survivor_a") == 1
+    assert calls.count("survivor_b") == 1

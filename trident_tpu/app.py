@@ -127,7 +127,8 @@ class Application:
                                     else ReloadStatus.FAILED)
                 else:
                     event.status = ReloadStatus.SUCCESS  # model reload = re-import on demand
-                logger.info("hot-reloaded %s", event.path)
+                if event.status == ReloadStatus.SUCCESS:
+                    logger.info("hot-reloaded %s", event.path)
             except Exception as exc:
                 event.status = ReloadStatus.FAILED
                 logger.warning("hot reload failed for %s: %s", event.path, exc)

@@ -15,6 +15,7 @@ hand-editable and migratable.
 from __future__ import annotations
 
 import os
+import re
 from typing import Callable, Dict, List, Optional
 
 import numpy as np
@@ -41,11 +42,11 @@ logger = get_logger("scene")
 
 
 def _escape(s: str) -> str:
-    return s.replace("\\", "\\\\").replace('"', '\\"')
-
-
-def _unescape(s: str) -> str:
-    return s.replace('\\"', '"').replace("\\\\", "\\")
+    # newlines MUST be escaped: the format is line-based, so a raw newline
+    # inside a quoted tag/path writes a file save() accepts but load()
+    # rejects with "unterminated string"
+    return (s.replace("\\", "\\\\").replace('"', '\\"')
+            .replace("\n", "\\n").replace("\r", "\\r"))
 
 
 def _fmt(v: float) -> str:
@@ -61,7 +62,8 @@ def _parse_quoted(text: str, start: int = 0):
     while i < len(text):
         ch = text[i]
         if ch == "\\" and i + 1 < len(text):
-            out.append(text[i + 1])
+            nxt = text[i + 1]
+            out.append({"n": "\n", "r": "\r"}.get(nxt, nxt))
             i += 2
             continue
         if ch == '"':
@@ -172,7 +174,9 @@ class Scene:
         if not self.playing or self.paused:
             return
         registry = self.runtime_registry
-        for entity, (script,) in registry.view(ScriptComponent):
+        # snapshot: a script destroying an entity mutates Registry._alive
+        # mid-iteration and would silently skip the NEXT entity's update
+        for entity, (script,) in list(registry.view(ScriptComponent)):
             if not script.running:
                 continue
             if self.script_runner is not None:
@@ -225,6 +229,10 @@ class Scene:
                 if mesh.source_asset_path:
                     line += (f' SourceAsset="{_escape(mesh.source_asset_path)}"'
                              f" SourceMeshIndex={mesh.source_mesh_index}")
+                if not np.allclose(mesh.tint, 1.0):
+                    # render-affecting state (frame.py folds tint into the
+                    # shade table) — a round-trip must not change the image
+                    line += f" Tint={','.join(_fmt(x) for x in mesh.tint)}"
                 lines.append(line)
             spr = registry.try_get(entity, SpriteComponent)
             if spr is not None:
@@ -239,8 +247,15 @@ class Scene:
                     f"SortOffset={_fmt(spr.sort_offset)}")
             tex = registry.try_get(entity, TextureComponent)
             if tex is not None:
-                lines.append(f'Texture "{_escape(tex.path)}" Slot={tex.slot} '
-                             f"Dirty={int(tex.dirty)}")
+                line = (f'Texture "{_escape(tex.path)}" Slot={tex.slot} '
+                        f"Dirty={int(tex.dirty)}")
+                if not np.allclose(tex.uv_scale, 1.0):
+                    line += f" UVScale={','.join(_fmt(x) for x in tex.uv_scale)}"
+                if np.any(tex.uv_offset):
+                    line += f" UVOffset={','.join(_fmt(x) for x in tex.uv_offset)}"
+                if tex.tiling != 1.0:
+                    line += f" Tiling={_fmt(tex.tiling)}"
+                lines.append(line)
             anim = registry.try_get(entity, AnimationComponent)
             if anim is not None:
                 bones = anim.bone_matrices
@@ -283,7 +298,6 @@ class Scene:
         if self.playing:
             self.stop()
         registry = Registry()
-        imported: Dict[str, int] = {}
         with open(path) as f:
             text = f.read()
         entity: Optional[Entity] = None
@@ -322,15 +336,18 @@ class Scene:
             elif word == "Mesh":
                 head = rest
                 kv: Dict[str, str] = {}
-                if "SourceAsset=" in rest or "SourceMeshIndex=" in rest:
-                    idx = rest.find("SourceAsset=")
-                    head, kv = rest[:idx], _kv_fields(rest[idx:])
+                m_kv = re.search(r"\b[A-Za-z]\w*=", rest)
+                if m_kv:
+                    head, kv = rest[:m_kv.start()], _kv_fields(rest[m_kv.start():])
                 v = head.split()
                 comp = MeshComponent(
                     mesh_index=int(v[0]), material_index=int(v[1]),
                     visible=bool(int(v[5])), primitive=PrimitiveType(int(v[6])),
                     source_asset_path=kv.get("SourceAsset", ""),
                     source_mesh_index=int(kv.get("SourceMeshIndex", -1)))
+                if "Tint" in kv:
+                    comp.tint = np.array(
+                        [float(x) for x in kv["Tint"].split(",")], np.float32)
                 registry.add(entity, comp)
             elif word == "Sprite":
                 kv = _kv_fields(rest)
@@ -351,9 +368,17 @@ class Scene:
             elif word == "Texture":
                 value, after = _parse_quoted(rest.strip())
                 kv = _kv_fields(rest.strip()[after:])
-                registry.add(entity, TextureComponent(
+                tex = TextureComponent(
                     path=value, slot=int(kv.get("Slot", 0)),
-                    dirty=bool(int(kv.get("Dirty", 1)))))
+                    dirty=bool(int(kv.get("Dirty", 1))))
+                if "UVScale" in kv:
+                    tex.uv_scale = np.array(
+                        [float(x) for x in kv["UVScale"].split(",")], np.float32)
+                if "UVOffset" in kv:
+                    tex.uv_offset = np.array(
+                        [float(x) for x in kv["UVOffset"].split(",")], np.float32)
+                tex.tiling = float(kv.get("Tiling", 1.0))
+                registry.add(entity, tex)
             elif word == "Animation":
                 kv = _kv_fields(rest)
                 last_anim = AnimationComponent(
@@ -386,6 +411,7 @@ class Scene:
 
         self.editor_registry = registry
         self._rebuild_geometry(asset_importer)
+        self._rebuild_textures()
         if self.renderer is not None:
             self.renderer.set_active_registry(registry)
         self._seed_default_camera()
@@ -409,3 +435,32 @@ class Scene:
             elif mesh.mesh_index >= len(self.renderer.geometry.meshes):
                 mesh.mesh_index = -1
                 mesh.visible = False
+
+    def _rebuild_textures(self) -> None:
+        """Re-resolve TextureComponent.slot from the PATH: saved slots are
+        session-local acquire order, so in a fresh process a verbatim slot
+        points at the white fallback or an unrelated texture. Keys already
+        acquired this session resolve by lookup; on-disk paths re-acquire;
+        anything else degrades to slot 0 (white) and stays dirty."""
+        if self.renderer is None:
+            return
+        for _e, (tex,) in self.editor_registry.view(TextureComponent):
+            if not tex.path:
+                continue
+            slot = self.renderer.textures.lookup(tex.path)
+            if slot:
+                tex.slot, tex.dirty = slot, False
+            elif os.path.isfile(tex.path):
+                try:
+                    from trident_tpu.io.image import load_rgba8_mips
+
+                    rgba, mips = load_rgba8_mips(tex.path)
+                    tex.slot = self.renderer.acquire_texture(
+                        tex.path, rgba, mips=mips)
+                    tex.dirty = False
+                except Exception as exc:
+                    logger.warning("texture %s failed to reload: %s",
+                                   tex.path, exc)
+                    tex.slot, tex.dirty = 0, True
+            else:
+                tex.slot, tex.dirty = 0, True

@@ -713,6 +713,11 @@ class Renderer:
                 p = cam.params()
                 ctx.prev_state = (out.color,
                                   jnp.matmul(p.proj, p.view, precision=hp))
+            # the idle-frame signature describes the SINGLE-chip pipeline;
+            # a frame produced here (possibly via a banding fallback with
+            # different upscale behavior) must not satisfy a later
+            # single-chip sig match
+            ctx.last_sig = None
         else:
             from trident_tpu.render.bundle import pack_frame
 
@@ -824,20 +829,16 @@ class Renderer:
                     int(aux[0]), int(aux[1]))
         return frame
 
-    def pick_entity(self, x: int, y: int,
-                    viewport_id: Optional[int] = None) -> Optional[int]:
-        """Entity under the pixel (viewport coordinates) or None — the
-        ImGuizmo-selection analogue (SceneViewportPanel.cpp:63-100): the
-        frame's winner-triangle id maps through the draw plan back to the
-        ECS entity that issued the draw."""
-        vid = self.active_viewport if viewport_id is None else viewport_id
-        out = self.render_viewport(vid)
+    def _tri_map_entity(self, tri_map: np.ndarray, x: int, y: int,
+                        ctx: "ViewportContext") -> Optional[int]:
+        """Shared picking core: winner-triangle map + draw plan → entity.
+        The SINGLE implementation of the rescale and bounds guards (pick
+        and pick_entity previously drifted apart here): tri ids from a
+        stale frame can exceed the CURRENT tri_draw after the plan
+        shrinks, and tri_id may be at a different resolution than the
+        viewport (supersampling larger, ai_upscale smaller)."""
         if self._last_tri_draw is None or not self._last_records:
             return None
-        tri_map = np.asarray(out.tri_id)
-        ctx = self.viewports[vid]
-        # tri_id may be at a different resolution than the viewport
-        # (supersampling renders larger, ai_upscale smaller) — rescale
         ty = int(np.clip(y * tri_map.shape[0] // max(ctx.height, 1),
                          0, tri_map.shape[0] - 1))
         tx = int(np.clip(x * tri_map.shape[1] // max(ctx.width, 1),
@@ -849,6 +850,17 @@ class Renderer:
         if draw < 0 or draw >= len(self._last_records):
             return None
         return int(self._last_records[draw].entity)
+
+    def pick_entity(self, x: int, y: int,
+                    viewport_id: Optional[int] = None) -> Optional[int]:
+        """Entity under the pixel (viewport coordinates) or None — the
+        ImGuizmo-selection analogue (SceneViewportPanel.cpp:63-100): the
+        frame's winner-triangle id maps through the draw plan back to the
+        ECS entity that issued the draw."""
+        vid = self.active_viewport if viewport_id is None else viewport_id
+        out = self.render_viewport(vid)
+        return self._tri_map_entity(np.asarray(out.tri_id), x, y,
+                                    self.viewports[vid])
 
     # -- text overlay + presentation (TextRenderer analogue) --------------------
     @property
@@ -877,23 +889,19 @@ class Renderer:
         return frame
 
     def pick(self, x: int, y: int, viewport_id: Optional[int] = None) -> int:
-        """Entity under pixel (x,y) of the last rendered frame, or -1 —
-        the viewport click-select (ImGuizmo/SceneViewport analogue). Uses
-        the winner-triangle GBuffer, so it is exact per pixel."""
+        """Entity under pixel (x,y) of the LAST rendered frame (no
+        re-render), or -1 — the viewport click-select (ImGuizmo/
+        SceneViewport analogue). Uses the winner-triangle GBuffer, so it
+        is exact per pixel."""
         vid = self.active_viewport if viewport_id is None else viewport_id
         ctx = self.viewports.get(vid)
-        if ctx is None or ctx.last_frame is None or not self._last_records:
+        if ctx is None or ctx.last_frame is None:
             return -1
-        tri_map = np.asarray(ctx.last_frame.tri_id)
-        if not (0 <= y < tri_map.shape[0] and 0 <= x < tri_map.shape[1]):
+        if not (0 <= y < ctx.height and 0 <= x < ctx.width):
             return -1
-        tri = int(tri_map[y, x])
-        if tri < 0:
-            return -1
-        draw = int(np.asarray(self._last_tri_draw)[tri])
-        if draw >= len(self._last_records):
-            return -1
-        return self._last_records[draw].entity
+        ent = self._tri_map_entity(np.asarray(ctx.last_frame.tri_id),
+                                   x, y, ctx)
+        return -1 if ent is None else ent
 
     def bind_runtime_camera(self, registry: Registry) -> bool:
         """Find the primary CameraComponent and drive the runtime camera

@@ -40,10 +40,11 @@ def _box_downsample(img: np.ndarray) -> np.ndarray:
 class TextureSlots:
     """Host-side slot registry + packed device arrays."""
 
-    def __init__(self, max_slots: int = 256, edge: int = 256, mip_count: Optional[int] = None):
+    def __init__(self, max_slots: int = 256, edge: int = 256):
+        # (a former mip_count parameter was never honored — device_arrays
+        # derives each slot's pyramid depth from its own pow2 edge)
         self.max_slots = max_slots
         self.edge = edge
-        self.mip_count = mip_count or (int(np.log2(edge)) + 1)
         self._images: List[np.ndarray] = []     # mip-0 uint8 RGBA, original size
         self._mips: List[Optional[List[np.ndarray]]] = []  # file mip chains
         self._sizes: List[Tuple[int, int]] = []
