@@ -352,6 +352,12 @@ class ViewerServer:
                     r.set_viewport(r.GAME_VIEWPORT, ctx.width, ctx.height)
                 vid = r.GAME_VIEWPORT
             frame = r.present(vid)
+            self._last_vp = vid
+            # the viewer loop bypasses Application.render(), so feed the
+            # readback consumers (video recording, dataset capture, AI
+            # cadence) here — otherwise the Record/Dataset/AI toolbar
+            # toggles silently capture nothing
+            self.app._post_frame(None, frame=np.asarray(frame))
             self._frames += 1
             now = time.perf_counter()
             # the viewer loop bypasses draw_frame, so feed the timing ring
@@ -472,7 +478,12 @@ class ViewerServer:
                 elif kind == "dolly":
                     cam.dolly(-dy * 0.002)
             elif op == "pick":
-                ent = r.pick_entity(int(body["x"]), int(body["y"]))
+                # pick against the viewport the client is LOOKING at (the
+                # streamed one), not whatever active_viewport points to —
+                # in Game view the two render with different cameras
+                ent = r.pick_entity(int(body["x"]), int(body["y"]),
+                                    viewport_id=getattr(self, "_last_vp",
+                                                        None))
                 return {"entity": ent}
             elif op == "gizmo":
                 # ImGuizmo-translate analogue: drag the selected entity in

@@ -185,3 +185,70 @@ def test_dae_skin_and_anim(tmp_path):
     np.testing.assert_allclose(ch.positions[1], [0, 1, 0], atol=1e-6)
     # 90° about +z at t=1
     assert abs(ch.rotations[1, 0]) == pytest.approx(np.cos(np.pi / 4), abs=1e-5)
+
+
+_ROTATE_ANIM = """<?xml version="1.0" encoding="utf-8"?>
+<COLLADA xmlns="http://www.collada.org/2005/11/COLLADASchema" version="1.4.1">
+  <library_animations>
+    <animation id="rz">
+      <source id="rz-t"><float_array id="rz-t-a" count="2">0 1</float_array>
+        <technique_common><accessor source="#rz-t-a" count="2" stride="1"/>
+        </technique_common></source>
+      <source id="rz-v"><float_array id="rz-v-a" count="2">0 90</float_array>
+        <technique_common><accessor source="#rz-v-a" count="2" stride="1"/>
+        </technique_common></source>
+      <sampler id="rz-s">
+        <input semantic="INPUT" source="#rz-t"/>
+        <input semantic="OUTPUT" source="#rz-v"/>
+      </sampler>
+      <channel source="#rz-s" target="spin/rotationZ.ANGLE"/>
+    </animation>
+    <animation id="tx">
+      <source id="tx-t"><float_array id="tx-t-a" count="2">0 1</float_array>
+        <technique_common><accessor source="#tx-t-a" count="2" stride="1"/>
+        </technique_common></source>
+      <source id="tx-v"><float_array id="tx-v-a" count="2">0 5</float_array>
+        <technique_common><accessor source="#tx-v-a" count="2" stride="1"/>
+        </technique_common></source>
+      <sampler id="tx-s">
+        <input semantic="INPUT" source="#tx-t"/>
+        <input semantic="OUTPUT" source="#tx-v"/>
+      </sampler>
+      <channel source="#tx-s" target="spin/translate.X"/>
+    </animation>
+  </library_animations>
+  <library_visual_scenes>
+    <visual_scene id="scene">
+      <node id="spin" sid="spin" type="JOINT">
+        <translate sid="translate">1 2 3</translate>
+        <rotate sid="rotationZ">0 0 1 0</rotate>
+      </node>
+    </visual_scene>
+  </library_visual_scenes>
+  <scene><instance_visual_scene url="#scene"/></scene>
+</COLLADA>
+"""
+
+
+def test_dae_rotate_and_component_channels(tmp_path):
+    """SketchUp/3ds-Max style channels: single-axis rotationZ.ANGLE tracks
+    must become quaternion keys (previously silently dropped → frozen
+    rotation), and a stride-1 translate.X channel must keep the node's
+    Y/Z instead of broadcasting X into all three components."""
+    p = tmp_path / "spin.dae"
+    p.write_text(_ROTATE_ANIM)
+    data = load_model(str(p))
+    assert len(data.clips) == 1
+    ch = next(c for c in data.clips[0].channels if c.bone_name == "spin")
+
+    # rotation: 0 -> 90 deg about Z => quat (cos45, 0, 0, sin45) at t=1
+    assert ch.rotation_times.shape[0] == 2
+    np.testing.assert_allclose(ch.rotations[0], [1, 0, 0, 0], atol=1e-6)
+    s2 = np.sqrt(0.5)
+    np.testing.assert_allclose(np.abs(ch.rotations[-1]), [s2, 0, 0, s2],
+                               atol=1e-5)
+
+    # translate.X: x animates 0 -> 5, y/z keep the node's 2/3
+    np.testing.assert_allclose(ch.positions[0], [0, 2, 3], atol=1e-6)
+    np.testing.assert_allclose(ch.positions[-1], [5, 2, 3], atol=1e-6)
+    assert data.clips[0].duration == pytest.approx(1.0)

@@ -152,15 +152,18 @@ class Application:
         self._post_frame(out)
         return out
 
-    def _post_frame(self, out) -> None:
+    def _post_frame(self, out, frame=None) -> None:
         """Readback-consuming subsystems: AI interpolation, dataset capture,
-        video recording — throttled like the reference (66 ms AI cadence)."""
+        video recording — throttled like the reference (66 ms AI cadence).
+        `frame` short-circuits the readback when the caller already holds
+        the presented uint8 image (the live viewer's loop)."""
         need_readback = (self.frame_generator.stats.enabled
                          or self.dataset_recorder.running
                          or self.video_encoder.active)
         if not need_readback:
             return
-        frame = self.renderer.read_frame(out)
+        if frame is None:
+            frame = self.renderer.read_frame(out)
         if self.video_encoder.active:
             self.video_encoder.submit_frame(frame)
         rgb = frame[..., :3].astype(np.float32) / 255.0

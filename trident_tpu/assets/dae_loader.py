@@ -125,6 +125,10 @@ def _input_map(doc: _Doc, el: ET.Element) -> Dict[str, Tuple[ET.Element, int]]:
                 if vin.get("semantic") == "POSITION":
                     src = doc.ref(vin.get("source"))
             out["POSITION"] = (src, off)
+        elif sem in out and int(inp.get("set", "0")) != 0:
+            # multi-set inputs (e.g. a set="1" lightmap TEXCOORD): keep the
+            # PRIMARY set 0 rather than letting the last input win
+            continue
         else:
             out[sem] = (src, off)
     return out
@@ -470,6 +474,62 @@ def load_dae(path: str):
 
     # node ids double as animation targets; keep a node lookup
     # -- animations ---------------------------------------------------------------
+    def _component_expand(values: np.ndarray, target: str,
+                          node_el, tag: str, default) -> np.ndarray:
+        """OUTPUT → (N,3). Component targets (node/translate.X, stride-1
+        sources) seed the other components from the node's own <tag>
+        element (or `default`) instead of numpy-broadcasting one scalar
+        into all three."""
+        if values.shape[1] >= 3:
+            return values[:, :3].astype(np.float32)
+        base = np.asarray(default, np.float32)
+        if node_el is not None:
+            for el in list(node_el):
+                if _strip(el.tag) == tag:
+                    base = _floats(el.text)[:3].astype(np.float32)
+                    break
+        out = np.tile(base, (values.shape[0], 1))
+        comp = {"X": 0, "Y": 1, "Z": 2}.get(target.rsplit(".", 1)[-1].upper())
+        out[:, comp if comp is not None else 0] = values[:, 0]
+        return out
+
+    def _axis_angle_mats(axis: np.ndarray, ang_deg: np.ndarray) -> np.ndarray:
+        ax = axis / max(np.linalg.norm(axis), 1e-12)
+        a = np.radians(ang_deg)
+        c, s = np.cos(a), np.sin(a)
+        x, y, z = ax
+        k = np.array([[0, -z, y], [z, 0, -x], [-y, x, 0]], np.float64)
+        kk = k @ k
+        return (np.eye(3)[None] + s[:, None, None] * k[None]
+                + (1 - c)[:, None, None] * kk[None])
+
+    def _rotate_axis_for(node_el, target: str) -> np.ndarray:
+        """Axis of the <rotate> element a channel like node/rotationZ.ANGLE
+        addresses: resolve the sid inside the node, else infer from the
+        trailing X/Y/Z letter."""
+        sid = target.split("/", 1)[-1].split(".", 1)[0]
+        if node_el is not None:
+            for el in list(node_el):
+                if _strip(el.tag) == "rotate" and el.get("sid") == sid:
+                    return _floats(el.text)[:3]
+        letter = sid[-1:].upper()
+        return {"X": np.array([1.0, 0, 0]), "Y": np.array([0, 1.0, 0]),
+                "Z": np.array([0, 0, 1.0])}.get(letter,
+                                                np.array([0, 0, 1.0]))
+
+    # bone → [(doc_order, times, axis, angles_deg)] pending single-axis
+    # rotation parts, composed after the channel scan (exporters emit one
+    # channel per <rotate> element; they apply in node document order)
+    rot_parts: Dict[str, list] = {}
+
+    def _rotate_order(node_el, target: str) -> int:
+        sid = target.split("/", 1)[-1].split(".", 1)[0]
+        if node_el is not None:
+            for i, el in enumerate(list(node_el)):
+                if _strip(el.tag) == "rotate" and el.get("sid") == sid:
+                    return i
+        return 0
+
     clip = AnimationClip(name=os.path.splitext(os.path.basename(path))[0],
                          duration=0.0)
     for anim in doc.findall(root, "animation"):
@@ -510,9 +570,35 @@ def load_dae(path: str):
                 tc.rotations = quats.astype(np.float32)
                 tc.scale_times, tc.scales = t, scale.astype(np.float32)
             elif "translate" in target:
-                tc.position_times, tc.positions = t, values[:, :3].astype(np.float32)
+                tc.position_times = t
+                tc.positions = _component_expand(values, target, node_el,
+                                                 "translate", (0.0, 0.0, 0.0))
             elif "scale" in target:
-                tc.scale_times, tc.scales = t, values[:, :3].astype(np.float32)
+                tc.scale_times = t
+                tc.scales = _component_expand(values, target, node_el,
+                                              "scale", (1.0, 1.0, 1.0))
+            elif "rotat" in target.lower() and values.shape[1] >= 4:
+                # full axis-angle track: quats directly
+                from trident_tpu.assets.fbx_loader import _mat3_to_quat_wxyz
+                # per-key axes may differ; build each key's matrix
+                mats = np.stack([
+                    _axis_angle_mats(values[k, :3], values[k:k + 1, 3])[0]
+                    for k in range(values.shape[0])])
+                quats = np.stack([_mat3_to_quat_wxyz(m) for m in mats])
+                for k in range(1, quats.shape[0]):
+                    if np.dot(quats[k], quats[k - 1]) < 0:
+                        quats[k] = -quats[k]
+                tc.rotation_times = t
+                tc.rotations = quats.astype(np.float32)
+            elif "rotat" in target.lower():
+                # single-axis .ANGLE channel (SketchUp/3ds Max style):
+                # queue for post-scan composition in node document order
+                rot_parts.setdefault(bone_name, []).append(
+                    (_rotate_order(node_el, target), t,
+                     _rotate_axis_for(node_el, target),
+                     values[:, 0].astype(np.float64)))
+                clip.duration = max(clip.duration, float(t[-1]))
+                continue
             else:
                 continue
             # merge into an existing channel for the same bone
@@ -526,6 +612,30 @@ def load_dae(path: str):
                     if getattr(tc, fld).shape[0]:
                         setattr(existing, fld, getattr(tc, fld))
             clip.duration = max(clip.duration, float(t[-1]))
+
+    # compose queued single-axis rotation parts: resample every part's
+    # angle onto the union of key times, multiply the axis matrices in
+    # node document order, convert once to continuous quaternions
+    for bone, parts in rot_parts.items():
+        from trident_tpu.assets.fbx_loader import _mat3_to_quat_wxyz
+
+        parts.sort(key=lambda p: p[0])
+        union = np.unique(np.concatenate([p[1] for p in parts]))
+        total = np.tile(np.eye(3), (len(union), 1, 1))
+        for _order, times_p, axis, angles in parts:
+            ang_u = np.interp(union, times_p, angles)
+            total = total @ _axis_angle_mats(axis, ang_u)
+        quats = np.stack([_mat3_to_quat_wxyz(m) for m in total])
+        for k in range(1, quats.shape[0]):
+            if np.dot(quats[k], quats[k - 1]) < 0:
+                quats[k] = -quats[k]
+        existing = next((c for c in clip.channels if c.bone_name == bone),
+                        None)
+        tc = existing or TransformChannel(bone_name=bone)
+        tc.rotation_times = union.astype(np.float32)
+        tc.rotations = quats.astype(np.float32)
+        if existing is None:
+            clip.channels.append(tc)
     if clip.channels:
         data.clips.append(clip)
 

@@ -576,15 +576,10 @@ def load_fbx(path: str):
                     if content is not None and content.props and \
                             isinstance(content.props[0], (bytes, bytearray)) \
                             and len(content.props[0]):
-                        try:
-                            import io
+                        from trident_tpu.io.image import decode_rgba
 
-                            from PIL import Image
-                            img = Image.open(io.BytesIO(bytes(content.props[0])))
-                            rgba = np.asarray(img.convert("RGBA"))
-                        except Exception as exc:  # corrupt payload → path only
-                            logger.warning("embedded FBX texture decode "
-                                           "failed: %s", exc)
+                        # corrupt payload → None → path-only TextureRef
+                        rgba = decode_rgba(bytes(content.props[0]))
             resolved = os.path.normpath(
                 os.path.join(os.path.dirname(os.path.abspath(path)), tex_path))
             ref = TextureRef(path=resolved if tex_path else f"{path}#tex{src}",

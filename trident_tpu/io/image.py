@@ -32,6 +32,26 @@ def load_rgba8(path: str) -> np.ndarray:
         return np.asarray(img.convert("RGBA"), dtype=np.uint8)
 
 
+def decode_rgba(blob: bytes):
+    """bytes of any PIL-readable image → (H,W,4) uint8, or None on a
+    corrupt payload. The ONE decode used for embedded images (glTF data
+    URIs / GLB views, FBX Video Content) so dtype pinning and error
+    handling can't drift between loaders."""
+    import io as _io
+
+    try:
+        from PIL import Image
+
+        with Image.open(_io.BytesIO(blob)) as im:
+            return np.asarray(im.convert("RGBA"), dtype=np.uint8)
+    except Exception as exc:
+        from trident_tpu.core.log import get_logger
+
+        get_logger("io.image").warning("embedded image decode failed: %s",
+                                       exc)
+        return None
+
+
 def load_rgba8_mips(path: str):
     """(rgba, mips-or-None): like load_rgba8, but containers that carry
     their own mip chain (.ktx2 with levelCount > 1) also return the

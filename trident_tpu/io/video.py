@@ -122,9 +122,28 @@ class VideoEncoder:
         self._queue.put(None)
         if self._thread is not None:
             self._thread.join(timeout=10.0)
+            if self._thread.is_alive():
+                # the drain is stuck (slow disk / wedged ffmpeg): closing
+                # stdin under the writer would race it — log and fall
+                # through to a hard finalize; the daemon thread dies with
+                # the process
+                logger.warning("video encoder still draining after 10s; "
+                               "forcing session close")
         if self._ffmpeg is not None:
-            self._ffmpeg.stdin.close()
-            self._ffmpeg.wait(timeout=30)
+            # finalize must never leak the process or leave _ffmpeg set: a
+            # raised TimeoutExpired here would make the NEXT begin_session
+            # leak a zombie encoder
+            try:
+                self._ffmpeg.stdin.close()
+            except Exception:
+                pass
+            try:
+                self._ffmpeg.wait(timeout=30)
+            except Exception:
+                logger.warning("ffmpeg did not finalize in 30s; killing it "
+                               "(the file may be truncated)")
+                self._ffmpeg.kill()
+                self._ffmpeg.wait()
             self._ffmpeg = None
         if self._y4m is not None:
             self._y4m.close()
