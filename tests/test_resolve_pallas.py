@@ -130,6 +130,32 @@ def test_resolve_half_contraction_bit_exact(monkeypatch):
     np.testing.assert_array_equal(frames[True], fast)
 
 
+def test_resolve_prec_split_bit_exact(monkeypatch):
+    """TRIDENT_RESOLVE_PREC=split (3-way bf16 record decomposition, three
+    DEFAULT-precision dots) must reproduce the fp32-pinned select
+    BIT-EXACTLY: hi = bf16(r), mid = bf16(r−hi), lo = bf16(r−hi−mid)
+    cover f32's 24 significand bits, and the f32 accumulator reassembles
+    exactly r. This is the cheap-exact candidate if the fp32 contract pin
+    measures expensive on hardware (PERF.md roadmap item 10)."""
+    from trident_tpu.ops import resolve_pallas as rp
+
+    w, h = 256, 128
+    setup, records = _random_setup_and_records(w=w, h=h)
+    frames = {}
+    for mode in ("fp32", "split"):
+        monkeypatch.setattr(rp, "_PREC_MODE", mode)
+        frames[mode] = np.asarray(_vis_resolve(setup, records, w, h,
+                                               skip=False))
+    np.testing.assert_array_equal(frames["fp32"], frames["split"])
+    assert np.abs(frames["fp32"]).sum() > 0
+
+    # composed with RESOLVE_HALF + the loser fast-path
+    monkeypatch.setattr(rp, "RESOLVE_HALF", True)
+    monkeypatch.setattr(rp, "_PREC_MODE", "split")
+    both = np.asarray(_vis_resolve(setup, records, w, h, skip=True))
+    np.testing.assert_array_equal(frames["fp32"], both)
+
+
 def test_resolve_skip_empty_scene():
     """No owners at all: every step is a loser aliasing the padding pair;
     the attribute image must come back all zeros, not garbage."""

@@ -87,11 +87,43 @@ RESOLVE_SKIP = _os.environ.get("TRIDENT_RESOLVE_SKIP", "0") == "1"
 # #tpu.contract_precision<fp32> (jax/_src/pallas/mosaic/lowering.py) — if
 # the default is a single bf16 pass, the f32 plane records would quantize
 # to 8 mantissa bits INSIDE the select (UV/normal/denominator wobble the
-# CPU interpreter can never see: it computes plain f32). The one-hot side
-# is exact either way; pin fp32 on the records by default and keep the
-# bf16 escape as a measured-cost A/B knob (TRIDENT_RESOLVE_PREC=bf16).
-_PREC = (None if _os.environ.get("TRIDENT_RESOLVE_PREC", "fp32") == "bf16"
-         else jax.lax.Precision.HIGHEST)
+# CPU interpreter can never see: it computes plain f32). Three modes
+# (TRIDENT_RESOLVE_PREC) for the hardware A/B:
+#   fp32 (default) — pin contract_precision<fp32>: certainly exact, worst
+#     case ~6 bf16 MXU passes;
+#   split — records pre-split XLA-side into 3 bf16 planes (hi = bf16(r),
+#     mid = bf16(r−hi), lo = bf16(r−hi−mid); each subtraction cancels
+#     high bits exactly, and 3×8 significand bits cover f32's 24, so
+#     hi+mid+lo == r EXACTLY and the f32 accumulator reassembles it —
+#     3 DEFAULT passes AND half the record DMA bytes (bf16 3·RW ≤ one
+#     128-lane tile vs f32 RW padded to 128);
+#   bf16 — raw DEFAULT pass on the f32 records: cheapest, records round
+#     to 8 mantissa bits if Mosaic's default is a single pass.
+_PREC_MODE = _os.environ.get("TRIDENT_RESOLVE_PREC", "fp32")
+if _PREC_MODE not in ("fp32", "split", "bf16"):
+    raise ValueError(f"TRIDENT_RESOLVE_PREC={_PREC_MODE!r}: "
+                     "expected fp32 | split | bf16")
+_PREC = jax.lax.Precision.HIGHEST if _PREC_MODE == "fp32" else None
+
+
+def _winner_select(rec, oh):
+    """One-hot contraction of the (K, RW or 3·RW) record block against the
+    (K, npx) one-hot — the precision strategy lives only here."""
+    dims = (((0,), (0,)), ((), ()))
+    if _PREC_MODE != "split":
+        return jax.lax.dot_general(rec, oh, dims,
+                                   preferred_element_type=jnp.float32,
+                                   precision=_PREC)
+    rw = rec.shape[1] // 3
+    ohb = oh.astype(jnp.bfloat16)
+
+    def part(k):
+        return jax.lax.dot_general(rec[:, k * rw:(k + 1) * rw], ohb, dims,
+                                   preferred_element_type=jnp.float32)
+
+    # sum order matters for exactness: hi+mid is ≤17 significand bits
+    # (exact), and the true total equals the representable original r
+    return (part(0) + part(1)) + part(2)
 
 
 def _cummax_i32(x: Array, rows: int = 256) -> Array:
@@ -238,10 +270,7 @@ def _resolve_kernel(band_ref, pair_tile_ref, pair_chunk_ref, won_ref,
                     (jax.lax.broadcasted_iota(jnp.int32, (hc, npx), 0)
                      == rel - h * hc).astype(jnp.float32), 0.0)
                 blk = rec_ref[0, h * hc:(h + 1) * hc, :]
-                sel = jax.lax.dot_general(blk, oh, (((0,), (0,)), ((), ())),
-                                          preferred_element_type=jnp.float32,
-                                          precision=_PREC)
-                interpolants(sel, mine_h)
+                interpolants(_winner_select(blk, oh), mine_h)
     else:
         # skip mode gates on the SCALAR owner flag alone: owners have
         # any(mine) true by construction (owns below IS any(mine)), and
@@ -252,11 +281,7 @@ def _resolve_kernel(band_ref, pair_tile_ref, pair_chunk_ref, won_ref,
         def _():
             oh = (jax.lax.broadcasted_iota(jnp.int32, (CHUNK, npx), 0)
                   == rel).astype(jnp.float32)
-            rec = rec_ref[0]                       # (C, RW)
-            sel = jax.lax.dot_general(rec, oh, (((0,), (0,)), ((), ())),
-                                      preferred_element_type=jnp.float32,
-                                      precision=_PREC)
-            interpolants(sel, mine)
+            interpolants(_winner_select(rec_ref[0], oh), mine)
 
 
 def resolve_attrs_pallas(bins: PallasBins, tri_tiles: Array, records: Array,
@@ -278,6 +303,16 @@ def resolve_attrs_pallas(bins: PallasBins, tri_tiles: Array, records: Array,
     n_tiles = ntx * nty
     npx = TILE_H * TILE_W
     rw = records.shape[2]
+    if _PREC_MODE == "split":
+        # exact 3-way bf16 decomposition (see the mode comment at top):
+        # each subtraction cancels the already-captured high bits, so it
+        # is exact in f32 and hi+mid+lo reconstructs records bit-exactly
+        hi = records.astype(jnp.bfloat16)
+        r1 = records - hi.astype(jnp.float32)
+        mid = r1.astype(jnp.bfloat16)
+        lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+        records = jnp.concatenate([hi, mid, lo], axis=-1)  # (NC, C, 3·RW)
+        rw = rw * 3
 
     pair_tile, pair_chunk, n_grid = bins.pair_tile, bins.pair_chunk, bins.n_real
     idx = jnp.arange(bins.n_pairs, dtype=jnp.int32)
