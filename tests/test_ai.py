@@ -142,3 +142,29 @@ def test_sprite_rendering():
     # atlas tile 0 is the red cell → red should dominate the sprite area
     center = img[20:44, 20:44, :3].astype(int)
     assert center[..., 0].mean() > center[..., 2].mean()
+
+
+def test_periodic_checkpoint_keeps_best_latest(tmp_path):
+    """latest.json must keep pointing at the early-stopping BEST model:
+    periodic resume snapshots save their step dir without retargeting it
+    (every loader resolves through latest.json)."""
+    import json
+
+    import optax
+
+    from trident_tpu.ai.model import init_model
+    from trident_tpu.ai.train import TrainState, save_checkpoint
+
+    model, variables = init_model(jax.random.PRNGKey(0),
+                                  resolution=(32, 32), base_channels=8)
+    state = TrainState.create(
+        apply_fn=model.apply, params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}),
+        tx=optax.adam(1e-3))
+    best = save_checkpoint(state, str(tmp_path), 3)
+    save_checkpoint(state, str(tmp_path), 7, update_latest=False)
+    with open(tmp_path / "latest.json") as f:
+        latest = json.load(f)
+    assert latest["step"] == 3
+    assert latest["path"] == "step_000003"
+    assert best.endswith("step_000003")

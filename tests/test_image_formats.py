@@ -208,3 +208,66 @@ def test_ktx2_partial_mip_chain_falls_back_to_box(tmp_path):
     v = int(quads[l2_base, 0])
     # level 2 = box(green) = green, NOT box(box(red))
     assert ((v >> 8) & 255) == 200 and (v & 255) == 0
+
+
+def test_svg_malformed_path_lenient():
+    """Numbers after Z and short coordinate lists are malformed data: the
+    parser must skip leniently (module contract), never hang or raise —
+    the Z branch consumes no tokens, so it previously spun forever."""
+    img = _raster(SVG_NS + 'width="8" height="8">'
+                  '<path d="M 0 0 L 8 0 L 8 8 L 0 8 Z 5 5" fill="red"/>'
+                  '</svg>')
+    assert img[4, 4, 0] == 255                   # the square still filled
+    img2 = _raster(SVG_NS + 'width="8" height="8"><path d="M 5"/></svg>')
+    assert img2.shape == (8, 8, 4)               # no crash, empty ok
+
+
+def test_svg_style_beats_presentation_attr():
+    """CSS priority: style="fill:blue" must override fill="red"
+    (Inkscape/Illustrator emit both)."""
+    img = _raster(SVG_NS + 'width="4" height="4">'
+                  '<rect width="4" height="4" fill="red" '
+                  'style="fill:blue"/></svg>')
+    assert img[2, 2, 2] == 255 and img[2, 2, 0] == 0
+
+
+def test_svg_group_opacity_multiplies():
+    """<g opacity=0.5><rect opacity=0.8/></g> composites at ~0.4, not 0.8."""
+    img = _raster(SVG_NS + 'width="4" height="4"><g opacity="0.5">'
+                  '<rect width="4" height="4" fill="black" opacity="0.8"/>'
+                  '</g></svg>')
+    assert abs(int(img[2, 2, 3]) - 102) <= 3     # 0.4 * 255
+
+
+def test_svg_polyline_fills_implicitly_closed():
+    img = _raster(SVG_NS + 'width="4" height="4">'
+                  '<polyline points="0,0 4,0 4,4 0,4"/></svg>')
+    assert img[2, 2, 3] == 255                   # filled black by default
+
+
+def test_svg_edge_antialias_no_dark_fringe():
+    """Half-covered pixels keep the shape's color at reduced alpha: the
+    supersample box filter must average premultiplied color (straight-
+    alpha averaging darkened every edge toward rgb=0)."""
+    img = _raster(SVG_NS + 'width="4" height="4">'
+                  '<rect width="3.5" height="4" fill="red"/></svg>')
+    edge = img[2, 3]                             # the 50%-covered column
+    assert edge[3] in range(100, 156)            # ~half coverage
+    assert edge[0] == 255                        # still PURE red, not dark
+
+
+def test_ktx2_array_stack_roundtrip(tmp_path):
+    """A non-cubemap stack of N images must round-trip all N (the writer
+    previously said layerCount=0 and readers dropped N-1 images)."""
+    import numpy as np
+
+    from trident_tpu.assets.ktx2 import Ktx2File, write_ktx2
+
+    rng = np.random.default_rng(3)
+    stack = rng.integers(0, 256, (4, 8, 8, 4), dtype=np.uint8)
+    p = str(tmp_path / "arr.ktx2")
+    write_ktx2(p, stack)
+    f = Ktx2File(p)
+    out = f.level_images(0)
+    assert out.shape[0] == 4
+    np.testing.assert_array_equal(out, stack)

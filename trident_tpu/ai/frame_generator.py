@@ -89,6 +89,15 @@ class FrameGenerator:
             return model.apply(variables, inputs, train=False)
 
         self._apply = forward
+        # a previous shutdown() can leave its None sentinel (and stale
+        # jobs) in the queue when the old worker exited via the _running
+        # check instead of consuming it — a fresh worker would dequeue
+        # the stale sentinel first and die silently
+        while True:
+            try:
+                self._jobs.get_nowait()
+            except queue.Empty:
+                break
         self._running = True
         self._worker = threading.Thread(target=self._loop, name="ai-inference",
                                         daemon=True)
@@ -147,9 +156,22 @@ class FrameGenerator:
         h, w = self.resolution
         if frame.shape[:2] == (h, w):
             return frame
-        yi = (np.arange(h) * frame.shape[0] / h).astype(np.int64)
-        xi = (np.arange(w) * frame.shape[1] / w).astype(np.int64)
-        return frame[yi][:, xi]
+        # BILINEAR, matching the training data pipeline (ai/dataset.py
+        # resizes with PIL BILINEAR): nearest-neighbor decimation at
+        # inference feeds the net an aliased input distribution its
+        # PSNR-selected weights never saw
+        sh, sw = frame.shape[0], frame.shape[1]
+        yf = (np.arange(h) + 0.5) * sh / h - 0.5
+        xf = (np.arange(w) + 0.5) * sw / w - 0.5
+        y0 = np.clip(np.floor(yf).astype(np.int64), 0, sh - 1)
+        x0 = np.clip(np.floor(xf).astype(np.int64), 0, sw - 1)
+        y1 = np.minimum(y0 + 1, sh - 1)
+        x1 = np.minimum(x0 + 1, sw - 1)
+        wy = np.clip(yf - y0, 0.0, 1.0).astype(np.float32)[:, None, None]
+        wx = np.clip(xf - x0, 0.0, 1.0).astype(np.float32)[None, :, None]
+        top = frame[y0][:, x0] * (1 - wx) + frame[y0][:, x1] * wx
+        bot = frame[y1][:, x0] * (1 - wx) + frame[y1][:, x1] * wx
+        return top * (1 - wy) + bot * wy
 
     def _loop(self) -> None:
         import jax

@@ -94,7 +94,12 @@ def eval_step(state: TrainState, inputs: jax.Array, targets: jax.Array):
     return l1_loss(out, targets), psnr(out, targets), ssim(out, targets)
 
 
-def save_checkpoint(state: TrainState, directory: str, step: int) -> str:
+def save_checkpoint(state: TrainState, directory: str, step: int,
+                    update_latest: bool = True) -> str:
+    """`update_latest=False` writes the step dir WITHOUT retargeting
+    latest.json — periodic resume snapshots must not displace the
+    early-stopping BEST model that every loader (load_checkpoint,
+    validate.py, FrameGenerator, bench) resolves through latest.json."""
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(os.path.join(directory, f"step_{step:06d}"))
@@ -102,13 +107,15 @@ def save_checkpoint(state: TrainState, directory: str, step: int) -> str:
     ckptr.save(path, {"params": state.params, "batch_stats": state.batch_stats},
                force=True)
     ckptr.wait_until_finished()
-    with open(os.path.join(directory, "latest.json"), "w") as f:
-        # store the step dir NAME, not an absolute path — the checkpoint
-        # directory must stay relocatable (loaders join it with `directory`)
-        # — plus the net width, so loaders don't need the TrainConfig
-        bc = int(state.params["Conv_0"]["kernel"].shape[-1])
-        json.dump({"step": step, "path": os.path.basename(path),
-                   "base_channels": bc}, f)
+    if update_latest:
+        with open(os.path.join(directory, "latest.json"), "w") as f:
+            # store the step dir NAME, not an absolute path — the checkpoint
+            # directory must stay relocatable (loaders join it with
+            # `directory`) — plus the net width, so loaders don't need the
+            # TrainConfig
+            bc = int(state.params["Conv_0"]["kernel"].shape[-1])
+            json.dump({"step": step, "path": os.path.basename(path),
+                       "base_channels": bc}, f)
     return path
 
 
@@ -196,7 +203,9 @@ def train(config: TrainConfig) -> Dict[str, Any]:
                 logger.info("early stop at epoch %d (best PSNR %.2f)", epoch, best_psnr)
                 break
         if config.checkpoint_every and (epoch + 1) % config.checkpoint_every == 0:
-            save_checkpoint(state, config.checkpoint_dir, epoch)
+            # resume snapshot only: latest.json keeps pointing at the BEST
+            save_checkpoint(state, config.checkpoint_dir, epoch,
+                            update_latest=False)
 
     if log_f:
         log_f.close()

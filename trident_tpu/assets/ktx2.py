@@ -150,6 +150,10 @@ def write_ktx2(path: str, images: np.ndarray, cubemap: bool = False,
     face_count = 6 if cubemap else 1
     if cubemap and n != 6:
         raise ValueError("cubemap needs 6 images")
+    # a non-cubemap stack of N>1 images is an array texture: the header
+    # must say so (layerCount=N) or readers compute 1 image per level and
+    # silently drop the rest of the payload
+    layer_count = 0 if cubemap or n == 1 else n
 
     def compress(payload: bytes) -> bytes:
         if scheme == 2:
@@ -166,7 +170,8 @@ def write_ktx2(path: str, images: np.ndarray, cubemap: bool = False,
     comps = [compress(p) for p in payloads]
 
     header = _KTX2_MAGIC + struct.pack(
-        "<9I", vk_format, 1, w, h, 0, 0, face_count, len(level_imgs), scheme)
+        "<9I", vk_format, 1, w, h, 0, layer_count, face_count,
+        len(level_imgs), scheme)
     # index: no dfd/kvd/sgd blocks (offsets 0), then the level entries
     index = struct.pack("<4I2Q", 0, 0, 0, 0, 0, 0)
     data_off = len(header) + len(index) + 24 * len(level_imgs)

@@ -174,92 +174,121 @@ def _parse_path(d: str) -> List[np.ndarray]:
         nonlocal i
         v = items[i:i + n]
         i += n
+        if len(v) < n:
+            # short coordinate list at end-of-data: lenient skip, not a
+            # fatal unpacking error (module contract)
+            raise _ShortPathData
         return [float(x) for x in v]
 
     cmd = ""
-    while i < len(items):
-        if isinstance(items[i], str):
-            cmd = items[i]
-            i += 1
-        elif cmd in "Mm":  # implicit lineto after moveto
-            cmd = "L" if cmd == "M" else "l"
-        rel = cmd.islower()
-        c = cmd.upper()
-        if c == "M":
-            x, y = take(2)
-            pos = pos + (x, y) if rel else np.array([x, y])
-            if len(cur) > 1:
-                subpaths.append(np.array(cur))
-            cur = [pos.copy()]
-            start = pos.copy()
-            last_ctrl = None
-        elif c == "L":
-            x, y = take(2)
-            pos = pos + (x, y) if rel else np.array([x, y])
-            cur.append(pos.copy()); last_ctrl = None
-        elif c == "H":
-            (x,) = take(1)
-            pos = np.array([pos[0] + x if rel else x, pos[1]])
-            cur.append(pos.copy()); last_ctrl = None
-        elif c == "V":
-            (y,) = take(1)
-            pos = np.array([pos[0], pos[1] + y if rel else y])
-            cur.append(pos.copy()); last_ctrl = None
-        elif c in "CS":
-            if c == "C":
-                x1, y1, x2, y2, x, y = take(6)
-                p1 = pos + (x1, y1) if rel else np.array([x1, y1])
-            else:
-                x2, y2, x, y = take(4)
-                p1 = (2 * pos - last_ctrl if last_ctrl is not None
-                      and last_cmd in "CcSs" else pos.copy())
-            p2 = pos + (x2, y2) if rel else np.array([x2, y2])
-            p3 = pos + (x, y) if rel else np.array([x, y])
-            cur.extend(_flatten_cubic(pos, p1, p2, p3))
-            last_ctrl = p2; pos = p3
-        elif c in "QT":
-            if c == "Q":
-                x1, y1, x, y = take(4)
-                p1 = pos + (x1, y1) if rel else np.array([x1, y1])
-            else:
+    try:
+        while i < len(items):
+            if isinstance(items[i], str):
+                cmd = items[i]
+                i += 1
+            elif cmd in "Mm":  # implicit lineto after moveto
+                cmd = "L" if cmd == "M" else "l"
+            elif cmd in "Zz" or not cmd:
+                # numbers after Z (or before any command) are malformed data:
+                # the Z branch consumes no tokens, so re-entering it would
+                # spin forever — lenient skip of the rest of the path
+                break
+            rel = cmd.islower()
+            c = cmd.upper()
+            if c == "M":
                 x, y = take(2)
-                p1 = (2 * pos - last_ctrl if last_ctrl is not None
-                      and last_cmd in "QqTt" else pos.copy())
-            p2 = pos + (x, y) if rel else np.array([x, y])
-            cur.extend(_flatten_quad(pos, p1, p2))
-            last_ctrl = p1; pos = p2
-        elif c == "A":
-            rx, ry, rot, large, sweep, x, y = take(7)
-            p1 = pos + (x, y) if rel else np.array([x, y])
-            cur.extend(_flatten_arc(pos, rx, ry, rot, bool(large),
-                                    bool(sweep), p1))
-            pos = p1; last_ctrl = None
-        elif c == "Z":
-            cur.append(start.copy())
-            if len(cur) > 1:
-                subpaths.append(np.array(cur))
-            cur = [start.copy()]
-            pos = start.copy()
-            last_ctrl = None
-        else:
-            break
-        last_cmd = cmd
+                pos = pos + (x, y) if rel else np.array([x, y])
+                if len(cur) > 1:
+                    subpaths.append(np.array(cur))
+                cur = [pos.copy()]
+                start = pos.copy()
+                last_ctrl = None
+            elif c == "L":
+                x, y = take(2)
+                pos = pos + (x, y) if rel else np.array([x, y])
+                cur.append(pos.copy()); last_ctrl = None
+            elif c == "H":
+                (x,) = take(1)
+                pos = np.array([pos[0] + x if rel else x, pos[1]])
+                cur.append(pos.copy()); last_ctrl = None
+            elif c == "V":
+                (y,) = take(1)
+                pos = np.array([pos[0], pos[1] + y if rel else y])
+                cur.append(pos.copy()); last_ctrl = None
+            elif c in "CS":
+                if c == "C":
+                    x1, y1, x2, y2, x, y = take(6)
+                    p1 = pos + (x1, y1) if rel else np.array([x1, y1])
+                else:
+                    x2, y2, x, y = take(4)
+                    p1 = (2 * pos - last_ctrl if last_ctrl is not None
+                          and last_cmd in "CcSs" else pos.copy())
+                p2 = pos + (x2, y2) if rel else np.array([x2, y2])
+                p3 = pos + (x, y) if rel else np.array([x, y])
+                cur.extend(_flatten_cubic(pos, p1, p2, p3))
+                last_ctrl = p2; pos = p3
+            elif c in "QT":
+                if c == "Q":
+                    x1, y1, x, y = take(4)
+                    p1 = pos + (x1, y1) if rel else np.array([x1, y1])
+                else:
+                    x, y = take(2)
+                    p1 = (2 * pos - last_ctrl if last_ctrl is not None
+                          and last_cmd in "QqTt" else pos.copy())
+                p2 = pos + (x, y) if rel else np.array([x, y])
+                cur.extend(_flatten_quad(pos, p1, p2))
+                last_ctrl = p1; pos = p2
+            elif c == "A":
+                rx, ry, rot, large, sweep, x, y = take(7)
+                p1 = pos + (x, y) if rel else np.array([x, y])
+                cur.extend(_flatten_arc(pos, rx, ry, rot, bool(large),
+                                        bool(sweep), p1))
+                pos = p1; last_ctrl = None
+            elif c == "Z":
+                cur.append(start.copy())
+                if len(cur) > 1:
+                    subpaths.append(np.array(cur))
+                cur = [start.copy()]
+                pos = start.copy()
+                last_ctrl = None
+            else:
+                break
+            last_cmd = cmd
+    except _ShortPathData:
+        pass
     if len(cur) > 1:
         subpaths.append(np.array(cur))
     return subpaths
 
 
+class _ShortPathData(Exception):
+    """Path data ended mid-command; the parsed prefix is still used."""
+
+
 def _style(el, inherited):
     st = dict(inherited)
-    decl = el.get("style", "")
-    for part in decl.split(";"):
-        if ":" in part:
-            k, v = part.split(":", 1)
-            st[k.strip()] = v.strip()
+    # CSS priority: the style attribute BEATS presentation attributes
+    # (Inkscape/Illustrator emit both; the declaration wins per spec)
+    own = {}
     for k in ("fill", "stroke", "stroke-width", "fill-opacity",
               "stroke-opacity", "opacity", "fill-rule"):
         if el.get(k) is not None:
-            st[k] = el.get(k)
+            own[k] = el.get(k)
+    for part in el.get("style", "").split(";"):
+        if ":" in part:
+            k, v = part.split(":", 1)
+            own[k.strip()] = v.strip()
+    for k, v in own.items():
+        if k == "opacity":
+            # group opacity MULTIPLIES down the tree (a 0.8 child inside
+            # a 0.5 group composites at 0.4), it is not inherited-then-
+            # replaced like paint properties
+            try:
+                st[k] = str(float(inherited.get("opacity", 1.0)) * float(v))
+            except ValueError:
+                pass
+        else:
+            st[k] = v
     return st
 
 
@@ -415,7 +444,9 @@ def rasterize_svg(text: str, width: Optional[int] = None,
             world = [_apply(xf, p) for p in subpaths if len(p) >= 2]
             opacity = float(st.get("opacity", 1.0))
             fill = _parse_color(st.get("fill", "black"))
-            if fill is not None and t not in ("line", "polyline"):
+            # polyline fills as an implicitly-closed shape per the spec
+            # (and nanosvg); only <line> has nothing to fill
+            if fill is not None and t != "line":
                 a = opacity * float(st.get("fill-opacity", 1.0))
                 mask = shape_mask(world, st.get("fill-rule", "nonzero"))
                 if mask is not None and a > 0:
@@ -442,9 +473,17 @@ def rasterize_svg(text: str, width: Optional[int] = None,
                               "metadata", "title", "desc"):
             walk(child, view, {})
 
-    # box-filter the supersampled coverage down and convert to uint8
+    # box-filter the supersampled coverage down and convert to uint8.
+    # Average PREMULTIPLIED color: uncovered subpixels are rgb=0 a=0, and
+    # averaging straight alpha with them darkens every edge (a half-
+    # covered red pixel must stay pure red at alpha 0.5, not 25% red)
     if ss > 1:
-        canvas = canvas.reshape(height, ss, width, ss, 4).mean(axis=(1, 3))
+        grid = canvas.reshape(height, ss, width, ss, 4)
+        pre = np.concatenate([grid[..., :3] * grid[..., 3:4],
+                              grid[..., 3:4]], axis=-1).mean(axis=(1, 3))
+        a = pre[..., 3:4]
+        canvas = np.concatenate(
+            [pre[..., :3] / np.where(a > 1e-6, a, 1.0), a], axis=-1)
     return np.clip(np.round(canvas * 255.0), 0, 255).astype(np.uint8)
 
 
