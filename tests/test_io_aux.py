@@ -166,3 +166,85 @@ def test_config_env_overrides(monkeypatch):
     cfg = EngineConfig.from_env()
     assert cfg.ai.model_path == "/models/x" and cfg.ai.enabled
     assert cfg.capture.dataset_enabled and cfg.capture.dataset_dir == "/caps"
+
+
+def test_file_watcher_preserved_timestamps_and_new_watch(tmp_path):
+    """Replacements with preserved (older) mtimes must fire (cp -p /
+    rsync -a), and adding a watch must not swallow pending changes in
+    already-watched directories."""
+    d = tmp_path / "Textures"
+    d.mkdir()
+    (d / "a.png").write_bytes(b"x")
+    w = FileWatcher(poll_interval=0.0)
+    w.watch(str(d), ReloadType.TEXTURE)
+    w.poll(now=0.0)
+    # replace with an OLDER timestamp (tar -x style)
+    os.utime(d / "a.png", (1000.0, 1000.0))
+    assert w.poll(now=1.0) == 1
+    # a pending change must survive a watch() added before the next poll
+    os.utime(d / "a.png", (2000.0, 2000.0))
+    d2 = tmp_path / "Models"
+    d2.mkdir()
+    (d2 / "m.obj").write_bytes(b"o")
+    w.watch(str(d2), ReloadType.MODEL)
+    assert w.poll(now=2.0) == 1           # the texture change, not m.obj
+    assert w.pop_pending().kind == ReloadType.TEXTURE
+    assert w.pop_pending().kind == ReloadType.TEXTURE
+
+
+def test_input_mouse_delta_survives_frame_start():
+    """Events are posted BETWEEN frames; begin_frame must not zero the
+    delta a camera controller reads during update."""
+    inp = Input()
+    inp.on_event(MouseMovedEvent(x=0, y=0))
+    inp.end_frame()
+    inp.on_event(MouseMovedEvent(x=7, y=-3))   # posted before the frame
+    inp.begin_frame()
+    assert inp.mouse_delta == (7, -3)
+    inp.end_frame()
+    inp.begin_frame()
+    assert inp.mouse_delta == (0, 0)
+
+
+def test_dataset_recorder_full_queue_keeps_index(tmp_path):
+    """A full queue must consume neither the sample index nor the
+    throttle window — the dataset stays gap-free and retries next frame."""
+    import numpy as np
+
+    rec = FrameDatasetRecorder(str(tmp_path), interval_s=10.0)
+    rec.start()
+    try:
+        frame = np.zeros((4, 4, 3), np.float32)
+        # fill the queue with unwritable jobs by pausing the worker via
+        # a burst (queue maxsize is small); simpler: monkey-fill directly
+        while True:
+            try:
+                rec._queue.put_nowait(None.__class__)  # junk occupies slots
+            except Exception:
+                break
+        assert rec.record_input_frame(frame, now=100.0) is None
+        assert rec._next_index == 0                    # index NOT consumed
+        # drain the junk; the throttle window was not burned either
+        while not rec._queue.empty():
+            try:
+                rec._queue.get_nowait()
+            except Exception:
+                break
+        idx = rec.record_input_frame(frame, now=100.1)
+        assert idx == 0
+    finally:
+        rec.stop()
+
+
+def test_overlay_queue_consumed_on_present():
+    """present() consumes the viewport's queued text (draw-list
+    semantics): nothing calls begin_frame in production, so without this
+    every string ever queued re-rendered forever."""
+    from trident_tpu.io.text_overlay import TextOverlay
+
+    ov = TextOverlay()
+    ov.queue_text(0, "fps 60", 2, 2)
+    assert ov.has_text(0)
+    assert ov.render_overlay(0, 32, 32) is not None
+    ov.clear_viewport(0)
+    assert not ov.has_text(0)

@@ -61,6 +61,7 @@ class Application:
             resolution=self.config.ai.net_resolution,
             base_channels=self.config.ai.base_channels)
         self._ai_last_submit = 0.0
+        self._ai_job_to_dataset: dict = {}   # AI job index → dataset index
         if self.config.capture.dataset_enabled:
             self.dataset_recorder.start()
         if self.config.ai.enabled and self.config.ai.model_path:
@@ -167,17 +168,27 @@ class Application:
         if self.video_encoder.active:
             self.video_encoder.submit_frame(frame)
         rgb = frame[..., :3].astype(np.float32) / 255.0
+        rec_index = None
         if self.dataset_recorder.running:
-            self.dataset_recorder.record_input_frame(rgb)
+            rec_index = self.dataset_recorder.record_input_frame(rgb)
         if self.frame_generator.stats.enabled:
             now = _time.monotonic()
             if (now - self._ai_last_submit) * 1000.0 >= self.config.ai.cadence_ms:
                 self._ai_last_submit = now
-                self.frame_generator.process_frame(rgb)
+                job = self.frame_generator.process_frame(rgb)
+                # pairing map: the AI output for THIS source frame must be
+                # written under the recorder index of the SAME frame —
+                # the generator's own job counter runs on a different
+                # cadence than the 0.5s dataset throttle, so using it
+                # directly silently mispaired the whole dataset
+                if job is not None and rec_index is not None:
+                    self._ai_job_to_dataset[job] = rec_index
             result = self.frame_generator.try_consume_output()
             if result is not None:
                 index, ai_frame = result
-                self.dataset_recorder.record_ai_output(index, ai_frame)
+                rec_idx = self._ai_job_to_dataset.pop(index, None)
+                if rec_idx is not None:
+                    self.dataset_recorder.record_ai_output(rec_idx, ai_frame)
                 h, w = self.renderer.viewports[self.renderer.active_viewport].height, \
                     self.renderer.viewports[self.renderer.active_viewport].width
                 self.renderer.set_ai_frame(_upscale(ai_frame, h, w),

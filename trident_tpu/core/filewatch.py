@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import os
 import time
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from enum import Enum, auto
 from typing import Dict, List, Optional, Sequence, Tuple
 
@@ -48,7 +48,7 @@ class FileWatcher:
 
     def __init__(self, poll_interval: float = 0.5) -> None:
         self._watches: List[Tuple[str, ReloadType, Tuple[str, ...]]] = []
-        self._mtimes: Dict[str, float] = {}
+        self._mtimes: Dict[Tuple[str, ReloadType], float] = {}
         self._pending: List[ReloadEvent] = []
         self._next_id = 1
         self._poll_interval = poll_interval
@@ -59,21 +59,32 @@ class FileWatcher:
               extensions: Optional[Sequence[str]] = None) -> None:
         exts = tuple(e.lower() for e in (extensions or DEFAULT_EXTENSIONS[kind]))
         self._watches.append((directory, kind, exts))
-        self._primed = False
+        if self._primed:
+            # baseline ONLY the new watch: resetting the global prime would
+            # make the next poll() swallow real pending changes in every
+            # previously-watched directory
+            for key, mtime in self._scan_one(directory, kind, exts).items():
+                self._mtimes.setdefault(key, mtime)
+
+    def _scan_one(self, directory: str, kind: ReloadType,
+                  exts: Tuple[str, ...]) -> Dict[Tuple[str, ReloadType], float]:
+        seen: Dict[Tuple[str, ReloadType], float] = {}
+        if not os.path.isdir(directory):
+            return seen
+        for root, _dirs, files in os.walk(directory):
+            for name in files:
+                if os.path.splitext(name)[1].lower() in exts:
+                    path = os.path.join(root, name)
+                    try:
+                        seen[(path, kind)] = os.stat(path).st_mtime
+                    except OSError:
+                        continue
+        return seen
 
     def _scan(self) -> Dict[Tuple[str, ReloadType], float]:
         seen: Dict[Tuple[str, ReloadType], float] = {}
         for directory, kind, exts in self._watches:
-            if not os.path.isdir(directory):
-                continue
-            for root, _dirs, files in os.walk(directory):
-                for name in files:
-                    if os.path.splitext(name)[1].lower() in exts:
-                        path = os.path.join(root, name)
-                        try:
-                            seen[(path, kind)] = os.stat(path).st_mtime
-                        except OSError:
-                            continue
+            seen.update(self._scan_one(directory, kind, exts))
         return seen
 
     def poll(self, now: Optional[float] = None) -> int:
@@ -85,11 +96,15 @@ class FileWatcher:
         current = self._scan()
         queued = 0
         for (path, kind), mtime in current.items():
-            prev = self._mtimes.get(path)
-            self._mtimes[path] = mtime
+            # keyed by (path, kind): a file matched by two watches of
+            # different kinds must fire BOTH subsystems' events
+            prev = self._mtimes.get((path, kind))
+            self._mtimes[(path, kind)] = mtime
             if not self._primed:
                 continue  # first scan just records baseline
-            if prev is None or mtime > prev:
+            if prev is None or mtime != prev:
+                # != not >: cp -p / rsync -a / tar -x replace files with
+                # PRESERVED (possibly older) timestamps
                 self._pending.append(ReloadEvent(self._next_id, kind, path))
                 self._next_id += 1
                 queued += 1

@@ -6,7 +6,7 @@ down/pressed/released/repeat + mouse delta/scroll, with UI-capture gating.
 
 from __future__ import annotations
 
-from typing import Dict, Set, Tuple
+from typing import Set, Tuple
 
 from trident_tpu.core.events import (
     Event,
@@ -44,7 +44,9 @@ class Input:
 
     # -- frame lifecycle ----------------------------------------------------------
     def begin_frame(self) -> None:
-        self._mouse_prev = self._mouse_pos
+        pass  # the prev-position snapshot lives in end_frame: events are
+              # posted BETWEEN frames, so snapshotting here (after they
+              # arrived) would zero every frame's mouse_delta
 
     def end_frame(self) -> None:
         self._pressed.clear()
@@ -53,6 +55,7 @@ class Input:
         self._mouse_pressed.clear()
         self._mouse_released.clear()
         self._scroll = (0.0, 0.0)
+        self._mouse_prev = self._mouse_pos
 
     # -- event feed ------------------------------------------------------------------
     def on_event(self, event: Event) -> None:

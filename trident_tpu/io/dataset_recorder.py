@@ -75,13 +75,17 @@ class FrameDatasetRecorder:
         now = time.monotonic() if now is None else now
         if now - self._last_capture < self.interval_s:
             return None
+        try:
+            self._queue.put_nowait(_Job("input", self._next_index,
+                                        np.asarray(frame, np.float32)))
+        except queue.Full:
+            # enqueue failed: do NOT consume the index (the dataset stays
+            # gap-free) and do NOT burn the throttle window (retry on the
+            # very next frame instead of interval_s later)
+            return None
         self._last_capture = now
         index = self._next_index
         self._next_index += 1
-        try:
-            self._queue.put_nowait(_Job("input", index, np.asarray(frame, np.float32)))
-        except queue.Full:
-            return None
         return index
 
     def record_ai_output(self, index: int, frame: np.ndarray) -> None:

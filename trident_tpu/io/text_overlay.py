@@ -9,7 +9,7 @@ UI text is an overlay concern, not 3D geometry.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
@@ -44,6 +44,9 @@ class TextOverlay:
     def begin_frame(self) -> None:
         self._queues.clear()
 
+    def clear_viewport(self, viewport_id: int) -> None:
+        self._queues.pop(viewport_id, None)
+
     def has_text(self, viewport_id: int) -> bool:
         return bool(self._queues.get(viewport_id))
 
@@ -62,7 +65,13 @@ class TextOverlay:
                     font = ImageFont.truetype(
                         "/usr/share/fonts/truetype/dejavu/DejaVuSansMono.ttf", size)
                 except OSError:
-                    font = ImageFont.load_default()
+                    try:
+                        # PIL >= 9.2: the default bitmap font scales; a
+                        # sizeless fallback would render EVERY queued size
+                        # at ~11px while the per-size cache hides it
+                        font = ImageFont.load_default(size=size)
+                    except TypeError:
+                        font = ImageFont.load_default()
             self._fonts[size] = font
         return self._fonts[size]
 

@@ -886,6 +886,11 @@ class Renderer:
             from trident_tpu.io.text_overlay import composite_overlay
 
             frame = composite_overlay(frame, overlay)
+            # draw-list semantics: a presented queue is consumed — callers
+            # re-queue each frame (nothing in production calls
+            # begin_frame, so without this the overlay accumulated every
+            # string ever queued and re-rasterized them all forever)
+            self.text.clear_viewport(vid)
         return frame
 
     def pick(self, x: int, y: int, viewport_id: Optional[int] = None) -> int:

@@ -75,11 +75,16 @@ class Profiler:
 
 @contextlib.contextmanager
 def profile_block(name: str):
-    """Annotate a host-side block in the device trace (StepTraceAnnotation)."""
+    """Annotate a host-side block in the device trace (StepTraceAnnotation).
+    The single `yield` sits OUTSIDE any except path: a yield in an except
+    handler would make the generator yield twice when the USER'S block
+    raises (contextlib throws into the first yield), replacing the real
+    exception with RuntimeError(\"generator didn't stop after throw()\")."""
     try:
         import jax
 
-        with jax.profiler.TraceAnnotation(name):
-            yield
+        cm = jax.profiler.TraceAnnotation(name)
     except Exception:
+        cm = contextlib.nullcontext()
+    with cm:
         yield
