@@ -152,7 +152,14 @@ def _arm_watchdog():
             "metric": "bench_error", "value": 0, "unit": "none",
             "vs_baseline": 0,
             "extra": {"error": f"no result within {limit:.0f}s — backend "
-                               "unreachable (tunnel down?) or compile hung"}}),
+                               "unreachable (tunnel down?) or compile hung",
+                      # last numbers measured on hardware BEFORE the axon
+                      # tunnel outage of 2026-08-17 (PERF.md round-3
+                      # record, v5e, scan-mode device FPS, aux=[0,0]):
+                      "last_measured_pre_outage": {
+                          "spheres1080_1m": 19.69, "ultra4k": 8.98,
+                          "spheres1080": 45.35, "cube512": 387.1,
+                          "date": "2026-08-17"}}}),
               flush=True)
         os._exit(3)
 
