@@ -209,6 +209,30 @@ def _dryrun_banded_render(n_devices: int, size: int = 64) -> None:
     print(f"dryrun banded render OK: {n_devices} bands (pallas+shadows), "
           f"covered px={covered}")
 
+    # the PRODUCTION interactive multi-chip path ships per-frame state as
+    # TWO packed blobs (render_frame_banded_bundled; shadow bias arrives
+    # traced through the shard_map) — it must produce the identical frame
+    from trident_tpu.parallel.framebuffer import render_frame_banded_bundled
+    from trident_tpu.render.bundle import pack_frame
+
+    f32b, i32b, bshape = pack_frame(params, np.asarray(palette),
+                                    np.asarray(shade),
+                                    r.editor_camera.params(), lights,
+                                    light_cam, 0.0)
+    out_b = jax.jit(functools.partial(
+        render_frame_banded_bundled, fb_mesh, "fb",
+        shape=bshape, width=size, height=size,
+        clear_color=(0.05, 0.05, 0.08, 1.0),
+        raster="pallas", skinned=False, forward_shading=True,
+        shadow_size=size, shadow_pcf=True))(
+        geo, plan, tri_draw, f32b, i32b, tex, sky, ai.image)
+    if not np.array_equal(np.asarray(out_b.color), color):
+        # shadow_bias is a jit STATIC float in the unbundled call above
+        # but traced from the blob here — allow only that 1-ulp class
+        diff = np.abs(np.asarray(out_b.color).astype(int) - color.astype(int))
+        assert diff.max() <= 1, f"bundled banded diverges: max {diff.max()}"
+    print(f"dryrun bundled banded OK: {n_devices} bands, 2-blob uploads")
+
     # neural 2× on bands: half-res banded render + reconstruction on the
     # row-sharded frame (GSPMD halo-exchanged convs); zero-init net = the
     # bilinear baseline, so the output must stay a valid full-size frame
