@@ -95,8 +95,14 @@ RESOLVE_SKIP = _os.environ.get("TRIDENT_RESOLVE_SKIP", "0") == "1"
 #     mid = bf16(r−hi), lo = bf16(r−hi−mid); each subtraction cancels
 #     high bits exactly, and 3×8 significand bits cover f32's 24, so
 #     hi+mid+lo == r EXACTLY and the f32 accumulator reassembles it —
-#     3 DEFAULT passes AND half the record DMA bytes (bf16 3·RW ≤ one
-#     128-lane tile vs f32 RW padded to 128);
+#     3 DEFAULT passes instead of ~6. The planes ride a LEADING axis of
+#     the record block ((NC+1, 3, C, RW) bf16, hardware round-3 redesign):
+#     the first cut concatenated them along lanes ((NC+1, C, 3·RW)) and
+#     measured BELOW the fp32 pin (18.25 vs 18.45 FPS at 1M/1080p) —
+#     each part's rec[:, k·RW:(k+1)·RW] lane-offset slice relayouts per
+#     step, and the one-hot paid an extra (C, npx) f32→bf16 cast per
+#     step. Stacked planes slice on a leading dim (free) and the one-hot
+#     is built bf16 at the compare;
 #   bf16 — raw DEFAULT pass on the f32 records: cheapest, records round
 #     to 8 mantissa bits if Mosaic's default is a single pass.
 _PREC_MODE = _os.environ.get("TRIDENT_RESOLVE_PREC", "fp32")
@@ -106,19 +112,25 @@ if _PREC_MODE not in ("fp32", "split", "bf16"):
 _PREC = jax.lax.Precision.HIGHEST if _PREC_MODE == "fp32" else None
 
 
-def _winner_select(rec, oh):
-    """One-hot contraction of the (K, RW or 3·RW) record block against the
-    (K, npx) one-hot — the precision strategy lives only here."""
+def _oh_dtype():
+    """One-hot element type: bf16 in split mode (0/1 are bf16-exact and
+    building it bf16 at the compare saves a (K, npx) cast per step)."""
+    return jnp.bfloat16 if _PREC_MODE == "split" else jnp.float32
+
+
+def _winner_select(rec_ref, oh, rows=slice(None)):
+    """One-hot contraction of the record block ref's `rows` triangle slice
+    (static, RESOLVE_HALF) against the (K, npx) one-hot — the precision
+    strategy lives only here. `rec_ref` is the (1, C, RW) block ref, or
+    (1, 3, C, RW) bf16 hi/mid/lo planes in split mode."""
     dims = (((0,), (0,)), ((), ()))
     if _PREC_MODE != "split":
-        return jax.lax.dot_general(rec, oh, dims,
+        return jax.lax.dot_general(rec_ref[0, rows], oh, dims,
                                    preferred_element_type=jnp.float32,
                                    precision=_PREC)
-    rw = rec.shape[1] // 3
-    ohb = oh.astype(jnp.bfloat16)
 
     def part(k):
-        return jax.lax.dot_general(rec[:, k * rw:(k + 1) * rw], ohb, dims,
+        return jax.lax.dot_general(rec_ref[0, k, rows], oh, dims,
                                    preferred_element_type=jnp.float32)
 
     # sum order matters for exactness: hi+mid is ≤17 significand bits
@@ -268,9 +280,10 @@ def _resolve_kernel(band_ref, pair_tile_ref, pair_chunk_ref, won_ref,
                 oh = jnp.where(
                     mine_h,
                     (jax.lax.broadcasted_iota(jnp.int32, (hc, npx), 0)
-                     == rel - h * hc).astype(jnp.float32), 0.0)
-                blk = rec_ref[0, h * hc:(h + 1) * hc, :]
-                interpolants(_winner_select(blk, oh), mine_h)
+                     == rel - h * hc).astype(_oh_dtype()), 0.0)
+                interpolants(_winner_select(rec_ref, oh,
+                                            slice(h * hc, (h + 1) * hc)),
+                             mine_h)
     else:
         # skip mode gates on the SCALAR owner flag alone: owners have
         # any(mine) true by construction (owns below IS any(mine)), and
@@ -280,8 +293,8 @@ def _resolve_kernel(band_ref, pair_tile_ref, pair_chunk_ref, won_ref,
         @pl.when(run)
         def _():
             oh = (jax.lax.broadcasted_iota(jnp.int32, (CHUNK, npx), 0)
-                  == rel).astype(jnp.float32)
-            interpolants(_winner_select(rec_ref[0], oh), mine)
+                  == rel).astype(_oh_dtype())
+            interpolants(_winner_select(rec_ref, oh), mine)
 
 
 def resolve_attrs_pallas(bins: PallasBins, tri_tiles: Array, records: Array,
@@ -306,13 +319,14 @@ def resolve_attrs_pallas(bins: PallasBins, tri_tiles: Array, records: Array,
     if _PREC_MODE == "split":
         # exact 3-way bf16 decomposition (see the mode comment at top):
         # each subtraction cancels the already-captured high bits, so it
-        # is exact in f32 and hi+mid+lo reconstructs records bit-exactly
+        # is exact in f32 and hi+mid+lo reconstructs records bit-exactly.
+        # Planes stack on a LEADING axis — per-step slicing stays off the
+        # lane dim (a k·RW lane-offset bf16 slice relayouts every step)
         hi = records.astype(jnp.bfloat16)
         r1 = records - hi.astype(jnp.float32)
         mid = r1.astype(jnp.bfloat16)
         lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
-        records = jnp.concatenate([hi, mid, lo], axis=-1)  # (NC, C, 3·RW)
-        rw = rw * 3
+        records = jnp.stack([hi, mid, lo], axis=1)     # (NC, 3, C, RW)
 
     pair_tile, pair_chunk, n_grid = bins.pair_tile, bins.pair_chunk, bins.n_real
     idx = jnp.arange(bins.n_pairs, dtype=jnp.int32)
@@ -368,6 +382,11 @@ def resolve_attrs_pallas(bins: PallasBins, tri_tiles: Array, records: Array,
         num_scalar_prefetch=4,
         grid=(jnp.maximum(n_grid, 1),),
         in_specs=[
+            pl.BlockSpec((1, 3, CHUNK, rw),
+                         lambda i, band, tiles, chunks, won:
+                         (chunks[i], 0, 0, 0),
+                         memory_space=pltpu.VMEM)
+            if _PREC_MODE == "split" else
             pl.BlockSpec((1, CHUNK, rw),
                          lambda i, band, tiles, chunks, won: (chunks[i], 0, 0),
                          memory_space=pltpu.VMEM),

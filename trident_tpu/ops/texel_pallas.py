@@ -35,8 +35,10 @@ Cost model (why this wins): a full-table one-hot costs P·Q·C MACs — the
 invariant for ANY dense-matmul gather — but the windowed form costs
 P·(trips·512)·C with trips ≈ 1-6 measured on the flagship scene, putting
 the MXU work at ~0.2-1 TFLOP-equivalent ≈ 1-3 ms and the VPU compare work
-at ~trips·0.5 ms, vs 16.6 ms of serialized gather rows. Enabled by
-TRIDENT_TEXEL_MXU=1 (A/B knob) when the table fits the VMEM budget.
+at ~trips·0.5 ms, vs 16.6 ms of serialized gather rows. Default ON since
+the round-3 hardware A/B (19.29 vs 18.5 FPS at 1M/1080p; exact, parity-
+tested vs the gather path); TRIDENT_TEXEL_MXU=0 restores the gather when
+the table exceeds the VMEM budget (also falls back automatically).
 """
 
 from __future__ import annotations
@@ -51,7 +53,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 Array = jax.Array
 
-TEXEL_MXU = _os.environ.get("TRIDENT_TEXEL_MXU", "0") == "1"
+TEXEL_MXU = _os.environ.get("TRIDENT_TEXEL_MXU", "1") == "1"
 
 SLAB = int(_os.environ.get("TRIDENT_TEXEL_SLAB", "512"))
                              # table rows per one-hot contraction: smaller
