@@ -63,13 +63,26 @@ def test_bench_scale_oracle_parity_on_hardware():
     tri_vtx = jnp.arange(t * 3, dtype=jnp.int32).reshape(t, 3)
     setup = triangle_setup(jnp.asarray(clip.reshape(t * 3, 4)), tri_vtx,
                            jnp.ones(t, bool), w, h)
-    ref = visibility_ref(setup, w, h)
+    # oracle in 135-row bands, each FORCED before the next: the whole-frame
+    # oracle scan builds (chunk, 3, 1080, 1920) f32 intermediates — at
+    # chunk=64 that is ~1.6 GB per step, which crashed the TPU worker the
+    # first time this suite ran on the chip (r3hw2.log 2026-08-18; the
+    # crash then surfaced as an UNAVAILABLE on the NEXT dispatch, blaming
+    # the Pallas call). Banding uses the oracle's own y_offset band path
+    # (bit-identical global-pixel arithmetic, parallel/framebuffer.py).
+    band_h, rt_b, rd_b = 135, [], []
+    for y0 in range(0, h, band_h):
+        band = visibility_ref(setup, w, band_h, chunk=32, y_offset=y0)
+        rt_b.append(np.asarray(band.tri_id))
+        rd_b.append(np.asarray(band.depth))
+        print(f"oracle band y={y0} done", flush=True)
+    rt = np.concatenate(rt_b, axis=0)
+    rd = np.concatenate(rd_b, axis=0)
     pal = visibility_pallas(setup, w, h)
-    rt, pt = np.asarray(ref.tri_id), np.asarray(pal.tri_id)
+    pt = np.asarray(pal.tri_id)
     mism = (rt != pt).sum()
     assert mism == 0, f"{mism} winner mismatches vs oracle at bench scale"
-    np.testing.assert_allclose(np.asarray(ref.depth), np.asarray(pal.depth),
-                               atol=1e-6)
+    np.testing.assert_allclose(rd, np.asarray(pal.depth), atol=1e-6)
     aux = np.asarray(pal.aux)
     assert aux.sum() == 0, f"capacity overflow at bench scale: {aux}"
 
