@@ -156,6 +156,74 @@ def test_resolve_prec_split_bit_exact(monkeypatch):
     np.testing.assert_array_equal(frames["fp32"], both)
 
 
+def test_resolve_transposed_records_bit_exact(monkeypatch):
+    """The transposed record layout (planes.RESOLVE_TR: (RW, (NC+1)·C)
+    columns, 32 KB per resolve block instead of 128 KB of mostly lane
+    padding) must reproduce the lane-major layout BIT-EXACTLY: same
+    contraction terms, only the operand side differs. Covers fp32, the
+    split decomposition on top of TR, and the skip fast-path."""
+    from trident_tpu.ops import planes as planes_mod
+    from trident_tpu.ops import resolve_pallas as rp
+    from trident_tpu.ops.raster_pallas import CHUNK
+
+    w, h = 256, 128
+    setup, records = _random_setup_and_records(w=w, h=h)
+    # records: (NC+1, C, RW) — the TR twin packs the same rows as columns
+    nc1, c, rw = records.shape
+    cols = jnp.asarray(np.asarray(records).reshape(nc1 * c, rw).T)
+    records_tr = cols[:, :]                        # (RW, (NC+1)·C)
+    assert records_tr.shape == (rw, nc1 * c)
+
+    base = np.asarray(_vis_resolve(setup, records, w, h, skip=False))
+    for mode in ("fp32", "split"):
+        monkeypatch.setattr(rp, "_PREC_MODE", mode)
+        tr_out = np.asarray(_vis_resolve(setup, records_tr, w, h,
+                                         skip=False))
+        np.testing.assert_array_equal(base, tr_out, err_msg=f"tr/{mode}")
+    monkeypatch.setattr(rp, "_PREC_MODE", "fp32")
+    fast = np.asarray(_vis_resolve(setup, records_tr, w, h, skip=True))
+    np.testing.assert_array_equal(base, fast)
+    assert np.abs(base).sum() > 0
+
+
+def test_resolve_compact_v2_bit_exact(monkeypatch):
+    """Owning-pair compaction (TRIDENT_RESOLVE_COMPACT, cumsum+scatter v2)
+    runs the resolve grid over owners only; the attribute image must match
+    the full grid bit-exactly — owners execute identical steps in
+    identical order, losers never touched the output."""
+    from trident_tpu.ops import resolve_pallas as rp
+
+    w, h = 256, 128
+    setup, records = _random_setup_and_records(w=w, h=h)
+    base = np.asarray(_vis_resolve(setup, records, w, h, skip=False))
+    monkeypatch.setattr(rp, "RESOLVE_COMPACT", True)
+    comp = np.asarray(_vis_resolve(setup, records, w, h, skip=False))
+    np.testing.assert_array_equal(base, comp)
+    assert np.abs(base).sum() > 0
+
+
+def test_resolve_cols_builder_matches_rows_builder():
+    """build_resolve_cols is the column-native twin of build_resolve_rows:
+    same RR_* layout, bit-identical values (identical einsum contractions,
+    transposed output axis order)."""
+    from trident_tpu.ops import planes as planes_mod
+
+    setup, _ = _random_setup_and_records()
+    t = setup.edge.shape[0]
+    rng = np.random.default_rng(3)
+    nrm = jnp.asarray(rng.standard_normal((t, 3, 3)).astype(np.float32))
+    uv = jnp.asarray(rng.standard_normal((t, 3, 2)).astype(np.float32))
+    col = jnp.asarray(rng.standard_normal((t, 3, 3)).astype(np.float32))
+    tri_draw = jnp.zeros((t,), jnp.int32)
+    consts = jnp.asarray(rng.standard_normal((1, 12)).astype(np.float32))
+    for vc in (None, col):
+        rows = planes_mod.build_resolve_rows(setup, nrm, uv, tri_draw,
+                                             consts, vc)
+        cols = planes_mod.build_resolve_cols(setup, nrm, uv, tri_draw,
+                                             consts, vc)
+        np.testing.assert_array_equal(np.asarray(rows).T, np.asarray(cols))
+
+
 def test_resolve_skip_empty_scene():
     """No owners at all: every step is a loser aliasing the padding pair;
     the attribute image must come back all zeros, not garbage."""

@@ -215,7 +215,15 @@ def _shade_common(gbuffer, covered, normal, uv, mip, color_factor, metallic,
     from trident_tpu.ops import texel_pallas as tp
 
     if texel_mxu is None:
-        texel_mxu = tp.TEXEL_MXU
+        # default: on up to TEXEL_MXU_MAX_PIX frame pixels (the band's
+        # FULL frame, so banded multi-chip picks the same path as
+        # single-chip). Measured on v5e: wins every ≤2.1 Mpix config
+        # (cube 496 vs 387-442, 110k 41.3 vs 38.8, 1M 19.29 vs 18.5 FPS)
+        # but LOSES ~7% at 8.3 Mpix ultra4k (8.23 vs 8.82) — 4K frames
+        # sit at low mip levels where the level-0 table region widens the
+        # per-block slab windows.
+        fh2 = height if full_height is None else full_height
+        texel_mxu = tp.TEXEL_MXU and width * fh2 <= tp.TEXEL_MXU_MAX_PIX
     if (texel_mxu and sampling == "bilinear" and size_hint is not None
             and textures.quads.shape[0] <= tp.MAX_TABLE_ENTRIES):
         # windowed one-hot MXU texel fetch (ops/texel_pallas.py) — index

@@ -33,6 +33,7 @@ entirely. XLA CSEs the repeated attrs[tri_vtx] gathers by itself.
 
 from __future__ import annotations
 
+import os as _os
 from typing import NamedTuple, Optional
 
 import jax
@@ -185,15 +186,71 @@ def chunk_resolve_rows(rows: Array, chunk: int) -> Array:
     return jnp.concatenate([sentinel, rec], axis=0)
 
 
+# TRIDENT_RESOLVE_TR=1 (default): transposed resolve records. The lane-
+# major (NC+1, C, RW) layout DMAs a (C=256, RW→128-lane-pad) f32 block
+# per resolve grid step — 128 KB of which 3/4 is lane padding (RW=32).
+# Column-major (RW, (NC+1)·C) keeps triangles on lanes: the per-step
+# block is (RW, C) = 32 KB, chunk windows are 256-lane-aligned BlockSpec
+# slices of ONE 2-D array (no 3-D reshape, no sentinel concat per chunk
+# dim), and the winner one-hot contraction simply contracts the other
+# operand side. Built COLUMN-NATIVE below (einsum emits (3, T) plane
+# groups directly) — building (T, RW) and transposing measured 14 ms of
+# pure relayout at 1M triangles.
+RESOLVE_TR = _os.environ.get("TRIDENT_RESOLVE_TR", "1") == "1"
+
+
+def build_resolve_cols(setup: TriangleSetup, corner_nrm: Array,
+                       corner_uv: Array, tri_draw: Array, draw_consts: Array,
+                       corner_col: Optional[Array] = None,
+                       consts_rows: Optional[Array] = None) -> Array:
+    """Column-major twin of build_resolve_rows: (RW, T) with the SAME row
+    index layout (RR_*) — row r here equals column r there, bit-exactly
+    (identical einsum contractions, only the output axis order differs)."""
+    edge = setup.edge
+    t = edge.shape[0]
+    hp = jax.lax.Precision.HIGHEST
+
+    def plane_t(attr_per_vertex):                  # (3, T) — native layout
+        return jnp.einsum("tk,tkc->ct", attr_per_vertex, edge, precision=hp)
+
+    g1_t = jnp.einsum("tkc->ct", edge)
+    consts = draw_consts[tri_draw] if consts_rows is None else consts_rows
+    groups = [g1_t, plane_t(corner_nrm[..., 0]), plane_t(corner_nrm[..., 1]),
+              plane_t(corner_nrm[..., 2]),
+              plane_t(corner_uv[..., 0]), plane_t(corner_uv[..., 1]),
+              consts.T]
+    rw = RR_WIDTH
+    if corner_col is not None:
+        groups += [plane_t(corner_col[..., 0]), plane_t(corner_col[..., 1]),
+                   plane_t(corner_col[..., 2])]
+        rw = RR_WIDTH_VCOLOR
+    cols = jnp.concatenate(groups, axis=0)         # (30|39, T)
+    return jnp.pad(cols, ((0, rw - cols.shape[0]), (0, 0)))
+
+
+def chunk_resolve_cols(cols: Array, chunk: int) -> Array:
+    """(RW, T) columns → (RW, (NC+1)·C) chunked records, chunk 0 the
+    zero sentinel: pure lane-dim padding — the resolve BlockSpec windows
+    chunk c as lanes [c·C, (c+1)·C), always 256-aligned."""
+    rw, t = cols.shape
+    n_chunks = max(1, -(-t // chunk))
+    return jnp.pad(cols, ((0, 0), (chunk, n_chunks * chunk - t)))
+
+
 def build_resolve_records(setup: TriangleSetup, verts: VertexStageOut,
                           tri_vtx: Array, tri_draw: Array,
                           draw_consts: Array, chunk: int,
                           vertex_colors: bool = False) -> Array:
     """Chunked records for the in-kernel resolve pass (ops/resolve_pallas.py):
-    build_resolve_rows + chunk_resolve_rows over gathered corner attrs."""
+    build + chunk over gathered corner attrs, in the layout RESOLVE_TR
+    selects (the kernel dispatches on ndim)."""
     corners = verts.attrs[tri_vtx]                 # gathers CSE'd by XLA
+    col = corners[..., 8:11] if vertex_colors else None
+    if RESOLVE_TR:
+        return chunk_resolve_cols(
+            build_resolve_cols(setup, corners[..., 3:6], corners[..., 6:8],
+                               tri_draw, draw_consts, col), chunk)
     return chunk_resolve_rows(
         build_resolve_rows(setup, corners[..., 3:6], corners[..., 6:8],
-                           tri_draw, draw_consts,
-                           corners[..., 8:11] if vertex_colors else None),
+                           tri_draw, draw_consts, col),
         chunk)

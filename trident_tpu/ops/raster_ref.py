@@ -51,8 +51,14 @@ def visibility_ref(setup: TriangleSetup, width: int, height: int,
              + c_edge[:, :, 1, None, None] * py[None, None]
              + c_edge[:, :, 2, None, None])
         cover = jnp.all(e >= 0.0, axis=1)             # (C,H,W)
-        w_interp = jnp.einsum("ck,ckhw->chw", c_w, e)
-        z_interp = jnp.einsum("ck,ckhw->chw", c_z, e)
+        # precision pin: TPU's default einsum contraction multiplies in
+        # bf16 — unpinned, the oracle's own depths quantize to 8 mantissa
+        # bits and winner decisions flip en masse (1.56M of 2.07M pixels
+        # mismatched at 110k/1080p on v5e, r3hw4.log; the 256² test never
+        # caught it because that scene has no depth-close overlaps)
+        hp = jax.lax.Precision.HIGHEST
+        w_interp = jnp.einsum("ck,ckhw->chw", c_w, e, precision=hp)
+        z_interp = jnp.einsum("ck,ckhw->chw", c_z, e, precision=hp)
         safe_w = jnp.where(jnp.abs(w_interp) < 1e-12, 1e-12, w_interp)
         depth = z_interp / safe_w
         # depth-range test in the SAME cross-multiplied form as the Pallas

@@ -118,24 +118,49 @@ def _oh_dtype():
     return jnp.bfloat16 if _PREC_MODE == "split" else jnp.float32
 
 
-def _winner_select(rec_ref, oh, rows=slice(None)):
+def _winner_select(rec_ref, oh, tr, rows=slice(None)):
     """One-hot contraction of the record block ref's `rows` triangle slice
     (static, RESOLVE_HALF) against the (K, npx) one-hot — the precision
-    strategy lives only here. `rec_ref` is the (1, C, RW) block ref, or
-    (1, 3, C, RW) bf16 hi/mid/lo planes in split mode."""
-    dims = (((0,), (0,)), ((), ()))
+    strategy lives only here. Lane-major layout (tr=False): rec_ref is
+    the (1, C, RW) block ref ((1, 3, C, RW) bf16 planes in split mode).
+    Transposed layout (tr=True, planes.RESOLVE_TR): (RW, C) with
+    triangles on LANES ((3, RW, C) in split mode) — the contraction just
+    moves to the other operand side and RESOLVE_HALF's triangle slice
+    becomes a (CHUNK/2)-aligned lane slice."""
+    dims = ((((1,) if tr else (0,)), (0,)), ((), ()))
+
+    def blk(k=None):
+        if tr:
+            r = rec_ref[...] if k is None else rec_ref[k]
+            return r[:, rows]
+        return rec_ref[0, rows] if k is None else rec_ref[0, k, rows]
+
     if _PREC_MODE != "split":
-        return jax.lax.dot_general(rec_ref[0, rows], oh, dims,
+        return jax.lax.dot_general(blk(), oh, dims,
                                    preferred_element_type=jnp.float32,
                                    precision=_PREC)
 
     def part(k):
-        return jax.lax.dot_general(rec_ref[0, k, rows], oh, dims,
+        return jax.lax.dot_general(blk(k), oh, dims,
                                    preferred_element_type=jnp.float32)
 
     # sum order matters for exactness: hi+mid is ≤17 significand bits
     # (exact), and the true total equals the representable original r
     return (part(0) + part(1)) + part(2)
+
+
+def _cumsum_i32(x: Array, rows: int = 256) -> Array:
+    """Inclusive 1-D running sum with the same 2-D restructuring as
+    _cummax_i32 (1-D scans over ~65k elements lower pathologically)."""
+    n = x.shape[0]
+    if n <= rows:
+        return jnp.cumsum(x)
+    cols = -(-n // rows)
+    xp = jnp.pad(x, (0, rows * cols - n)).reshape(rows, cols)
+    within = jnp.cumsum(xp, axis=1)
+    prev = jnp.cumsum(within[:, -1])
+    prev = jnp.concatenate([jnp.zeros((1,), x.dtype), prev[:-1]])
+    return (within + prev[:, None]).reshape(-1)[:n]
 
 
 def _cummax_i32(x: Array, rows: int = 256) -> Array:
@@ -171,7 +196,7 @@ CHANNELS = 16
 
 def _resolve_kernel(band_ref, pair_tile_ref, pair_chunk_ref, won_ref,
                     rec_ref, tri_ref, out_ref, *, ntx: int,
-                    vertex_colors: bool, skip: bool):
+                    vertex_colors: bool, skip: bool, tr: bool):
     i = pl.program_id(0)
     tile = pair_tile_ref[i]
     cid = pair_chunk_ref[i]
@@ -281,7 +306,7 @@ def _resolve_kernel(band_ref, pair_tile_ref, pair_chunk_ref, won_ref,
                     mine_h,
                     (jax.lax.broadcasted_iota(jnp.int32, (hc, npx), 0)
                      == rel - h * hc).astype(_oh_dtype()), 0.0)
-                interpolants(_winner_select(rec_ref, oh,
+                interpolants(_winner_select(rec_ref, oh, tr,
                                             slice(h * hc, (h + 1) * hc)),
                              mine_h)
     else:
@@ -294,7 +319,7 @@ def _resolve_kernel(band_ref, pair_tile_ref, pair_chunk_ref, won_ref,
         def _():
             oh = (jax.lax.broadcasted_iota(jnp.int32, (CHUNK, npx), 0)
                   == rel).astype(_oh_dtype())
-            interpolants(_winner_select(rec_ref, oh), mine)
+            interpolants(_winner_select(rec_ref, oh, tr), mine)
 
 
 def resolve_attrs_pallas(bins: PallasBins, tri_tiles: Array, records: Array,
@@ -315,7 +340,10 @@ def resolve_attrs_pallas(bins: PallasBins, tri_tiles: Array, records: Array,
     nty = -(-height // TILE_H)
     n_tiles = ntx * nty
     npx = TILE_H * TILE_W
-    rw = records.shape[2]
+    # transposed records (planes.RESOLVE_TR builders) are 2-D
+    # (RW, (NC+1)·C); the lane-major legacy layout is (NC+1, C, RW)
+    tr = records.ndim == 2
+    rw = records.shape[0] if tr else records.shape[2]
     if _PREC_MODE == "split":
         # exact 3-way bf16 decomposition (see the mode comment at top):
         # each subtraction cancels the already-captured high bits, so it
@@ -326,7 +354,8 @@ def resolve_attrs_pallas(bins: PallasBins, tri_tiles: Array, records: Array,
         r1 = records - hi.astype(jnp.float32)
         mid = r1.astype(jnp.bfloat16)
         lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
-        records = jnp.stack([hi, mid, lo], axis=1)     # (NC, 3, C, RW)
+        records = jnp.stack([hi, mid, lo], axis=0 if tr else 1)
+        # tr: (3, RW, (NC+1)·C); legacy: (NC+1, 3, C, RW)
 
     pair_tile, pair_chunk, n_grid = bins.pair_tile, bins.pair_chunk, bins.n_real
     idx = jnp.arange(bins.n_pairs, dtype=jnp.int32)
@@ -363,25 +392,43 @@ def resolve_attrs_pallas(bins: PallasBins, tri_tiles: Array, records: Array,
         # owning-pair compaction: a pair owns pixels iff some winner id in
         # its tile falls in its chunk's id range. The gather feeds straight
         # into the compare+any reduction (XLA fuses it; the (NPAIR, npx)
-        # intermediate never materializes), then one stable argsort moves
-        # owners to the front preserving tile-major order, so the kernel's
-        # first-pair-of-tile reset logic is unchanged.
+        # intermediate never materializes). v2 (round-3 hardware finding):
+        # the original stable ARGSORT over the full PAIR_BUDGET array cost
+        # ~65 ns/key ≈ 4 ms — more than the skipped loser steps saved, a
+        # consistent −0.4..−0.9 FPS. A cumsum of the owner flags gives
+        # each owner its destination slot directly (order-preserving, so
+        # the kernel's first-pair-of-tile reset is unchanged) and two
+        # 1-D scatters replace the sort. Slots past the owner count keep
+        # zeros — the grid stops at n_grid and never reads them.
         rows = tri_tiles[pair_tile, 0, :]              # (NPAIR, npx) i32
         rel = rows - ((pair_chunk - 1) * CHUNK)[:, None]
         owns = ((rows >= 0) & (rel >= 0) & (rel < CHUNK)).any(axis=1)
         owns &= jnp.arange(bins.n_pairs, dtype=jnp.int32) < bins.n_real
-        order = jnp.argsort(~owns, stable=True).astype(jnp.int32)
-        pair_tile = pair_tile[order]
-        pair_chunk = pair_chunk[order]
+        dst = jnp.where(owns, _cumsum_i32(owns.astype(jnp.int32)) - 1,
+                        bins.n_pairs)
+        pair_tile = jnp.zeros_like(pair_tile).at[dst].set(
+            pair_tile, mode="drop")
+        pair_chunk = jnp.zeros_like(pair_chunk).at[dst].set(
+            pair_chunk, mode="drop")
         n_grid = jnp.sum(owns).astype(jnp.int32)
 
     band = jnp.asarray(tile_y_offset, jnp.int32).reshape(1)
     kernel = functools.partial(_resolve_kernel, ntx=ntx,
-                               vertex_colors=vertex_colors, skip=skip)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
-        grid=(jnp.maximum(n_grid, 1),),
-        in_specs=[
+                               vertex_colors=vertex_colors, skip=skip, tr=tr)
+    if tr:
+        # chunk c = lanes [c·C, (c+1)·C) of the one 2-D column table —
+        # block starts are always CHUNK-aligned (CHUNK is a 128 multiple)
+        rec_spec = (
+            pl.BlockSpec((3, rw, CHUNK),
+                         lambda i, band, tiles, chunks, won:
+                         (0, 0, chunks[i]),
+                         memory_space=pltpu.VMEM)
+            if _PREC_MODE == "split" else
+            pl.BlockSpec((rw, CHUNK),
+                         lambda i, band, tiles, chunks, won: (0, chunks[i]),
+                         memory_space=pltpu.VMEM))
+    else:
+        rec_spec = (
             pl.BlockSpec((1, 3, CHUNK, rw),
                          lambda i, band, tiles, chunks, won:
                          (chunks[i], 0, 0, 0),
@@ -389,7 +436,12 @@ def resolve_attrs_pallas(bins: PallasBins, tri_tiles: Array, records: Array,
             if _PREC_MODE == "split" else
             pl.BlockSpec((1, CHUNK, rw),
                          lambda i, band, tiles, chunks, won: (chunks[i], 0, 0),
-                         memory_space=pltpu.VMEM),
+                         memory_space=pltpu.VMEM))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(jnp.maximum(n_grid, 1),),
+        in_specs=[
+            rec_spec,
             pl.BlockSpec((1, 1, npx),
                          lambda i, band, tiles, chunks, won: (tiles[i], 0, 0),
                          memory_space=pltpu.VMEM),

@@ -55,6 +55,16 @@ Array = jax.Array
 
 TEXEL_MXU = _os.environ.get("TRIDENT_TEXEL_MXU", "1") == "1"
 
+TEXEL_MXU_MAX_PIX = int(_os.environ.get("TRIDENT_TEXEL_MAX_PIX",
+                                        str(4 * 1024 * 1024)))
+                             # frame-pixel ceiling for the default-on
+                             # heuristic (ops/deferred._shade_common):
+                             # ≥4K frames sit at low mip levels where the
+                             # level-0 table region widens the per-block
+                             # slab windows — measured 8.23 vs 8.82 FPS
+                             # at ultra4k on v5e; every ≤2.1 Mpix bench
+                             # config wins with the sampler on
+
 SLAB = int(_os.environ.get("TRIDENT_TEXEL_SLAB", "512"))
                              # table rows per one-hot contraction: smaller
                              # slabs → finer occupancy skipping (a block's

@@ -184,15 +184,27 @@ def render_frame_banded(mesh: Mesh, axis: str, geometry, plan, tri_draw,
 
         records = planes = None
         if use_kernel_shading:
-            rows_sl = build_resolve_rows(
-                setup_sl, c_nrm, c_uv, tri_draw, draw_consts, c_col,
-                consts_rows=None if cs is None else cs.consts)
-            rows = jax.lax.all_gather(rows_sl, axis, axis=0, tiled=True)
+            from trident_tpu.ops import planes as _planes_mod
+            from trident_tpu.ops.raster_pallas import CHUNK as _KCHUNK
+
             # the resolve pass walks the SAME pair list as the visibility
             # kernel — records must chunk at its (env-overridable) CHUNK,
             # not the ref-path `chunk` argument (renderer.py does the same)
-            from trident_tpu.ops.raster_pallas import CHUNK as _KCHUNK
-            records = chunk_resolve_rows(rows, _KCHUNK)
+            crows = None if cs is None else cs.consts
+            if _planes_mod.RESOLVE_TR:
+                # transposed records shard on the TRIANGLE (lane) dim —
+                # the gather tiles along axis 1
+                cols_sl = _planes_mod.build_resolve_cols(
+                    setup_sl, c_nrm, c_uv, tri_draw, draw_consts, c_col,
+                    consts_rows=crows)
+                cols = jax.lax.all_gather(cols_sl, axis, axis=1, tiled=True)
+                records = _planes_mod.chunk_resolve_cols(cols, _KCHUNK)
+            else:
+                rows_sl = build_resolve_rows(
+                    setup_sl, c_nrm, c_uv, tri_draw, draw_consts, c_col,
+                    consts_rows=crows)
+                rows = jax.lax.all_gather(rows_sl, axis, axis=0, tiled=True)
+                records = chunk_resolve_rows(rows, _KCHUNK)
         else:
             planes_sl = build_planes_corners(
                 setup_sl, c_nrm, c_uv, tri_draw, shade_table,

@@ -221,18 +221,25 @@ def _render_frame_impl(geometry, plan, tri_draw, params, palette, shade_table,
 
     records = planes = None
     if use_kernel_shading:
+        from trident_tpu.ops import planes as planes_mod
         from trident_tpu.ops import raster_pallas
-        from trident_tpu.ops.planes import (
-            build_resolve_rows, chunk_resolve_rows)
 
         # the resolve pass walks the SAME pair list as the visibility
         # kernel — records must chunk at its (env-overridable) CHUNK, not
         # the ref-path `chunk` argument
-        records = chunk_resolve_rows(
-            build_resolve_rows(setup, c_nrm, c_uv, tri_draw, draw_consts,
-                               c_col,
-                               consts_rows=None if cs is None else cs.consts),
-            raster_pallas.CHUNK)
+        crows = None if cs is None else cs.consts
+        if planes_mod.RESOLVE_TR:
+            records = planes_mod.chunk_resolve_cols(
+                planes_mod.build_resolve_cols(
+                    setup, c_nrm, c_uv, tri_draw, draw_consts, c_col,
+                    consts_rows=crows),
+                raster_pallas.CHUNK)
+        else:
+            records = planes_mod.chunk_resolve_rows(
+                planes_mod.build_resolve_rows(
+                    setup, c_nrm, c_uv, tri_draw, draw_consts, c_col,
+                    consts_rows=crows),
+                raster_pallas.CHUNK)
     else:
         from trident_tpu.ops.planes import build_planes_corners
 
