@@ -138,6 +138,17 @@ def _visibility_and_shade(setup, records, planes, textures, camera, lights,
     return frame, gbuf
 
 
+def _probe_output(probe, width: int, height: int):
+    """Ablation-stop FrameOutput (scripts/profile_stages.py): forces the
+    stage chain feeding `probe` and nothing downstream of it."""
+    from trident_tpu.render.types import FrameOutput
+
+    z = jnp.zeros((height, width), jnp.float32) + probe * 1e-30
+    return FrameOutput(color=pack_rgba8(z[..., None] * jnp.ones((1, 1, 4))),
+                       depth=z + 1.0, tri_id=z.astype(jnp.int32) - 1,
+                       aux=jnp.zeros((2,), jnp.int32))
+
+
 def _render_frame_impl(geometry, plan, tri_draw, params, palette, shade_table,
                        camera, lights, textures, skybox, ai, corner_t=None,
                        upscale_params=None, prev=None,
@@ -182,11 +193,17 @@ def _render_frame_impl(geometry, plan, tri_draw, params, palette, shade_table,
 
         draw_rows = build_draw_rows(params, camera, rw, rh,
                                     draw_consts=draw_consts)
+        if profile_stop == "draw_rows":     # ablation sub-stop (profiler)
+            return _probe_output(draw_rows.sum(), width, height)
         cs = corner_stage(corner_t, draw_rows, tri_draw, plan.tri_valid,
                           rw, rh, vertex_colors=vertex_colors,
                           draw_stride=draw_stride, real_draws=real_draws)
         setup = cs.setup
         c_nrm, c_uv, c_col = cs.corner_nrm, cs.corner_uv, cs.corner_col
+        if profile_stop == "corner":        # corner math, records pruned
+            return _probe_output(setup.edge.sum() + c_nrm.sum()
+                                 + c_uv.sum() + cs.consts.sum(),
+                                 width, height)
     else:
         # indexed path (skinning needs per-vertex palette gathers): ONE
         # (T,3,16) packed-corner gather feeds setup AND plane/record
@@ -252,11 +269,7 @@ def _render_frame_impl(geometry, plan, tri_draw, params, palette, shade_table,
         probe = setup.edge.sum()
         if records is not None:
             probe = probe + records.sum()
-        z = jnp.zeros((height, width), jnp.float32) + probe * 1e-30
-        return FrameOutput(color=pack_rgba8(z[..., None]
-                                            * jnp.ones((1, 1, 4))),
-                           depth=z + 1.0, tri_id=z.astype(jnp.int32) - 1,
-                           aux=jnp.zeros((2,), jnp.int32))
+        return _probe_output(probe, width, height)
 
     frame, gbuf = _visibility_and_shade(
         setup, records, planes, textures, camera, lights, skybox,
