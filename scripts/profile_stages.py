@@ -138,7 +138,9 @@ def profile(width, height, grid, label, n=10):
     frr = jax.jit(lambda tok, s: build_resolve_records(
         s._replace(edge=s.edge + tok * 0), verts, plan.tri_vtx, tri_draw,
         draw_consts, CHUNK))
-    timeit_chain("resolve records", frr, lambda o: o[0, 0, 0] * 0, setup, n=n)
+    # token read works for both record layouts (TR cols are 2-D/3-D stacks)
+    timeit_chain("resolve records", frr, lambda o: o.reshape(-1)[0] * 0,
+                 setup, n=n)
 
     def vis_resolve(tok, s):
         s = s._replace(edge=s.edge + tok * 0)

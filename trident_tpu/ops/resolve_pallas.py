@@ -89,23 +89,26 @@ RESOLVE_SKIP = _os.environ.get("TRIDENT_RESOLVE_SKIP", "0") == "1"
 # to 8 mantissa bits INSIDE the select (UV/normal/denominator wobble the
 # CPU interpreter can never see: it computes plain f32). Three modes
 # (TRIDENT_RESOLVE_PREC) for the hardware A/B:
-#   fp32 (default) — pin contract_precision<fp32>: certainly exact, worst
-#     case ~6 bf16 MXU passes;
-#   split — records pre-split XLA-side into 3 bf16 planes (hi = bf16(r),
-#     mid = bf16(r−hi), lo = bf16(r−hi−mid); each subtraction cancels
-#     high bits exactly, and 3×8 significand bits cover f32's 24, so
-#     hi+mid+lo == r EXACTLY and the f32 accumulator reassembles it —
-#     3 DEFAULT passes instead of ~6. The planes ride a LEADING axis of
-#     the record block ((NC+1, 3, C, RW) bf16, hardware round-3 redesign):
-#     the first cut concatenated them along lanes ((NC+1, C, 3·RW)) and
-#     measured BELOW the fp32 pin (18.25 vs 18.45 FPS at 1M/1080p) —
-#     each part's rec[:, k·RW:(k+1)·RW] lane-offset slice relayouts per
-#     step, and the one-hot paid an extra (C, npx) f32→bf16 cast per
-#     step. Stacked planes slice on a leading dim (free) and the one-hot
-#     is built bf16 at the compare;
-#   bf16 — raw DEFAULT pass on the f32 records: cheapest, records round
-#     to 8 mantissa bits if Mosaic's default is a single pass.
-_PREC_MODE = _os.environ.get("TRIDENT_RESOLVE_PREC", "fp32")
+#   split (DEFAULT since the round-3 TR sweep: 21.58 vs 21.02 FPS fp32 at
+#     1M/1080p, r3hw5.log) — records pre-split XLA-side into 3 bf16
+#     planes (hi = bf16(r), mid = bf16(r−hi), lo = bf16(r−hi−mid); each
+#     subtraction cancels high bits exactly, and 3×8 significand bits
+#     cover f32's 24, so hi+mid+lo == r EXACTLY and the f32 accumulator
+#     reassembles it) — 3 single-pass bf16 dots instead of ~6. History:
+#     v1 concatenated the planes along LANES ((NC+1, C, 3·RW)) and lost
+#     to fp32 (18.25 vs 18.45) — per-step lane-offset slices relayout
+#     and the one-hot paid an extra (C, npx) cast; v2 stacked them on a
+#     leading axis (18.52, DMA tripled to 3 separately-padded planes);
+#     the TRANSPOSED record layout (planes.RESOLVE_TR) made the planes
+#     (3, RW, C) with 16 KB blocks and no relayout anywhere — only then
+#     did the pass-count win show through. CPU-bit-exact vs the fp32
+#     pin in every composition (tests/test_resolve_pallas.py);
+#   fp32 — pin contract_precision<fp32>: certainly exact, worst case
+#     ~6 bf16 MXU passes;
+#   bf16 — raw DEFAULT pass on the f32 records: cheapest (22.62 FPS with
+#     TR), records round to 8 mantissa bits — golden/oracle gates forbid
+#     it as a default.
+_PREC_MODE = _os.environ.get("TRIDENT_RESOLVE_PREC", "split")
 if _PREC_MODE not in ("fp32", "split", "bf16"):
     raise ValueError(f"TRIDENT_RESOLVE_PREC={_PREC_MODE!r}: "
                      "expected fp32 | split | bf16")
