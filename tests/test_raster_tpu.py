@@ -44,7 +44,17 @@ def test_pallas_matches_oracle_on_hardware():
 def test_bench_scale_oracle_parity_on_hardware():
     """110k triangles at 1080p — bench-scale oracle-vs-Pallas on the real
     chip (round-2 proved TPU-only divergence exists: CHUNK=32 resolve hit
-    a runtime FailedPrecondition CPU interpret could not see)."""
+    a runtime FailedPrecondition CPU interpret could not see).
+
+    The triangle cloud is Morton-sorted by centroid: the binner's
+    chunk-bbox decomposition CONTRACTS on spatial coherence (real scenes
+    have it; every bench config measures aux=[0,0]). The original
+    unsorted cloud made every 64-triangle chunk near-fullscreen, the
+    binner dropped 100+ chunks (counted in aux), and the resulting 1.56M
+    "winner mismatches" (r3hw4/5) were truncation, not numerics — the
+    CPU diag reproduced it exactly (tools_dev/diag_parity.py: unsorted
+    aux=[0,187] 46% mismatch, sorted aux=[0,0] 0 mismatch). The aux
+    assert therefore comes FIRST."""
     import jax.numpy as jnp
 
     from trident_tpu.ops.raster_pallas import visibility_pallas
@@ -56,6 +66,16 @@ def test_bench_scale_oracle_parity_on_hardware():
     t = 110_000
     pos = (rng.uniform(-1, 1, (t, 1, 3)) * [0.95, 0.95, 0.4]
            + rng.uniform(-0.02, 0.02, (t, 3, 3)))
+    c = ((pos[:, 0, :2] * 0.5 + 0.5) * 1023).astype(np.int64)
+
+    def spread(v):
+        v = (v | (v << 16)) & 0x0000FFFF0000FFFF
+        v = (v | (v << 8)) & 0x00FF00FF00FF00FF
+        v = (v | (v << 4)) & 0x0F0F0F0F0F0F0F0F
+        v = (v | (v << 2)) & 0x3333333333333333
+        return (v | (v << 1)) & 0x5555555555555555
+
+    pos = pos[np.argsort(spread(c[:, 0]) | (spread(c[:, 1]) << 1))]
     ww = np.ones((t, 3, 1), np.float32) * rng.uniform(0.5, 2.0, (t, 1, 1))
     clip = np.concatenate(
         [pos[..., :2] * ww, (pos[..., 2:3] * 0.5 + 0.5) * ww, ww],
@@ -79,12 +99,12 @@ def test_bench_scale_oracle_parity_on_hardware():
     rt = np.concatenate(rt_b, axis=0)
     rd = np.concatenate(rd_b, axis=0)
     pal = visibility_pallas(setup, w, h)
+    aux = np.asarray(pal.aux)
+    assert aux.sum() == 0, f"capacity overflow at bench scale: {aux}"
     pt = np.asarray(pal.tri_id)
     mism = (rt != pt).sum()
     assert mism == 0, f"{mism} winner mismatches vs oracle at bench scale"
     np.testing.assert_allclose(rd, np.asarray(pal.depth), atol=1e-6)
-    aux = np.asarray(pal.aux)
-    assert aux.sum() == 0, f"capacity overflow at bench scale: {aux}"
 
 
 @pytest.mark.skipif(jax.default_backend() == "cpu",
