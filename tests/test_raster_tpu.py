@@ -46,15 +46,18 @@ def test_bench_scale_oracle_parity_on_hardware():
     chip (round-2 proved TPU-only divergence exists: CHUNK=32 resolve hit
     a runtime FailedPrecondition CPU interpret could not see).
 
-    The triangle cloud is Morton-sorted by centroid: the binner's
-    chunk-bbox decomposition CONTRACTS on spatial coherence (real scenes
-    have it; every bench config measures aux=[0,0]). The original
-    unsorted cloud made every 64-triangle chunk near-fullscreen, the
-    binner dropped 100+ chunks (counted in aux), and the resulting 1.56M
-    "winner mismatches" (r3hw4/5) were truncation, not numerics — the
-    CPU diag reproduced it exactly (tools_dev/diag_parity.py: unsorted
-    aux=[0,187] 46% mismatch, sorted aux=[0,0] 0 mismatch). The aux
-    assert therefore comes FIRST."""
+    The triangle cloud is CLUSTERED to the binner's contract: chunk-bbox
+    decomposition contracts on spatial coherence (real scenes have it;
+    every bench config measures aux=[0,0]). A UNIFORM random cloud is the
+    pathological anti-case — at 110k triangles its 430 CHUNK=256 chunks
+    intrinsically span 5-9 tiles each (Morton cell ~92 px; sorting can't
+    beat the sqrt scaling), overflowing the capped mid tiers IDENTICALLY
+    on CPU and TPU (aux=[0,251] both, r3hw8) — the 1.56M r3hw4/5 "winner
+    mismatches" were that truncation, not numerics. Capacity behavior is
+    covered by test_bench_configs_zero_overflow_on_hardware; THIS test
+    pins oracle-vs-kernel numerics, so it draws chunk-sized clusters
+    (~60 px of 256 heavily z-overlapping triangles each, like the bench
+    scene's sphere patches) and asserts the aux precondition FIRST."""
     import jax.numpy as jnp
 
     from trident_tpu.ops.raster_pallas import visibility_pallas
@@ -63,19 +66,18 @@ def test_bench_scale_oracle_parity_on_hardware():
 
     w, h = 1920, 1080
     rng = np.random.default_rng(11)
-    t = 110_000
-    pos = (rng.uniform(-1, 1, (t, 1, 3)) * [0.95, 0.95, 0.4]
-           + rng.uniform(-0.02, 0.02, (t, 3, 3)))
-    c = ((pos[:, 0, :2] * 0.5 + 0.5) * 1023).astype(np.int64)
-
-    def spread(v):
-        v = (v | (v << 16)) & 0x0000FFFF0000FFFF
-        v = (v | (v << 8)) & 0x00FF00FF00FF00FF
-        v = (v | (v << 4)) & 0x0F0F0F0F0F0F0F0F
-        v = (v | (v << 2)) & 0x3333333333333333
-        return (v | (v << 1)) & 0x5555555555555555
-
-    pos = pos[np.argsort(spread(c[:, 0]) | (spread(c[:, 1]) << 1))]
+    k = 256                       # one chunk's worth of triangles
+    ncl = 430                     # clusters, chunk-aligned in draw order
+    t = ncl * k
+    g = 21                        # cluster grid (21² = 441 ≥ 430)
+    cy, cx = np.divmod(np.arange(ncl), g)
+    centers = np.stack([(cx + 0.5) / g * 1.9 - 0.95,
+                        (cy + 0.5) / g * 1.9 - 0.95], axis=-1)  # (ncl,2)
+    pos = np.concatenate([
+        (centers[:, None, :] + rng.uniform(-0.03, 0.03, (ncl, k, 2))
+         ).reshape(t, 1, 2),
+        rng.uniform(-0.4, 0.4, (t, 1, 1)),
+    ], axis=-1) + rng.uniform(-0.004, 0.004, (t, 3, 3))
     ww = np.ones((t, 3, 1), np.float32) * rng.uniform(0.5, 2.0, (t, 1, 1))
     clip = np.concatenate(
         [pos[..., :2] * ww, (pos[..., 2:3] * 0.5 + 0.5) * ww, ww],

@@ -24,11 +24,12 @@ forms A(p)=gA·p/g1·p and the UV screen derivatives are invariant to a
 common scale, and anchoring bounds the |p'| lever arm so f16's 10-bit
 mantissa cancellation error stays at the sub-LSB level.
 
-Structure note (measured on v5e): per-attribute `einsum("tk,tkc->tc")`
-plane builds fuse into cheap elementwise+reduce chains; a combined batched
-matmul over an attribute stack (`einsum("tka,tkc->tac")`) lowers 3× slower,
-and materializing a shared (T,3,16) corner gather breaks cross-stage fusion
-entirely. XLA CSEs the repeated attrs[tri_vtx] gathers by itself.
+Structure note (measured on v5e): per-attribute plane builds are explicit
+elementwise fma chains (_plane_parts — einsum's dot_general rounding is
+output-layout-dependent on TPU, the round-3 flavor-drift bug); a combined
+batched matmul over an attribute stack (`einsum("tka,tkc->tac")`) lowers
+3× slower, and materializing a shared (T,3,16) corner gather breaks
+cross-stage fusion entirely. XLA CSEs repeated attrs[tri_vtx] gathers.
 """
 
 from __future__ import annotations
@@ -48,6 +49,31 @@ class AttributePlanes(NamedTuple):
     table_a: Array            # (T,16) f32
     table_b: Array            # (T,16) f32
     table_c: Optional[Array]  # (T,16) f32 or None (no vertex colors)
+
+
+def _plane_parts(attr: Array, edge: Array) -> list:
+    """Interpolation-plane coefficients out[t,c] = Σ_k attr[t,k]·edge[t,k,c]
+    as three (T,) columns, association fixed at (k0·e0 + k1·e1) + k2·e2.
+
+    Deliberately ELEMENTWISE, not einsum: a k=3 einsum goes through
+    dot_general, whose TPU rounding is contract-precision- and (in
+    principle) output-layout-dependent, while IEEE mul/add in one fixed
+    association is layout- and backend-independent by construction — and
+    it skips the MXU's k:3→128 padding waste. Hardware note (r3hw8.log):
+    the HIGHEST-pinned einsums this replaced measured BIT-IDENTICAL
+    golden flavors, so the row/col builders were already drift-free on
+    v5e; this form just makes that a guarantee instead of an
+    observation."""
+    return [(attr[:, 0] * edge[:, 0, c] + attr[:, 1] * edge[:, 1, c])
+            + attr[:, 2] * edge[:, 2, c] for c in range(3)]
+
+
+def _g1_parts(edge: Array) -> list:
+    """Σ_k edge[t,k,c] as three (T,) columns, association (e0+e1)+e2 —
+    the denominator plane (attr ≡ 1), same fixed-order rationale as
+    _plane_parts."""
+    return [(edge[:, 0, c] + edge[:, 1, c]) + edge[:, 2, c]
+            for c in range(3)]
 
 
 def build_planes(setup: TriangleSetup, verts: VertexStageOut, tri_vtx: Array,
@@ -73,10 +99,9 @@ def build_planes_corners(setup: TriangleSetup, corner_nrm: Array,
     vertex_colors = corner_col is not None
 
     def plane(attr_per_vertex):                    # (T,3) values → (T,3) plane
-        return jnp.einsum("tk,tkc->tc", attr_per_vertex, edge,
-                          precision=jax.lax.Precision.HIGHEST)
+        return jnp.stack(_plane_parts(attr_per_vertex, edge), axis=1)
 
-    g1 = jnp.sum(edge, axis=1)                     # (T,3)
+    g1 = jnp.stack(_g1_parts(edge), axis=1)        # (T,3)
 
     gs = [g1, plane(corner_nrm[..., 0]), plane(corner_nrm[..., 1]),
           plane(corner_nrm[..., 2]),
@@ -153,10 +178,9 @@ def build_resolve_rows(setup: TriangleSetup, corner_nrm: Array,
     edge = setup.edge
 
     def plane(attr_per_vertex):
-        return jnp.einsum("tk,tkc->tc", attr_per_vertex, edge,
-                          precision=jax.lax.Precision.HIGHEST)
+        return jnp.stack(_plane_parts(attr_per_vertex, edge), axis=1)
 
-    g1 = jnp.sum(edge, axis=1)
+    g1 = jnp.stack(_g1_parts(edge), axis=1)
     # corner-major callers pass pre-gathered consts (they ride in the one
     # draw-row gather); otherwise ONE (T,12) gather here
     consts = draw_consts[tri_draw] if consts_rows is None else consts_rows
@@ -193,9 +217,9 @@ def chunk_resolve_rows(rows: Array, chunk: int) -> Array:
 # block is (RW, C) = 32 KB, chunk windows are 256-lane-aligned BlockSpec
 # slices of ONE 2-D array (no 3-D reshape, no sentinel concat per chunk
 # dim), and the winner one-hot contraction simply contracts the other
-# operand side. Built COLUMN-NATIVE below (einsum emits (3, T) plane
-# groups directly) — building (T, RW) and transposing measured 14 ms of
-# pure relayout at 1M triangles.
+# operand side. Built COLUMN-NATIVE below (the shared elementwise plane
+# chains stack straight onto the leading row axis) — building (T, RW)
+# and transposing measured 14 ms of pure relayout at 1M triangles.
 RESOLVE_TR = _os.environ.get("TRIDENT_RESOLVE_TR", "1") == "1"
 
 
@@ -204,27 +228,27 @@ def build_resolve_cols(setup: TriangleSetup, corner_nrm: Array,
                        corner_col: Optional[Array] = None,
                        consts_rows: Optional[Array] = None) -> Array:
     """Column-major twin of build_resolve_rows: (RW, T) with the SAME row
-    index layout (RR_*) — row r here equals column r there, bit-exactly
-    (identical einsum contractions, only the output axis order differs)."""
+    index layout (RR_*) — row r here equals column r there, bit-exactly:
+    both builders evaluate the shared _plane_parts/_g1_parts elementwise
+    chains, so the scalar arithmetic is identical on every backend and
+    only the assembly axis differs (stacking (T,) lanes on a NEW leading
+    axis is a contiguous copy, not a transpose)."""
     edge = setup.edge
     t = edge.shape[0]
-    hp = jax.lax.Precision.HIGHEST
 
-    def plane_t(attr_per_vertex):                  # (3, T) — native layout
-        return jnp.einsum("tk,tkc->ct", attr_per_vertex, edge, precision=hp)
-
-    g1_t = jnp.einsum("tkc->ct", edge)
     consts = draw_consts[tri_draw] if consts_rows is None else consts_rows
-    groups = [g1_t, plane_t(corner_nrm[..., 0]), plane_t(corner_nrm[..., 1]),
-              plane_t(corner_nrm[..., 2]),
-              plane_t(corner_uv[..., 0]), plane_t(corner_uv[..., 1]),
-              consts.T]
+    parts = _g1_parts(edge)
+    for attr in (corner_nrm[..., 0], corner_nrm[..., 1], corner_nrm[..., 2],
+                 corner_uv[..., 0], corner_uv[..., 1]):
+        parts += _plane_parts(attr, edge)
+    parts += [consts[:, j] for j in range(consts.shape[1])]
     rw = RR_WIDTH
     if corner_col is not None:
-        groups += [plane_t(corner_col[..., 0]), plane_t(corner_col[..., 1]),
-                   plane_t(corner_col[..., 2])]
+        for attr in (corner_col[..., 0], corner_col[..., 1],
+                     corner_col[..., 2]):
+            parts += _plane_parts(attr, edge)
         rw = RR_WIDTH_VCOLOR
-    cols = jnp.concatenate(groups, axis=0)         # (30|39, T)
+    cols = jnp.stack(parts, axis=0)                # (30|39, T)
     return jnp.pad(cols, ((0, rw - cols.shape[0]), (0, 0)))
 
 

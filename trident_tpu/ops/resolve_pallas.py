@@ -89,26 +89,26 @@ RESOLVE_SKIP = _os.environ.get("TRIDENT_RESOLVE_SKIP", "0") == "1"
 # to 8 mantissa bits INSIDE the select (UV/normal/denominator wobble the
 # CPU interpreter can never see: it computes plain f32). Three modes
 # (TRIDENT_RESOLVE_PREC) for the hardware A/B:
-#   split (DEFAULT since the round-3 TR sweep: 21.58 vs 21.02 FPS fp32 at
-#     1M/1080p, r3hw5.log) — records pre-split XLA-side into 3 bf16
-#     planes (hi = bf16(r), mid = bf16(r−hi), lo = bf16(r−hi−mid); each
-#     subtraction cancels high bits exactly, and 3×8 significand bits
-#     cover f32's 24, so hi+mid+lo == r EXACTLY and the f32 accumulator
-#     reassembles it) — 3 single-pass bf16 dots instead of ~6. History:
-#     v1 concatenated the planes along LANES ((NC+1, C, 3·RW)) and lost
-#     to fp32 (18.25 vs 18.45) — per-step lane-offset slices relayout
-#     and the one-hot paid an extra (C, npx) cast; v2 stacked them on a
-#     leading axis (18.52, DMA tripled to 3 separately-padded planes);
-#     the TRANSPOSED record layout (planes.RESOLVE_TR) made the planes
-#     (3, RW, C) with 16 KB blocks and no relayout anywhere — only then
-#     did the pass-count win show through. CPU-bit-exact vs the fp32
-#     pin in every composition (tests/test_resolve_pallas.py);
-#   fp32 — pin contract_precision<fp32>: certainly exact, worst case
-#     ~6 bf16 MXU passes;
+#   fp32 (DEFAULT) — pin contract_precision<fp32>: exact (golden flavors
+#     clean on v5e at TR=1, r3hw9.log), worst case ~6 bf16 MXU passes;
+#   split — records pre-split XLA-side into 3 bf16 planes (hi = bf16(r),
+#     mid = bf16(r−hi), lo = bf16(r−hi−mid); 3×8 significand bits cover
+#     f32's 24, so hi+mid+lo == r exactly and an f32 accumulator would
+#     reassemble it; 3 single-pass bf16 dots instead of ~6, measured
+#     21.58 vs 21.02 FPS at 1M/1080p). CPU-bit-exact vs the fp32 pin in
+#     every composition (tests/test_resolve_pallas.py) and the XLA-side
+#     decomposition is bit-exact ON CHIP too — but the REAL Mosaic
+#     kernel degenerates to hi-plane-only: r3hw9 diag_resolve measured
+#     cols/split == cols/bf16 stat-identically while interpret mode is
+#     exact, i.e. the mid/lo contributions vanish somewhere in the
+#     Mosaic lowering (mechanism under investigation — the 0.56 FPS it
+#     won over fp32 was this quantization, not the pass count). Golden
+#     flavors drift 2-3.7% >3LSB (r3hw5/7/8) — FORBIDDEN as default
+#     until the micro-kernel probe explains the loss;
 #   bf16 — raw DEFAULT pass on the f32 records: cheapest (22.62 FPS with
 #     TR), records round to 8 mantissa bits — golden/oracle gates forbid
 #     it as a default.
-_PREC_MODE = _os.environ.get("TRIDENT_RESOLVE_PREC", "split")
+_PREC_MODE = _os.environ.get("TRIDENT_RESOLVE_PREC", "fp32")
 if _PREC_MODE not in ("fp32", "split", "bf16"):
     raise ValueError(f"TRIDENT_RESOLVE_PREC={_PREC_MODE!r}: "
                      "expected fp32 | split | bf16")
