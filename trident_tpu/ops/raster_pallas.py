@@ -183,15 +183,13 @@ def _build_records(setup: TriangleSetup, tpad: int) -> Array:
         cols.append(jnp.where(valid, setup.edge[:, k, 0], 0.0))
         cols.append(jnp.where(valid, setup.edge[:, k, 1], 0.0))
         cols.append(jnp.where(valid, setup.edge[:, k, 2], -1.0))
-    for k in range(3):
+    for k in range(3):  # affine depth plane z_k/det (TriangleSetup.z);
         cols.append(jnp.where(valid, setup.z[:, k], 0.0))
-    for k in range(3):
-        cols.append(jnp.where(valid, setup.w[:, k], 1.0))
-    cols.append(jnp.zeros_like(cols[0]))
+    for _ in range(4):  # cols 12..15 spare (former per-vertex w — the
+        cols.append(jnp.zeros_like(cols[0]))  # denominator is const det)
     rec = jnp.stack(cols, axis=1)                       # (T, 16) row-major
     empty_row = jnp.zeros((16,), rec.dtype)
     empty_row = empty_row.at[2].set(-1.0).at[5].set(-1.0).at[8].set(-1.0)
-    empty_row = empty_row.at[12:15].set(1.0)
     # sentinel chunk 0 in front + tail padding
     front = jnp.tile(empty_row, (CHUNK, 1))
     tail = jnp.tile(empty_row, (tpad - t, 1)) if tpad != t else None
@@ -467,16 +465,16 @@ def _visibility_kernel(band_ref, pair_tile_ref, pair_chunk_ref, *refs,
             e0 = col(0) * pxf + col(1) * pyf + col(2)   # (SUB, npx)
             e1 = col(3) * pxf + col(4) * pyf + col(5)
             e2 = col(6) * pxf + col(7) * pyf + col(8)
-            zi = e0 * col(9) + e1 * col(10) + e2 * col(11)
-            wi = e0 * col(12) + e1 * col(13) + e2 * col(14)
-            # depth range test in cross-multiplied form (no divide): with
-            # wi>0, 0 ≤ zi/wi ≤ 1 ⇔ zi ≥ 0 and zi ≤ wi
-            cover = ((e0 >= 0.0) & (e1 >= 0.0) & (e2 >= 0.0) & (wi > 1e-12)
-                     & (zi >= 0.0) & (zi <= wi))
+            # depth is AFFINE in screen space: records cols 9..11 hold
+            # z_k/det (TriangleSetup.z) — no per-pixel wi chain, range
+            # test, or reciprocal (the old denominator Σ e_k·w_k is the
+            # constant det, folded at setup). Association must match
+            # raster_ref.visibility_ref exactly.
+            d = (e0 * col(9) + e1 * col(10)) + e2 * col(11)
+            cover = ((e0 >= 0.0) & (e1 >= 0.0) & (e2 >= 0.0)
+                     & (d >= 0.0) & (d <= 1.0))
 
             def merge():
-                d = zi * pl.reciprocal(jnp.where(cover, wi, 1.0),
-                                       approx=False)
                 dm = jnp.where(cover, d, DEPTH_SENTINEL)
 
                 cmin = jnp.min(dm, axis=0, keepdims=True)  # (1, npx)

@@ -34,7 +34,6 @@ def visibility_ref(setup: TriangleSetup, width: int, height: int,
 
     edge = jnp.pad(setup.edge, ((0, pad), (0, 0), (0, 0)))
     z = jnp.pad(setup.z, ((0, pad), (0, 0)))
-    w = jnp.pad(setup.w, ((0, pad), (0, 0)))
     valid = jnp.pad(setup.valid, (0, pad))
 
     ys = (jnp.arange(height, dtype=jnp.float32)
@@ -44,30 +43,23 @@ def visibility_ref(setup: TriangleSetup, width: int, height: int,
 
     def body(carry, chunk_data):
         best_depth, best_tri = carry
-        c_edge, c_z, c_w, c_valid, c_base = chunk_data
+        c_edge, c_z, c_valid, c_base = chunk_data
 
         # e_k(p) for all triangles in chunk: (C,3,H,W)
         e = (c_edge[:, :, 0, None, None] * px[None, None]
              + c_edge[:, :, 1, None, None] * py[None, None]
              + c_edge[:, :, 2, None, None])
         cover = jnp.all(e >= 0.0, axis=1)             # (C,H,W)
-        # precision pin: TPU's default einsum contraction multiplies in
-        # bf16 — unpinned, the oracle's own depths quantize to 8 mantissa
-        # bits and winner decisions flip en masse (1.56M of 2.07M pixels
-        # mismatched at 110k/1080p on v5e, r3hw4.log; the 256² test never
-        # caught it because that scene has no depth-close overlaps)
-        hp = jax.lax.Precision.HIGHEST
-        w_interp = jnp.einsum("ck,ckhw->chw", c_w, e, precision=hp)
-        z_interp = jnp.einsum("ck,ckhw->chw", c_z, e, precision=hp)
-        safe_w = jnp.where(jnp.abs(w_interp) < 1e-12, 1e-12, w_interp)
-        depth = z_interp / safe_w
-        # depth-range test in the SAME cross-multiplied form as the Pallas
-        # kernel (raster_pallas._visibility_kernel): with w>0 it equals
-        # 0 ≤ z/w ≤ 1 mathematically, but the divided form can disagree by
-        # one rounding step at the far plane (z/w rounding to exactly 1.0
-        # while z > w) — the oracle must make the identical decision
-        cover &= ((w_interp > 1e-12) & (z_interp >= 0.0)
-                  & (z_interp <= w_interp))
+        # depth is AFFINE in screen space (setup.z holds z_k/det; the old
+        # per-pixel denominator Σ e_k·w_k is the constant det) — one fma
+        # chain, association pinned to the Pallas kernel's
+        # e0·z0 + e1·z1 + e2·z2 order so winner decisions are bit-identical
+        # (an einsum's dot_general is a TPU bf16 hazard unpinned, and even
+        # pinned its association is layout-dependent — r3hw4/r3hw7)
+        depth = ((e[:, 0] * c_z[:, 0, None, None]
+                  + e[:, 1] * c_z[:, 1, None, None])
+                 + e[:, 2] * c_z[:, 2, None, None])
+        cover &= (depth >= 0.0) & (depth <= 1.0)
         cover &= c_valid[:, None, None]
         depth = jnp.where(cover, depth, jnp.inf)
 
@@ -94,7 +86,6 @@ def visibility_ref(setup: TriangleSetup, width: int, height: int,
     chunks = (
         edge.reshape(n_chunks, chunk, 3, 3),
         z.reshape(n_chunks, chunk, 3),
-        w.reshape(n_chunks, chunk, 3),
         valid.reshape(n_chunks, chunk),
         (jnp.arange(n_chunks) * chunk).astype(jnp.int32),
     )

@@ -139,15 +139,21 @@ class TriangleSetup(NamedTuple):
           e_i(px,py) = a*px + b*py + c in PIXEL coordinates; e_i are the
           clip-space barycentrics scaled by det. All e_i>=0 inside a
           front-facing triangle.
-    z:    (T,3) clip-space z per vertex
-    w:    (T,3) clip-space w per vertex
+    z:    (T,3) affine NDC-depth plane over the edge basis: z[k] = clip
+          z_k / det, so depth(p) = Σ_k e_k(p)·z[k] DIRECTLY. z_ndc is
+          affine in screen space (the attr/w interpolation identity with
+          attr = clip z), and the old per-pixel denominator Σ_k e_k(p)·w_k
+          is algebraically the CONSTANT det (it equals det at all three
+          projected vertices and is affine) — so the rasterizers' former
+          zi/wi rational divide folds into these coefficients once per
+          triangle, deleting 4 FMAs + a reciprocal per (triangle, pixel)
+          from the visibility hot loop.
     bbox: (T,4) i32 — pixel-space (x0,y0,x1,y1) inclusive-exclusive
     valid:(T,) bool — front-facing, non-degenerate, on-screen
     """
 
     edge: Array
     z: Array
-    w: Array
     bbox: Array
     valid: Array
 
@@ -199,9 +205,11 @@ def planar_setup(sx, sy, ws, zs, tri_valid: Array,
     valid = tri_valid & front & on_screen
 
     edge = jnp.stack([*e0, *e1, *e2], axis=-1).reshape(t, 3, 3)
-    z = jnp.stack(zs, axis=-1)
-    w = jnp.stack(ws, axis=-1)
-    return TriangleSetup(edge=edge, z=z, w=w, bbox=bbox, valid=valid)
+    # affine depth-plane coefficients z_k/det (see TriangleSetup.z): ONE
+    # reciprocal per triangle replaces the kernels' per-pixel zi/wi divide
+    inv_det = jnp.where(front, 1.0 / jnp.where(front, det, 1.0), 0.0)
+    z = jnp.stack([zk * inv_det for zk in zs], axis=-1)
+    return TriangleSetup(edge=edge, z=z, bbox=bbox, valid=valid)
 
 
 def triangle_setup(clip: Array, tri_vtx: Array, tri_valid: Array,
@@ -249,5 +257,5 @@ def band_slice_setup(setup: TriangleSetup, y0, band_h: int) -> TriangleSetup:
     by0 = jnp.clip(setup.bbox[:, 1] - y0, 0, band_h)
     by1 = jnp.clip(setup.bbox[:, 3] - y0, 0, band_h)
     bbox = jnp.stack([setup.bbox[:, 0], by0, setup.bbox[:, 2], by1], axis=-1)
-    return TriangleSetup(edge=setup.edge, z=setup.z, w=setup.w, bbox=bbox,
+    return TriangleSetup(edge=setup.edge, z=setup.z, bbox=bbox,
                          valid=setup.valid & (by1 > by0))
