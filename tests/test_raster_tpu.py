@@ -104,9 +104,27 @@ def test_bench_scale_oracle_parity_on_hardware():
     aux = np.asarray(pal.aux)
     assert aux.sum() == 0, f"capacity overflow at bench scale: {aux}"
     pt = np.asarray(pal.tri_id)
-    mism = (rt != pt).sum()
-    assert mism == 0, f"{mism} winner mismatches vs oracle at bench scale"
-    np.testing.assert_allclose(rd, np.asarray(pal.depth), atol=1e-6)
+    pd = np.asarray(pal.depth)
+    mism = rt != pt
+    # Mosaic and XLA may fuse the depth plane's mul+add chain into fmas
+    # differently, so two triangles within ~1 ulp of each other can pick
+    # opposite winners (r3hw10: 14 of 2.07M pixels on this scene, all
+    # genuine near-ties). Every mismatch must BE such a tie — the two
+    # sides' winning depths agreeing to a few ulps — and there must be
+    # only a trace amount of them; anything more is a real divergence.
+    n_mism = int(mism.sum())
+    assert n_mism <= 200, f"{n_mism} winner mismatches vs oracle"
+    if n_mism:
+        d_ref, d_pal = rd[mism], pd[mism]
+        tie = np.abs(d_ref - d_pal) <= 4 * np.spacing(
+            np.maximum(np.abs(d_ref), np.abs(d_pal)).astype(np.float32))
+        assert tie.all(), (
+            f"{(~tie).sum()} non-tie winner mismatches: "
+            f"worst |dd|={np.abs(d_ref - d_pal).max():.3e}")
+    # agreeing-winner depths: same plane, possibly different fma fusion —
+    # a few ulps at most
+    agree = ~mism
+    np.testing.assert_allclose(rd[agree], pd[agree], rtol=1e-6, atol=1e-7)
 
 
 @pytest.mark.skipif(jax.default_backend() == "cpu",

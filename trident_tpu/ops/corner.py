@@ -30,7 +30,12 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from trident_tpu.ops.vertex import TriangleSetup, _cofactor3, planar_setup
+from trident_tpu.ops.vertex import (
+    SetupCols,
+    TriangleSetup,
+    _cofactor3,
+    planar_setup_cols,
+)
 from trident_tpu.render.types import CameraParams, DrawParams
 
 Array = jax.Array
@@ -79,6 +84,22 @@ def build_draw_rows(params: DrawParams, camera: CameraParams,
         jnp.zeros((d, DRAW_ROW - 44), jnp.float32)], axis=1)
 
 
+class CornerCols(NamedTuple):
+    """Planar twin of the corner-stage outputs (same values, (T,) column
+    vectors): the resolve-record builder consumes columns anyway, so
+    handing it these keeps the geometry chain stack-free end to end
+    (XLA DCEs the stacked corner_nrm/uv/col when nothing reads them).
+
+    nrm[3k+c] == corner_nrm[:, k, c]; uv[2k+j] == corner_uv[:, k, j];
+    col[3k+c] == corner_col[:, k, c]; consts[j] == consts[:, j]."""
+
+    setup: SetupCols
+    nrm: tuple                 # 9 (T,) world-normal columns
+    uv: tuple                  # 6 (T,) atlas-UV columns
+    col: Optional[tuple]       # 9 (T,) vertex-color columns or None
+    consts: tuple              # 12 (T,) shading-const columns
+
+
 class CornerStageOut(NamedTuple):
     setup: TriangleSetup
     corner_nrm: Array          # (T,3,3) world-space, normalized
@@ -86,6 +107,7 @@ class CornerStageOut(NamedTuple):
     corner_col: Optional[Array]  # (T,3,3) or None
     consts: Array              # (T,12) per-draw shading consts (cols 32:44
                                # of the one draw-row gather)
+    cols: Optional[CornerCols] = None  # planar twin (bit-identical values)
 
 
 def corner_stage(corner_t: Array, draw_rows: Array, tri_draw: Array,
@@ -155,11 +177,16 @@ def corner_stage(corner_t: Array, draw_rows: Array, tri_draw: Array,
 
     # the edge/winding/bbox numerics are SHARED with the indexed path
     # (ops/vertex.planar_setup) — both must make bit-identical decisions
-    setup = planar_setup(sx, sy, wz, zz, tri_valid, width, height)
+    setup, setup_cols = planar_setup_cols(sx, sy, wz, zz, tri_valid,
+                                          width, height)
     corner_nrm = jnp.stack(nrm_cols, axis=-1).reshape(t, 3, 3)
     corner_uv = jnp.stack(uv_cols, axis=-1).reshape(t, 3, 2)
     corner_col = (jnp.stack(col_cols, axis=-1).reshape(t, 3, 3)
                   if vertex_colors else None)
+    cols = CornerCols(
+        setup=setup_cols, nrm=tuple(nrm_cols), uv=tuple(uv_cols),
+        col=tuple(col_cols) if vertex_colors else None,
+        consts=tuple(xt[32 + j] for j in range(12)))
     return CornerStageOut(setup=setup, corner_nrm=corner_nrm,
                           corner_uv=corner_uv, corner_col=corner_col,
-                          consts=xf_consts)
+                          consts=xf_consts, cols=cols)

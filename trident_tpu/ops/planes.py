@@ -222,6 +222,13 @@ def chunk_resolve_rows(rows: Array, chunk: int) -> Array:
 # and transposing measured 14 ms of pure relayout at 1M triangles.
 RESOLVE_TR = _os.environ.get("TRIDENT_RESOLVE_TR", "1") == "1"
 
+# TRIDENT_PLANAR=1 (default): keep the corner-stage → record-builder
+# chain PLANAR end to end (SetupCols/CornerCols column vectors) instead
+# of stacking (T,3,3)/(T,3,2) intermediates that the builders immediately
+# re-slice — bit-identical values (same fma chains), purely a layout
+# change; knob exists for the hardware A/B.
+PLANAR = _os.environ.get("TRIDENT_PLANAR", "1") == "1"
+
 
 def build_resolve_cols(setup: TriangleSetup, corner_nrm: Array,
                        corner_uv: Array, tri_draw: Array, draw_consts: Array,
@@ -249,6 +256,38 @@ def build_resolve_cols(setup: TriangleSetup, corner_nrm: Array,
             parts += _plane_parts(attr, edge)
         rw = RR_WIDTH_VCOLOR
     cols = jnp.stack(parts, axis=0)                # (30|39, T)
+    return jnp.pad(cols, ((0, rw - cols.shape[0]), (0, 0)))
+
+
+def build_resolve_cols_planar(cc) -> Array:
+    """build_resolve_cols from the corner stage's PLANAR columns
+    (ops/corner.CornerCols) — bit-identical output (the same
+    _plane_parts/_g1_parts fma chains on the same column values), but no
+    (T,3,3)/(T,3,2) corner stacks and no setup.edge round-trip anywhere
+    between the corner math and the (RW, T) record table: with this as
+    the only consumer, XLA dead-code-eliminates the stacked forms."""
+    e = cc.setup.e
+
+    def g1_cols():
+        return [(e[c] + e[3 + c]) + e[6 + c] for c in range(3)]
+
+    def plane_cols(a0, a1, a2):
+        # == _plane_parts with attr[:, k] = (a0, a1, a2)[k]
+        return [(a0 * e[c] + a1 * e[3 + c]) + a2 * e[6 + c]
+                for c in range(3)]
+
+    parts = g1_cols()
+    for c in range(3):                                 # nx, ny, nz
+        parts += plane_cols(cc.nrm[c], cc.nrm[3 + c], cc.nrm[6 + c])
+    for j in range(2):                                 # u, v
+        parts += plane_cols(cc.uv[j], cc.uv[2 + j], cc.uv[4 + j])
+    parts += list(cc.consts)
+    rw = RR_WIDTH
+    if cc.col is not None:
+        for c in range(3):
+            parts += plane_cols(cc.col[c], cc.col[3 + c], cc.col[6 + c])
+        rw = RR_WIDTH_VCOLOR
+    cols = jnp.stack(parts, axis=0)                    # (30|39, T)
     return jnp.pad(cols, ((0, rw - cols.shape[0]), (0, 0)))
 
 

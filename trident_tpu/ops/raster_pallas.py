@@ -175,21 +175,33 @@ class PallasBins(NamedTuple):
     aux: Array          # (2,) i32 — [truncated real pairs, dropped big chunks]
 
 
-def _build_records(setup: TriangleSetup, tpad: int) -> Array:
+def _build_records(setup: TriangleSetup, tpad: int,
+                   setup_cols=None) -> Array:
     t = setup.edge.shape[0]
     valid = setup.valid
+    # planar fast path: SetupCols carries the identical column values
+    # pre-stack — consuming them here (the corner chain's only edge/z
+    # reader besides the resolve records) lets XLA DCE setup.edge/z
+    ecol = ((lambda k, c: setup_cols.e[3 * k + c]) if setup_cols is not None
+            else (lambda k, c: setup.edge[:, k, c]))
+    zcol = ((lambda k: setup_cols.z[k]) if setup_cols is not None
+            else (lambda k: setup.z[:, k]))
+    wcol = ((lambda k: setup_cols.w[k]) if setup_cols is not None
+            else (lambda k: setup.w[:, k]))
     cols = []
     for k in range(3):  # e_k = a*px + b*py + c ; invalid triangles get e ≡ -1
-        cols.append(jnp.where(valid, setup.edge[:, k, 0], 0.0))
-        cols.append(jnp.where(valid, setup.edge[:, k, 1], 0.0))
-        cols.append(jnp.where(valid, setup.edge[:, k, 2], -1.0))
-    for k in range(3):  # affine depth plane z_k/det (TriangleSetup.z);
-        cols.append(jnp.where(valid, setup.z[:, k], 0.0))
-    for _ in range(4):  # cols 12..15 spare (former per-vertex w — the
-        cols.append(jnp.zeros_like(cols[0]))  # denominator is const det)
+        cols.append(jnp.where(valid, ecol(k, 0), 0.0))
+        cols.append(jnp.where(valid, ecol(k, 1), 0.0))
+        cols.append(jnp.where(valid, ecol(k, 2), -1.0))
+    for k in range(3):
+        cols.append(jnp.where(valid, zcol(k), 0.0))
+    for k in range(3):
+        cols.append(jnp.where(valid, wcol(k), 1.0))
+    cols.append(jnp.zeros_like(cols[0]))
     rec = jnp.stack(cols, axis=1)                       # (T, 16) row-major
     empty_row = jnp.zeros((16,), rec.dtype)
     empty_row = empty_row.at[2].set(-1.0).at[5].set(-1.0).at[8].set(-1.0)
+    empty_row = empty_row.at[12:15].set(1.0)
     # sentinel chunk 0 in front + tail padding
     front = jnp.tile(empty_row, (CHUNK, 1))
     tail = jnp.tile(empty_row, (tpad - t, 1)) if tpad != t else None
@@ -197,7 +209,8 @@ def _build_records(setup: TriangleSetup, tpad: int) -> Array:
     return jnp.concatenate(parts, axis=0)
 
 
-def build_bins(setup: TriangleSetup, width: int, height: int) -> PallasBins:
+def build_bins(setup: TriangleSetup, width: int, height: int,
+               setup_cols=None) -> PallasBins:
     t = setup.edge.shape[0]
     n_chunks = max(1, -(-t // CHUNK))
     tpad = n_chunks * CHUNK
@@ -214,7 +227,7 @@ def build_bins(setup: TriangleSetup, width: int, height: int) -> PallasBins:
             f"{t} triangles exceed the chunk-slot limit "
             f"({(CHUNK_MASK - 1) * CHUNK}). Split the scene across draws.")
 
-    records = _build_records(setup, tpad)
+    records = _build_records(setup, tpad, setup_cols=setup_cols)
 
     # chunk union bboxes (pixel space, x0/y0 incl, x1/y1 excl)
     bbox = setup.bbox
@@ -465,16 +478,22 @@ def _visibility_kernel(band_ref, pair_tile_ref, pair_chunk_ref, *refs,
             e0 = col(0) * pxf + col(1) * pyf + col(2)   # (SUB, npx)
             e1 = col(3) * pxf + col(4) * pyf + col(5)
             e2 = col(6) * pxf + col(7) * pyf + col(8)
-            # depth is AFFINE in screen space: records cols 9..11 hold
-            # z_k/det (TriangleSetup.z) — no per-pixel wi chain, range
-            # test, or reciprocal (the old denominator Σ e_k·w_k is the
-            # constant det, folded at setup). Association must match
-            # raster_ref.visibility_ref exactly.
-            d = (e0 * col(9) + e1 * col(10)) + e2 * col(11)
-            cover = ((e0 >= 0.0) & (e1 >= 0.0) & (e2 >= 0.0)
-                     & (d >= 0.0) & (d <= 1.0))
+            # depth stays the per-pixel RATIONAL zi/wi — the affine
+            # Σ e_k·(z_k/det) form is 9 ops cheaper but not
+            # self-normalizing and fails catastrophically on subpixel
+            # triangles at ZO far depths (see TriangleSetup numerics
+            # note; r3hw10 lost 27% of covered pixels to d>1).
+            # Association must match raster_ref.visibility_ref exactly.
+            zi = (e0 * col(9) + e1 * col(10)) + e2 * col(11)
+            wi = (e0 * col(12) + e1 * col(13)) + e2 * col(14)
+            # depth range test in cross-multiplied form (no divide): with
+            # wi>0, 0 ≤ zi/wi ≤ 1 ⇔ zi ≥ 0 and zi ≤ wi
+            cover = ((e0 >= 0.0) & (e1 >= 0.0) & (e2 >= 0.0) & (wi > 1e-12)
+                     & (zi >= 0.0) & (zi <= wi))
 
             def merge():
+                d = zi * pl.reciprocal(jnp.where(cover, wi, 1.0),
+                                       approx=False)
                 dm = jnp.where(cover, d, DEPTH_SENTINEL)
 
                 cmin = jnp.min(dm, axis=0, keepdims=True)  # (1, npx)
@@ -512,7 +531,8 @@ def untile_frame(flat: Array, ntx: int, nty: int) -> Array:
 
 
 def visibility_pallas_tiled(setup: TriangleSetup, width: int, height: int,
-                            interpret: bool = False, tile_y_offset=0):
+                            interpret: bool = False, tile_y_offset=0,
+                            setup_cols=None):
     """Tile-binned Pallas visibility, keeping the kernel-native tiled
     layout: returns (bins, depth_tiles, tri_tiles, written) with
     depth/tri (n_tiles, 1, TH·TW) and written (n_tiles,) bool — the resolve
@@ -529,7 +549,7 @@ def visibility_pallas_tiled(setup: TriangleSetup, width: int, height: int,
     nty = -(-height // TILE_H)
     wpad, hpad = ntx * TILE_W, nty * TILE_H
 
-    bins = build_bins(setup, wpad, hpad)
+    bins = build_bins(setup, wpad, hpad, setup_cols=setup_cols)
 
     n_tiles = ntx * nty
     npx = TILE_H * TILE_W

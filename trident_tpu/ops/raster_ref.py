@@ -34,6 +34,7 @@ def visibility_ref(setup: TriangleSetup, width: int, height: int,
 
     edge = jnp.pad(setup.edge, ((0, pad), (0, 0), (0, 0)))
     z = jnp.pad(setup.z, ((0, pad), (0, 0)))
+    w = jnp.pad(setup.w, ((0, pad), (0, 0)))
     valid = jnp.pad(setup.valid, (0, pad))
 
     ys = (jnp.arange(height, dtype=jnp.float32)
@@ -43,23 +44,35 @@ def visibility_ref(setup: TriangleSetup, width: int, height: int,
 
     def body(carry, chunk_data):
         best_depth, best_tri = carry
-        c_edge, c_z, c_valid, c_base = chunk_data
+        c_edge, c_z, c_w, c_valid, c_base = chunk_data
 
         # e_k(p) for all triangles in chunk: (C,3,H,W)
         e = (c_edge[:, :, 0, None, None] * px[None, None]
              + c_edge[:, :, 1, None, None] * py[None, None]
              + c_edge[:, :, 2, None, None])
         cover = jnp.all(e >= 0.0, axis=1)             # (C,H,W)
-        # depth is AFFINE in screen space (setup.z holds z_k/det; the old
-        # per-pixel denominator Σ e_k·w_k is the constant det) — one fma
-        # chain, association pinned to the Pallas kernel's
-        # e0·z0 + e1·z1 + e2·z2 order so winner decisions are bit-identical
-        # (an einsum's dot_general is a TPU bf16 hazard unpinned, and even
-        # pinned its association is layout-dependent — r3hw4/r3hw7)
-        depth = ((e[:, 0] * c_z[:, 0, None, None]
-                  + e[:, 1] * c_z[:, 1, None, None])
-                 + e[:, 2] * c_z[:, 2, None, None])
-        cover &= (depth >= 0.0) & (depth <= 1.0)
+        # RATIONAL per-pixel depth, association pinned to the Pallas
+        # kernel's (e0·z0 + e1·z1) + e2·z2 fma chains so winner decisions
+        # match it to the ulp (einsum is a TPU bf16 hazard unpinned, and
+        # even pinned its association is layout-dependent — r3hw4/r3hw7).
+        # The affine z_k/det form is NOT an option here: not
+        # self-normalizing, fails on subpixel triangles (r3hw10, see
+        # TriangleSetup's numerics note).
+        z_interp = ((e[:, 0] * c_z[:, 0, None, None]
+                     + e[:, 1] * c_z[:, 1, None, None])
+                    + e[:, 2] * c_z[:, 2, None, None])
+        w_interp = ((e[:, 0] * c_w[:, 0, None, None]
+                     + e[:, 1] * c_w[:, 1, None, None])
+                    + e[:, 2] * c_w[:, 2, None, None])
+        safe_w = jnp.where(jnp.abs(w_interp) < 1e-12, 1e-12, w_interp)
+        depth = z_interp / safe_w
+        # depth-range test in the SAME cross-multiplied form as the Pallas
+        # kernel (raster_pallas._visibility_kernel): with w>0 it equals
+        # 0 ≤ z/w ≤ 1 mathematically, but the divided form can disagree by
+        # one rounding step at the far plane (z/w rounding to exactly 1.0
+        # while z > w) — the oracle must make the identical decision
+        cover &= ((w_interp > 1e-12) & (z_interp >= 0.0)
+                  & (z_interp <= w_interp))
         cover &= c_valid[:, None, None]
         depth = jnp.where(cover, depth, jnp.inf)
 
@@ -86,6 +99,7 @@ def visibility_ref(setup: TriangleSetup, width: int, height: int,
     chunks = (
         edge.reshape(n_chunks, chunk, 3, 3),
         z.reshape(n_chunks, chunk, 3),
+        w.reshape(n_chunks, chunk, 3),
         valid.reshape(n_chunks, chunk),
         (jnp.arange(n_chunks) * chunk).astype(jnp.int32),
     )

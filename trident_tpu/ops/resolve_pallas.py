@@ -352,10 +352,20 @@ def resolve_attrs_pallas(bins: PallasBins, tri_tiles: Array, records: Array,
         # each subtraction cancels the already-captured high bits, so it
         # is exact in f32 and hi+mid+lo reconstructs records bit-exactly.
         # Planes stack on a LEADING axis — per-step slicing stays off the
-        # lane dim (a k·RW lane-offset bf16 slice relayouts every step)
+        # lane dim (a k·RW lane-offset bf16 slice relayouts every step).
+        #
+        # optimization_barrier: with the planes' ONLY consumers being
+        # bf16 kernel operands, XLA:TPU's bf16 precision propagation is
+        # free to demote the f32 intermediates (records/r1) to bf16 —
+        # then r1 = r − r ≡ 0 and the decomposition silently collapses
+        # to hi-only (the r3hw9 hardware finding: split ≡ raw bf16
+        # quantization while the same graph returned as f32 is exact).
+        # The barriers keep the subtraction chain f32-real.
         hi = records.astype(jnp.bfloat16)
+        records, hi = jax.lax.optimization_barrier((records, hi))
         r1 = records - hi.astype(jnp.float32)
         mid = r1.astype(jnp.bfloat16)
+        r1, mid = jax.lax.optimization_barrier((r1, mid))
         lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
         records = jnp.stack([hi, mid, lo], axis=0 if tr else 1)
         # tr: (3, RW, (NC+1)·C); legacy: (NC+1, 3, C, RW)

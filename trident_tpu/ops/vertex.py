@@ -9,7 +9,7 @@ einsum — exactly the shape the MXU wants.
 
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -139,33 +139,66 @@ class TriangleSetup(NamedTuple):
           e_i(px,py) = a*px + b*py + c in PIXEL coordinates; e_i are the
           clip-space barycentrics scaled by det. All e_i>=0 inside a
           front-facing triangle.
-    z:    (T,3) affine NDC-depth plane over the edge basis: z[k] = clip
-          z_k / det, so depth(p) = Σ_k e_k(p)·z[k] DIRECTLY. z_ndc is
-          affine in screen space (the attr/w interpolation identity with
-          attr = clip z), and the old per-pixel denominator Σ_k e_k(p)·w_k
-          is algebraically the CONSTANT det (it equals det at all three
-          projected vertices and is affine) — so the rasterizers' former
-          zi/wi rational divide folds into these coefficients once per
-          triangle, deleting 4 FMAs + a reciprocal per (triangle, pixel)
-          from the visibility hot loop.
+    z:    (T,3) clip-space z per vertex
+    w:    (T,3) clip-space w per vertex
     bbox: (T,4) i32 — pixel-space (x0,y0,x1,y1) inclusive-exclusive
     valid:(T,) bool — front-facing, non-degenerate, on-screen
+
+    Numerics note (round-3 hardware lesson): depth MUST stay the
+    per-pixel rational zi/wi. z_ndc is algebraically affine in screen
+    space (Σ_k e_k(p)·z_k/det, the denominator Σ_k e_k(p)·w_k being the
+    constant det), and folding 1/det at setup deletes 4 FMAs + a
+    reciprocal per (triangle, pixel) — but the affine form is NOT
+    self-normalizing: zi and wi share the e_k values INCLUDING their
+    rounding noise, so the ratio stays inside [min, max] of the vertex
+    z_k/w_k no matter how noisy the tiny-triangle edge evaluation gets,
+    while Σ e_k·(z_k/det) passes that noise straight through. Measured
+    at 1M subpixel triangles with ZO far-depth compression (all
+    z/w ≈ 0.9977): affine d reached 11.97, d>1 culled 27% of covered
+    pixels (r3hw10 covered=539506 vs 743763; tools_dev/diag_cover.py).
     """
 
     edge: Array
     z: Array
+    w: Array
     bbox: Array
     valid: Array
 
 
+class SetupCols(NamedTuple):
+    """Planar twin of TriangleSetup's stacked arrays: the SAME values as
+    (T,) column vectors, before any stack/reshape. Consumers on the hot
+    path (record builders) slice TriangleSetup.edge/z right back into
+    columns — handing them these instead keeps the whole geometry chain
+    planar and lets XLA DCE the stacked intermediates entirely.
+
+    e[3k+c] == TriangleSetup.edge[:, k, c]; z[k] == TriangleSetup.z[:, k];
+    w[k] == TriangleSetup.w[:, k].
+    """
+
+    e: tuple      # 9 (T,) edge-coefficient columns
+    z: tuple      # 3 (T,) clip-z columns
+    w: tuple      # 3 (T,) clip-w columns
+
+
 def planar_setup(sx, sy, ws, zs, tri_valid: Array,
                  width: int, height: int) -> TriangleSetup:
+    """Stacked-only wrapper of planar_setup_cols (see there)."""
+    return planar_setup_cols(sx, sy, ws, zs, tri_valid, width, height)[0]
+
+
+def planar_setup_cols(sx, sy, ws, zs, tri_valid: Array, width: int,
+                      height: int) -> Tuple[TriangleSetup, SetupCols]:
     """Edge functions / winding / bbox / validity from planar per-corner
     lists (each a 3-list of (T,) vectors; sx/sy are viewport-scaled
     homogeneous coords, ws/zs clip w and z). The SINGLE implementation of
     the raster-setup numerics: the indexed path (triangle_setup) and the
     corner-major path (ops/corner.corner_stage) must make bit-identical
-    cover/winding decisions, so every epsilon lives only here."""
+    cover/winding decisions, so every epsilon lives only here.
+
+    Returns the stacked TriangleSetup AND the planar SetupCols holding
+    the identical column values — callers that keep consuming columns
+    never pay the (T,3,3) stack."""
     t = ws[0].shape[0]
 
     def cross(j, k):  # adjugate row i = cross(vertex_j, vertex_k), planar
@@ -205,11 +238,10 @@ def planar_setup(sx, sy, ws, zs, tri_valid: Array,
     valid = tri_valid & front & on_screen
 
     edge = jnp.stack([*e0, *e1, *e2], axis=-1).reshape(t, 3, 3)
-    # affine depth-plane coefficients z_k/det (see TriangleSetup.z): ONE
-    # reciprocal per triangle replaces the kernels' per-pixel zi/wi divide
-    inv_det = jnp.where(front, 1.0 / jnp.where(front, det, 1.0), 0.0)
-    z = jnp.stack([zk * inv_det for zk in zs], axis=-1)
-    return TriangleSetup(edge=edge, z=z, bbox=bbox, valid=valid)
+    z = jnp.stack(zs, axis=-1)
+    w = jnp.stack(ws, axis=-1)
+    return (TriangleSetup(edge=edge, z=z, w=w, bbox=bbox, valid=valid),
+            SetupCols(e=(*e0, *e1, *e2), z=tuple(zs), w=tuple(ws)))
 
 
 def triangle_setup(clip: Array, tri_vtx: Array, tri_valid: Array,
@@ -257,5 +289,5 @@ def band_slice_setup(setup: TriangleSetup, y0, band_h: int) -> TriangleSetup:
     by0 = jnp.clip(setup.bbox[:, 1] - y0, 0, band_h)
     by1 = jnp.clip(setup.bbox[:, 3] - y0, 0, band_h)
     bbox = jnp.stack([setup.bbox[:, 0], by0, setup.bbox[:, 2], by1], axis=-1)
-    return TriangleSetup(edge=setup.edge, z=setup.z, bbox=bbox,
+    return TriangleSetup(edge=setup.edge, z=setup.z, w=setup.w, bbox=bbox,
                          valid=setup.valid & (by1 > by0))

@@ -61,7 +61,8 @@ def _visibility_and_shade(setup, records, planes, textures, camera, lights,
                           vertex_colors: bool, forward_shading: bool,
                           shadow, shadow_pcf: bool, tonemap: bool,
                           interpret: bool, y_offset=0, full_height=None,
-                          profile_stop: str = "", shader_fn=None):
+                          profile_stop: str = "", shader_fn=None,
+                          setup_cols=None):
     """Rasterize + shade a frame (or a horizontal band of one) from
     prebuilt per-triangle inputs. Exactly one of `records` (chunked resolve
     records, kernel-shading path) / `planes` (AttributePlanes, gather path)
@@ -86,7 +87,8 @@ def _visibility_and_shade(setup, records, planes, textures, camera, lights,
             from trident_tpu.ops.raster_pallas import build_bins
 
             ntx, nty = -(-width // TILE_W), -(-height // TILE_H)
-            b = build_bins(setup, ntx * TILE_W, nty * TILE_H)
+            b = build_bins(setup, ntx * TILE_W, nty * TILE_H,
+                           setup_cols=setup_cols)
             probe = (b.pair_tile.sum() + b.pair_chunk.sum()
                      + sum(m.sum() for m in b.pair_mask)).astype(jnp.float32)
             frame = jnp.zeros((height, width, 4), jnp.float32) + probe * 1e-20
@@ -95,7 +97,8 @@ def _visibility_and_shade(setup, records, planes, textures, camera, lights,
                            aux=b.aux)
             return frame, gbuf
         bins, depth_tiles, tri_tiles, _ = visibility_pallas_tiled(
-            setup, width, height, interpret=interpret, tile_y_offset=tile_y)
+            setup, width, height, interpret=interpret, tile_y_offset=tile_y,
+            setup_cols=setup_cols)
         ntx, nty = -(-width // TILE_W), -(-height // TILE_H)
         gbuf = GBuffer(
             tri_id=untile_frame(tri_tiles, ntx, nty)[:height, :width],
@@ -201,9 +204,15 @@ def _render_frame_impl(geometry, plan, tri_draw, params, palette, shade_table,
         setup = cs.setup
         c_nrm, c_uv, c_col = cs.corner_nrm, cs.corner_uv, cs.corner_col
         if profile_stop == "corner":        # corner math, records pruned
-            return _probe_output(setup.edge.sum() + c_nrm.sum()
-                                 + c_uv.sum() + cs.consts.sum(),
-                                 width, height)
+            from trident_tpu.ops import planes as _pm
+            if _pm.PLANAR:                  # force columns, not stacks
+                cc = cs.cols
+                probe = sum(c.sum() for c in
+                            (*cc.setup.e, *cc.nrm, *cc.uv, *cc.consts))
+            else:
+                probe = (setup.edge.sum() + c_nrm.sum() + c_uv.sum()
+                         + cs.consts.sum())
+            return _probe_output(probe, width, height)
     else:
         # indexed path (skinning needs per-vertex palette gathers): ONE
         # (T,3,16) packed-corner gather feeds setup AND plane/record
@@ -237,6 +246,7 @@ def _render_frame_impl(geometry, plan, tri_draw, params, palette, shade_table,
             bias=jnp.asarray(shadow_bias, jnp.float32))
 
     records = planes = None
+    setup_cols = None
     if use_kernel_shading:
         from trident_tpu.ops import planes as planes_mod
         from trident_tpu.ops import raster_pallas
@@ -245,12 +255,20 @@ def _render_frame_impl(geometry, plan, tri_draw, params, palette, shade_table,
         # kernel — records must chunk at its (env-overridable) CHUNK, not
         # the ref-path `chunk` argument
         crows = None if cs is None else cs.consts
+        if cs is not None and planes_mod.PLANAR:
+            setup_cols = cs.cols.setup
         if planes_mod.RESOLVE_TR:
-            records = planes_mod.chunk_resolve_cols(
-                planes_mod.build_resolve_cols(
+            if cs is not None and planes_mod.PLANAR:
+                # stack-free geometry chain: the planar corner columns
+                # feed the column-native builder directly (bit-identical
+                # values; the (T,3,·) corner stacks get DCE'd)
+                cols = planes_mod.build_resolve_cols_planar(cs.cols)
+            else:
+                cols = planes_mod.build_resolve_cols(
                     setup, c_nrm, c_uv, tri_draw, draw_consts, c_col,
-                    consts_rows=crows),
-                raster_pallas.CHUNK)
+                    consts_rows=crows)
+            records = planes_mod.chunk_resolve_cols(cols,
+                                                    raster_pallas.CHUNK)
         else:
             records = planes_mod.chunk_resolve_rows(
                 planes_mod.build_resolve_rows(
@@ -266,7 +284,10 @@ def _render_frame_impl(geometry, plan, tri_draw, params, palette, shade_table,
 
     if profile_stop == "geom":
         # force setup + records, prune the raster/shade stages entirely
-        probe = setup.edge.sum()
+        # (planar mode: force the COLUMNS — the production frame never
+        # materializes the stacked setup.edge there)
+        probe = (sum(c.sum() for c in setup_cols.e)
+                 if setup_cols is not None else setup.edge.sum())
         if records is not None:
             probe = probe + records.sum()
         return _probe_output(probe, width, height)
@@ -277,7 +298,8 @@ def _render_frame_impl(geometry, plan, tri_draw, params, palette, shade_table,
         chunk=chunk, sampling=sampling, vertex_colors=vertex_colors,
         forward_shading=forward_shading, shadow=shadow,
         shadow_pcf=shadow_pcf, tonemap=not bloom, interpret=interpret,
-        profile_stop=profile_stop, shader_fn=shader_fn)
+        profile_stop=profile_stop, shader_fn=shader_fn,
+        setup_cols=setup_cols)
     if profile_stop:
         return FrameOutput(color=pack_rgba8(jnp.clip(frame, 0.0, 1.0)),
                            depth=gbuf.depth, tri_id=gbuf.tri_id,
