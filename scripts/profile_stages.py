@@ -198,7 +198,8 @@ def profile(width, height, grid, label, n=10):
     # costs in the real graph come from differencing consecutive stops
     # (chained stage timings above overlap/fuse differently and mislead —
     # PERF.md round-2 diagnosis)
-    for stop in ("draw_rows", "corner", "geom", "bins", "vis", "resolve"):
+    for stop in ("draw_rows", "corner", "geom", "bins", "vis",
+                 "resolve_tiled", "resolve"):
         f_ab = jax.jit(lambda tok, _p=stop: render_frame(
             geo, plan, tri_draw, params, palette, shade,
             CameraParams(cam.view, cam.proj, cam.position + tok * 0),

@@ -329,7 +329,8 @@ def resolve_attrs_pallas(bins: PallasBins, tri_tiles: Array, records: Array,
                          width: int, height: int,
                          vertex_colors: bool = False,
                          interpret: bool = False,
-                         tile_y_offset=0, skip: bool | None = None) -> Array:
+                         tile_y_offset=0, skip: bool | None = None,
+                         tiled: bool = False) -> Array:
     """Run the resolve sweep → (height, width, CHANNELS) f32 attribute
     image. `tri_tiles` is the visibility kernel's tiled winner map
     ((n_tiles, 1, TH·TW), from visibility_pallas_tiled); `records` comes
@@ -485,4 +486,9 @@ def resolve_attrs_pallas(bins: PallasBins, tri_tiles: Array, records: Array,
     written = jnp.zeros((n_tiles + 1,), jnp.bool_).at[touched_idx].set(
         True, mode="drop")[:n_tiles]
     attrs = jnp.where(written[:, None, None], attrs, 0.0)
+    if tiled:
+        # kernel-native (n_tiles, CHANNELS, npx) — profiler probe for the
+        # untile relayout cost (a (H,W,16) channel-last untile moves
+        # ~128 MB at 1080p)
+        return attrs
     return untile_frame(attrs, ntx, nty)[:height, :width]

@@ -109,11 +109,26 @@ def _visibility_and_shade(setup, records, planes, textures, camera, lights,
                      + gbuf.tri_id[..., None].astype(jnp.float32) * 1e-20
                      ) * jnp.ones((1, 1, 4), jnp.float32)
             return frame, gbuf
+        if profile_stop == "resolve_tiled":
+            # pre-untile probe: forces the resolve pass in its native
+            # (n_tiles, CH, npx) layout — resolve minus this stop's delta
+            # is the untile relayout cost
+            at = resolve_attrs_pallas(bins, tri_tiles, records, width,
+                                      height, vertex_colors=vertex_colors,
+                                      interpret=interpret,
+                                      tile_y_offset=tile_y, tiled=True)
+            frame = (jnp.zeros((height, width, 4), jnp.float32)
+                     + at.sum() * 1e-20)
+            return frame, gbuf
         attrs = resolve_attrs_pallas(bins, tri_tiles, records, width, height,
                                      vertex_colors=vertex_colors,
                                      interpret=interpret, tile_y_offset=tile_y)
         if profile_stop == "resolve":
-            return attrs[..., :4] * 1e-3, gbuf
+            # force ALL channels post-untile (a :4 slice lets XLA skip
+            # most of the relayout and undercounts vs resolve_tiled)
+            frame = (jnp.zeros((height, width, 4), jnp.float32)
+                     + attrs.sum() * 1e-20)
+            return frame, gbuf
         frame = deferred_shade_attrs(gbuf, attrs, textures, camera, lights,
                                      width, height, clear_color=clear_color,
                                      skybox=skybox, ai=None,
