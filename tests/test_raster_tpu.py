@@ -106,21 +106,60 @@ def test_bench_scale_oracle_parity_on_hardware():
     pt = np.asarray(pal.tri_id)
     pd = np.asarray(pal.depth)
     mism = rt != pt
-    # Mosaic and XLA may fuse the depth plane's mul+add chain into fmas
-    # differently, so two triangles within ~1 ulp of each other can pick
-    # opposite winners (r3hw10: 14 of 2.07M pixels on this scene, all
-    # genuine near-ties). Every mismatch must BE such a tie — the two
-    # sides' winning depths agreeing to a few ulps — and there must be
-    # only a trace amount of them; anything more is a real divergence.
+    # Mosaic and XLA fuse the edge/depth mul+add chains into fmas
+    # differently, so a pixel sitting within an ulp of a DECISION
+    # BOUNDARY can flip between the two sides (r3hw10/11: 14-20 of
+    # 2.07M pixels on this scene). Two benign flavors, and every
+    # mismatch must provably be one of them:
+    #   (a) depth tie — both sides' winning depths agree to a few ulps;
+    #   (b) cover-boundary flip — one side's winner evaluates within
+    #       f32 evaluation noise of a cover constraint (an edge
+    #       function, zi>=0, or zi<=wi crossing 0) at the pixel center,
+    #       so the other side legitimately dropped it and fell through
+    #       to a farther triangle (|dd| can then be large).
+    # Anything else is a real divergence.
     n_mism = int(mism.sum())
     assert n_mism <= 200, f"{n_mism} winner mismatches vs oracle"
+    edge_np = np.asarray(setup.edge, np.float64)
+    z_np = np.asarray(setup.z, np.float64)
+    w_np = np.asarray(setup.w, np.float64)
+    eps32 = np.float32(2.0) ** -24
+    TOL = 32.0        # noise band half-width, in eps32·term-scale units
+
+    def near_boundary(tri, yy, xx):
+        if tri < 0:
+            return False
+        pxc, pyc = xx + 0.5, yy + 0.5
+        a, b, c = edge_np[tri, :, 0], edge_np[tri, :, 1], edge_np[tri, :, 2]
+        e = a * pxc + b * pyc + c                     # (3,)
+        scale_e = np.abs(a * pxc) + np.abs(b * pyc) + np.abs(c)
+        zi = float(e @ z_np[tri])
+        wi = float(e @ w_np[tri])
+        scale_i = float(np.abs(e) @ np.abs(z_np[tri])
+                        + np.abs(e) @ np.abs(w_np[tri]))
+        margins = list(np.abs(e) / np.maximum(scale_e, 1e-300))
+        margins += [abs(zi) / max(scale_i, 1e-300),
+                    abs(wi - zi) / max(scale_i, 1e-300)]
+        return min(margins) <= TOL * eps32
+
     if n_mism:
-        d_ref, d_pal = rd[mism], pd[mism]
-        tie = np.abs(d_ref - d_pal) <= 4 * np.spacing(
-            np.maximum(np.abs(d_ref), np.abs(d_pal)).astype(np.float32))
-        assert tie.all(), (
-            f"{(~tie).sum()} non-tie winner mismatches: "
-            f"worst |dd|={np.abs(d_ref - d_pal).max():.3e}")
+        bad = []
+        for yy, xx in zip(*np.nonzero(mism)):
+            d_r, d_p = rd[yy, xx], pd[yy, xx]
+            tie = abs(d_r - d_p) <= 4 * np.spacing(
+                np.float32(max(abs(d_r), abs(d_p))))
+            if tie:
+                continue
+            # the nearer winner is the one the other side must have
+            # boundary-dropped; accept if either winner is borderline
+            if near_boundary(rt[yy, xx], yy, xx) or \
+               near_boundary(pt[yy, xx], yy, xx):
+                continue
+            bad.append(((int(yy), int(xx)), int(rt[yy, xx]),
+                        int(pt[yy, xx]), float(d_r), float(d_p)))
+        assert not bad, (
+            f"{len(bad)} non-tie non-boundary winner mismatches, e.g. "
+            f"{bad[:5]}")
     # agreeing-winner depths: same plane, possibly different fma fusion —
     # a few ulps at most
     agree = ~mism

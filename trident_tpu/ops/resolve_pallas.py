@@ -89,26 +89,23 @@ RESOLVE_SKIP = _os.environ.get("TRIDENT_RESOLVE_SKIP", "0") == "1"
 # to 8 mantissa bits INSIDE the select (UV/normal/denominator wobble the
 # CPU interpreter can never see: it computes plain f32). Three modes
 # (TRIDENT_RESOLVE_PREC) for the hardware A/B:
-#   fp32 (DEFAULT) — pin contract_precision<fp32>: exact (golden flavors
-#     clean on v5e at TR=1, r3hw9.log), worst case ~6 bf16 MXU passes;
-#   split — records pre-split XLA-side into 3 bf16 planes (hi = bf16(r),
-#     mid = bf16(r−hi), lo = bf16(r−hi−mid); 3×8 significand bits cover
-#     f32's 24, so hi+mid+lo == r exactly and an f32 accumulator would
-#     reassemble it; 3 single-pass bf16 dots instead of ~6, measured
-#     21.58 vs 21.02 FPS at 1M/1080p). CPU-bit-exact vs the fp32 pin in
-#     every composition (tests/test_resolve_pallas.py) and the XLA-side
-#     decomposition is bit-exact ON CHIP too — but the REAL Mosaic
-#     kernel degenerates to hi-plane-only: r3hw9 diag_resolve measured
-#     cols/split == cols/bf16 stat-identically while interpret mode is
-#     exact, i.e. the mid/lo contributions vanish somewhere in the
-#     Mosaic lowering (mechanism under investigation — the 0.56 FPS it
-#     won over fp32 was this quantization, not the pass count). Golden
-#     flavors drift 2-3.7% >3LSB (r3hw5/7/8) — FORBIDDEN as default
-#     until the micro-kernel probe explains the loss;
+#   split (DEFAULT) — records pre-split XLA-side into 3 bf16 planes
+#     (hi = bf16(r), mid = bf16(r−hi), lo = bf16(r−hi−mid); 3×8
+#     significand bits cover f32's 24, so hi+mid+lo == r exactly and the
+#     f32 accumulator reassembles it; 3 single-pass bf16 dots instead of
+#     ~6). EXACT on hardware since the optimization_barrier fix below:
+#     without the barriers, XLA:TPU's bf16 precision propagation demoted
+#     the f32 subtraction chain (its only consumers are bf16 kernel
+#     operands) and split silently collapsed to hi-only == raw bf16
+#     quantization — found by r3hw9's layout×precision diag, proven
+#     fixed by r3hw11's (split ≡ fp32 bit-exact on chip, both layouts).
+#     Measured 22.28 vs 21.88 FPS fp32 at 1M/1080p (r3hw11, honest);
+#   fp32 — pin contract_precision<fp32>: exact, worst case ~6 bf16 MXU
+#     passes;
 #   bf16 — raw DEFAULT pass on the f32 records: cheapest (22.62 FPS with
 #     TR), records round to 8 mantissa bits — golden/oracle gates forbid
 #     it as a default.
-_PREC_MODE = _os.environ.get("TRIDENT_RESOLVE_PREC", "fp32")
+_PREC_MODE = _os.environ.get("TRIDENT_RESOLVE_PREC", "split")
 if _PREC_MODE not in ("fp32", "split", "bf16"):
     raise ValueError(f"TRIDENT_RESOLVE_PREC={_PREC_MODE!r}: "
                      "expected fp32 | split | bf16")
