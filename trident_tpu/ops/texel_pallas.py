@@ -211,3 +211,40 @@ def sample_bilinear_mxu(table: Array, idx: Array, fx: Array, fy: Array,
            .transpose(0, 3, 1, 4, 2)
            .reshape(hp, wp, 4))
     return img[:h, :w]
+
+
+def sample_bilinear_mxu_tiled(table: Array, idx: Array, fx: Array, fy: Array,
+                              interpret: bool = False) -> Array:
+    """Tiled-layout twin of sample_bilinear_mxu: idx/fx/fy come as
+    (n_tiles, npx) planes (the resolve pass's kernel-native pixel order)
+    and the output is (n_tiles, 4, npx) — one raster tile per block, so
+    there is NO tile/untile relayout on either side (the (H,W) entry
+    point pays two). Same kernel, same windowed one-hot math, and a
+    single tile's pixels are spatially tighter than the (8,256) blocks,
+    so the slab windows only shrink."""
+    nt, npx = idx.shape
+
+    def r3(a):
+        return a.reshape(nt, 1, npx)                # pure reshape
+
+    kernel = functools.partial(_texel_kernel, p=npx)
+    return pl.pallas_call(
+        kernel,
+        grid=(nt,),
+        in_specs=[
+            pl.BlockSpec((1, 1, npx), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, npx), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, npx), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((table.shape[0], 16), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 4, npx), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nt, 4, npx), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(r3(idx), r3(fx), r3(fy), table)

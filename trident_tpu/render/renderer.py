@@ -120,6 +120,42 @@ def _visibility_and_shade(setup, records, planes, textures, camera, lights,
             frame = (jnp.zeros((height, width, 4), jnp.float32)
                      + at.sum() * 1e-20)
             return frame, gbuf
+        from trident_tpu.ops import texel_pallas as _tp
+        from trident_tpu.ops.deferred_tiled import (
+            TILED_SHADE, shade_attrs_tiled)
+
+        fh2 = height if full_height is None else full_height
+        use_tiled = (
+            TILED_SHADE and sampling == "bilinear" and shader_fn is None
+            and not profile_stop
+            and _tp.TEXEL_MXU and width * fh2 <= _tp.TEXEL_MXU_MAX_PIX
+            and textures.quads.shape[0] <= _tp.MAX_TABLE_ENTRIES)
+        if use_tiled:
+            # channel-planar shading in the rasterizer's tiled layout:
+            # only the final 4-channel frame pays an untile (the legacy
+            # path untiles all 16 attr channels first — ~4.1 ms at
+            # 1M/1080p, PERF.md r3hw11)
+            from trident_tpu.ops.deferred import _background, apply_ai_blend
+
+            attrs_t = resolve_attrs_pallas(
+                bins, tri_tiles, records, width, height,
+                vertex_colors=vertex_colors, interpret=interpret,
+                tile_y_offset=tile_y, tiled=True)
+            rgba_t = shade_attrs_tiled(
+                tri_tiles, depth_tiles, attrs_t, textures, camera, lights,
+                width, height, shadow=shadow, shadow_pcf=shadow_pcf,
+                tonemap=tonemap, tile_y_offset=tile_y,
+                full_height=full_height, interpret=interpret)
+            frame4 = untile_frame(rgba_t, ntx, nty)[:height, :width]
+            covered = (gbuf.tri_id >= 0)[..., None]
+            bg = _background(camera, skybox, width, height, clear_color,
+                             y_offset=y_offset, full_height=full_height)
+            rgb = jnp.where(covered, frame4[..., :3], bg)
+            a_out = jnp.where(covered, frame4[..., 3:4], clear_color[3])
+            frame = jnp.concatenate([rgb, a_out], axis=-1)
+            if tonemap:
+                frame = jnp.clip(apply_ai_blend(frame, None), 0.0, 1.0)
+            return frame, gbuf
         attrs = resolve_attrs_pallas(bins, tri_tiles, records, width, height,
                                      vertex_colors=vertex_colors,
                                      interpret=interpret, tile_y_offset=tile_y)
