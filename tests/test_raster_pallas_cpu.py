@@ -203,3 +203,54 @@ def test_4k_scale_chunk_spans_bin_without_drops():
     assert aux[1] == 0, f"{aux[1]} chunks dropped at 4K scale"
     assert aux[0] == 0
     assert int(bins.n_real) > 0
+
+
+def test_zskip_is_bit_exact_and_packs(rng, monkeypatch):
+    """Hierarchical-Z pair skip (TRIDENT_ZSKIP): occluded-layer scenes
+    must render BIT-IDENTICALLY with the skip on and off (the skip may
+    only elide provably no-op merges), and build_bins must pack a nonzero
+    depth bound into mask word 0's high bits for front-depth geometry."""
+    if not raster_pallas.ZSKIP_PACK:
+        pytest.skip("ZSKIP needs NSUB<=16 / one mask word")
+    t = raster_pallas.CHUNK * 3
+    # layer 1 (early triangle ids): near wall at NDC z=-0.6 covering most
+    # of the frame; layer 2 (later ids → later chunks): far quads behind
+    # it — exactly the geometry the skip elides. A few near-plane and
+    # degenerate rows exercise the conservative (never-skip) paths.
+    pos = (rng.uniform(-1, 1, (t, 1, 3)) * [0.9, 0.9, 0]
+           + rng.uniform(-0.25, 0.25, (t, 3, 3))).astype(np.float32)
+    half = t // 2
+    # distinct per-triangle depths: constant-z layers put exact depth
+    # ties on every overlap, where oracle-vs-kernel winner flips are
+    # expected (ulp-tie class, see PERF.md round-3) — not what this test
+    # is about
+    pos[:half, :, 2] = rng.uniform(-0.7, -0.5, (half, 1))
+    pos[half:, :, 2] = rng.uniform(0.6, 0.8, (t - half, 1))
+    ww = np.ones((t, 3), np.float32)
+    ww[7, 0] = -0.5            # near-plane crossing → zmin bound 0
+    pos[11] = 0.0              # degenerate → invalid, excluded from bounds
+    setup = _setup_from_ndc(pos, ww)
+
+    monkeypatch.setattr(raster_pallas, "ZSKIP", False)
+    off = _vis(setup)
+    monkeypatch.setattr(raster_pallas, "ZSKIP", True)
+    on = _vis(setup)
+
+    assert (np.asarray(off.tri_id) != np.asarray(on.tri_id)).sum() == 0
+    assert (np.asarray(off.depth) != np.asarray(on.depth)).sum() == 0
+    _assert_matches_ref(setup)   # and both match the oracle (ZSKIP on)
+
+    bins = jax.jit(lambda s: build_bins(
+        s, -(-W // raster_pallas.TILE_W) * raster_pallas.TILE_W,
+        -(-H // raster_pallas.TILE_H) * raster_pallas.TILE_H))(setup)
+    hi = np.asarray(bins.pair_mask[0]) >> 16
+    assert (hi > 0).any(), "no pair packed a nonzero depth bound"
+    assert hi.max() <= raster_pallas.ZSKIP_SCALE
+    # global conservativeness: the frame's min depth pixel is covered by
+    # some pair, whose packed bound cannot exceed it (margin + floor
+    # quantization both round down). Per-pair tightness is proven by the
+    # bit-exact on/off equality above.
+    d = np.asarray(off.depth)
+    dmin = d[d < 1.0].min()
+    masked = np.asarray(bins.pair_mask[0]) & 0xFFFF
+    assert (hi[masked > 0].min() / raster_pallas.ZSKIP_SCALE) <= dmin

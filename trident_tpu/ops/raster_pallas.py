@@ -123,6 +123,23 @@ COVER_GATE = _os.environ.get("TRIDENT_COVER_GATE", "0") == "1"
                      # the @pl.when branchiness costs more than the skipped
                      # vector work once sub-block masks already cull most
                      # misses. Default OFF; knob kept for re-measurement.
+ZSKIP = _os.environ.get("TRIDENT_ZSKIP", "0") == "1"
+                     # pair-level hierarchical-Z skip: build_bins packs a
+                     # conservative 13-bit min depth (margin 1e-5, floor
+                     # quantized — both round DOWN) into the spare high
+                     # bits of mask word 0; the kernel skips a pair's
+                     # whole sub-block sweep when that bound exceeds the
+                     # tile's current max accumulated depth. Provably a
+                     # no-op merge (d >= hull min > zmax >= acc_d at every
+                     # pixel ⇒ `better` is false everywhere, ties included)
+                     # so outputs are BIT-IDENTICAL with the knob on/off;
+                     # only occluded-after-occluder pairs get cheaper.
+ZSKIP_BITS = 13
+ZSKIP_SCALE = float((1 << ZSKIP_BITS) - 1)
+ZSKIP_PACK = NSUB <= 16 and MASK_WORDS == 1
+                     # the packed bound needs bits 16..28 of word 0 free:
+                     # NSUB > 16 (or a second mask word) owns them, so the
+                     # skip silently disables on those sweep configs
 MAX_GLOBAL = int(_os.environ.get("TRIDENT_MAX_GLOBAL", "8"))
                      # whale-chunk slots (span beyond every mid tier): each
                      # costs an (n_tiles,) row in the bin sort whether used
@@ -170,6 +187,9 @@ class PallasBins(NamedTuple):
                         # evaluates only hit sub-blocks (Morton order keeps
                         # them spatially compact). Replaces round-2's
                         # in-kernel SMEM half-bbox range test at finer grain.
+                        # When ZSKIP_PACK, word 0 bits 16..28 carry the
+                        # pair's conservative quantized min depth for the
+                        # hierarchical-Z skip (see ZSKIP).
     n_real: Array       # () i32 — real pairs (sorted prefix; rest is padding)
     n_pairs: int        # static capacity (== NPAIR)
     aux: Array          # (2,) i32 — [truncated real pairs, dropped big chunks]
@@ -411,6 +431,41 @@ def build_bins(setup: TriangleSetup, width: int, height: int,
         masks.append(jnp.where(
             real, jnp.sum(bits.astype(jnp.int32) * w[None, :], axis=-1), 0))
 
+    if ZSKIP_PACK:
+        # conservative per-pair min depth, packed into bits 16..28 of mask
+        # word 0 (floor quantization + 1e-5 margin both round DOWN, so the
+        # bound never exceeds any pixel's real d — see the ZSKIP note).
+        # Ratios are hull bounds only when zi has no cancellation, i.e.
+        # every corner z >= 0; negative ratios clip to 0 = never skip.
+        zs = [setup_cols.z[k] if setup_cols is not None else setup.z[:, k]
+              for k in range(3)]
+        ws_ = [setup_cols.w[k] if setup_cols is not None else setup.w[:, k]
+               for k in range(3)]
+        if tpad != t:
+            zs = [jnp.concatenate([z, jnp.zeros(tpad - t, z.dtype)])
+                  for z in zs]
+            ws_ = [jnp.concatenate([w_, jnp.ones(tpad - t, w_.dtype)])
+                   for w_ in ws_]
+        zs = [jnp.where(valid, z, 0.0) for z in zs]
+        ws_ = [jnp.where(valid, w_, 1.0) for w_ in ws_]
+        w_safe = ((ws_[0] > 1e-6) & (ws_[1] > 1e-6) & (ws_[2] > 1e-6))
+        ratio = jnp.minimum(
+            jnp.minimum(zs[0] / jnp.maximum(ws_[0], 1e-6),
+                        zs[1] / jnp.maximum(ws_[1], 1e-6)),
+            zs[2] / jnp.maximum(ws_[2], 1e-6))
+        # invalid rows never cover a pixel: exclude them from the sub-block
+        # min (2.0 > any accepted depth); unsafe-w rows can cover anywhere
+        # in [0,1] → bound 0 (never skip)
+        zmin_tri = jnp.where(valid, jnp.where(w_safe, ratio, 0.0), 2.0)
+        zmin_sub = zmin_tri.reshape(n_chunks, NSUB, SUB).min(axis=2)
+        ztab = jnp.concatenate([jnp.full((1, NSUB), 2.0, jnp.float32),
+                                zmin_sub.astype(jnp.float32)], axis=0)
+        zrows = ztab[pair_chunk]                     # (NPAIR, NSUB)
+        pair_zmin = jnp.min(jnp.where(hit[:, :NSUB], zrows, 2.0), axis=-1)
+        zq = jnp.floor(jnp.clip(pair_zmin - 1e-5, 0.0, 1.0)
+                       * ZSKIP_SCALE).astype(jnp.int32)
+        masks[0] = masks[0] + jnp.where(masks[0] > 0, zq, 0) * (1 << 16)
+
     return PallasBins(records=records, pair_tile=pair_tile,
                       pair_chunk=pair_chunk, pair_mask=tuple(masks),
                       n_real=n_real, n_pairs=int(pairs.shape[0]),
@@ -464,9 +519,22 @@ def _visibility_kernel(band_ref, pair_tile_ref, pair_chunk_ref, *refs,
     pxf = (tx * TILE_W + jax.lax.rem(r, TILE_W)).astype(jnp.float32) + 0.5
     pyf = (ty * TILE_H + r // TILE_W).astype(jnp.float32) + 0.5
 
+    if ZSKIP and ZSKIP_PACK:
+        # hierarchical-Z: the pair's packed conservative min depth (mask
+        # word 0 bits 16+) vs the tile's current max accumulated depth.
+        # Reading depth_out AFTER the first-pair reset keeps the test
+        # well-defined on a tile's first visit (zmax = 1.0 → no skip).
+        zminf = ((mask_words[0] // (1 << 16)).astype(jnp.float32)
+                 * (1.0 / ZSKIP_SCALE))
+        keep = zminf <= jnp.max(depth_out[0])
+    else:
+        keep = None
+
     for q in range(NSUB):
         # mask bit q via // and % — bit ops are avoided in Mosaic scalars
         hit = jax.lax.rem(mask_words[q // 30] // (1 << (q % 30)), 2) == 1
+        if keep is not None:
+            hit = jnp.logical_and(hit, keep)
 
         @pl.when(hit)
         def _(q=q):
