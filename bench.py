@@ -38,7 +38,7 @@ def build_scene(config: str):
     from trident_tpu.render.renderer import Renderer
 
     known = {"cube512": 0, "spheres1080": 12, "spheres1080_1m": 36,
-             "ultra4k": 36}
+             "ultra4k": 36, "shadows1080": 12}
     if config not in known:
         # a typo'd BENCH_CONFIG must fail loudly, not silently bench the
         # cube512 scene under a plausible-looking metric name
@@ -68,6 +68,24 @@ def build_scene(config: str):
                 reg.add(e, MeshComponent(mesh_index=mesh_idx))
                 reg.add(e, TextureComponent(path="checker", slot=slot))
         r.editor_camera.set_position([0, 0, grid * 1.1 + 2])
+        if config == "shadows1080":
+            # BASELINE config 3: multi-object + mipmaps + shadow pass. A
+            # backdrop behind the sphere grid receives the cast shadows;
+            # an angled sun with cast_shadows triggers the two-pass render
+            # graph (depth-only light pass + PCF-free lookup in shading).
+            from trident_tpu.ecs.components import LightComponent
+            backdrop = reg.create()
+            bt = reg.add(backdrop, TransformComponent())
+            bt.position = np.array([0.0, 0.0, -2.0], np.float32)
+            bt.scale = np.array([grid * 1.4, grid * 1.4, 0.2], np.float32)
+            cube_idx = r.ensure_primitive(PrimitiveType.CUBE)
+            reg.add(backdrop, MeshComponent(mesh_index=cube_idx))
+            reg.add(backdrop, TextureComponent(path="checker", slot=slot))
+            sun = reg.create()
+            reg.add(sun, TransformComponent())
+            reg.add(sun, LightComponent(
+                direction=np.array([0.35, -0.3, -1.0], np.float32),
+                intensity=2.5, cast_shadows=True))
     else:
         mesh_idx = r.ensure_primitive(PrimitiveType.CUBE)
         e = reg.create()
@@ -228,6 +246,20 @@ def _main_inner() -> None:
     n_tris = sum(packed.draw_infos[r_.mesh_index].index_count // 3
                  for r_ in gather_mesh_draws(registry, renderer.geometry))
     lights = gather_lights(registry)
+    # shadow pass: mirror Renderer.render_viewport's light-camera setup
+    # (renderer.py) for any shadow-casting directional light in the scene
+    shadow_size = 0
+    light_cam = None
+    from trident_tpu.ecs.components import LightComponent, LightType
+    for _e, (lc,) in registry.view(LightComponent):
+        if (lc.enabled and lc.light_type == LightType.DIRECTIONAL
+                and lc.cast_shadows):
+            from trident_tpu.ops.shadow import light_camera, scene_bounds
+            center, radius = scene_bounds(
+                gather_mesh_draws(registry, renderer.geometry), packed)
+            light_cam = light_camera(lc.direction, center, radius)
+            shadow_size = renderer.config.render.shadow_map_size
+            break
     tex = renderer.textures.device_arrays()
     cam = renderer.editor_camera.params()
     sky = SkyboxCube(faces=jnp.zeros((6, 1, 1, 3), jnp.float32),
@@ -253,10 +285,10 @@ def _main_inner() -> None:
         return render_frame(
             geo, plan, tri_draw, params, palette, shade,
             CameraParams(cam.view, cam.proj, cam.position + token * 0),
-            lights, tex, sky, ai, corner_t=corner_t,
+            lights, tex, sky, ai, light_camera=light_cam, corner_t=corner_t,
             upscale_params=upscale_params, prev=prev, width=rw, height=rh,
             clear_color=tuple(renderer.config.render.clear_color),
-            raster=raster, chunk=64, skinned=False,
+            raster=raster, chunk=64, skinned=False, shadow_size=shadow_size,
             bloom=renderer.config.render.bloom, **stride_kw)
 
     def check_aux(aux, where: str) -> np.ndarray:
@@ -288,11 +320,12 @@ def _main_inner() -> None:
     bundles = []
     for _plan, _td, p_, pal_, sh_ in plans:
         f32b, i32b, shape = pack_frame(p_, np.asarray(pal_), np.asarray(sh_),
-                                       cam, lights, None, 0.0)
+                                       cam, lights, light_cam, 0.0)
         bundles.append((f32b, i32b))
     statics = dict(shape=shape, width=rw, height=rh,
                    clear_color=tuple(renderer.config.render.clear_color),
                    raster=raster, chunk=64, skinned=False,
+                   shadow_size=shadow_size,
                    bloom=renderer.config.render.bloom, **stride_kw)
     ai_img = jnp.zeros((1, 1, 3), jnp.float32)
 
@@ -327,10 +360,12 @@ def _main_inner() -> None:
             o = render_frame(
                 geo, plan0, tri_draw0, params_k, palette0, shade0,
                 CameraParams(cam.view, cam.proj, cam.position + token * 0),
-                lights, tex, sky, ai, corner_t=corner_t,
+                lights, tex, sky, ai, light_camera=light_cam,
+                corner_t=corner_t,
                 upscale_params=upscale_params, prev=prev, width=rw, height=rh,
                 clear_color=tuple(renderer.config.render.clear_color),
                 raster=raster, chunk=64, skinned=False,
+                shadow_size=shadow_size,
                 bloom=renderer.config.render.bloom, **stride_kw)
             aux = (jnp.zeros((2,), jnp.int32) if o.aux is None
                    else jnp.asarray(o.aux).reshape(-1, 2).sum(axis=0))
@@ -360,9 +395,9 @@ def _main_inner() -> None:
         # jit-structure stability) and consumes it as history
         native = render_frame(
             geo, *plans[1][:2], *plans[1][2:], cam, lights, tex, sky, ai,
-            corner_t=corner_t, width=w, height=h,
+            light_camera=light_cam, corner_t=corner_t, width=w, height=h,
             clear_color=tuple(renderer.config.render.clear_color),
-            raster=raster, chunk=64, skinned=False,
+            raster=raster, chunk=64, skinned=False, shadow_size=shadow_size,
             bloom=renderer.config.render.bloom, **stride_kw)
         check_aux(native.aux, f"native {w}x{h} PSNR oracle frame")
         prev_eval = None

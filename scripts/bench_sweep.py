@@ -13,7 +13,8 @@ import json
 import os
 import sys
 
-CONFIGS = sys.argv[1:] or ["cube512", "spheres1080", "spheres1080_1m", "ultra4k"]
+CONFIGS = sys.argv[1:] or ["cube512", "spheres1080", "spheres1080_1m",
+                           "ultra4k", "shadows1080"]
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import bench  # noqa: E402

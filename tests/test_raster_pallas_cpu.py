@@ -251,6 +251,8 @@ def test_zskip_is_bit_exact_and_packs(rng, monkeypatch):
     # quantization both round down). Per-pair tightness is proven by the
     # bit-exact on/off equality above.
     d = np.asarray(off.depth)
+    assert (d < 1.0).any(), \
+        "scene rendered no geometry — rng fixture change broke the precondition"
     dmin = d[d < 1.0].min()
     masked = np.asarray(bins.pair_mask[0]) & 0xFFFF
     assert (hi[masked > 0].min() / raster_pallas.ZSKIP_SCALE) <= dmin

@@ -41,9 +41,13 @@ from trident_tpu.render.types import CameraParams, LightParams, TextureArrays
 
 Array = jax.Array
 
-# TRIDENT_TILED_SHADE=1 (default): shade from the kernel-native tiled
-# attrs when the configuration allows it. Knob for the hardware A/B.
-TILED_SHADE = _os.environ.get("TRIDENT_TILED_SHADE", "1") == "1"
+# TRIDENT_TILED_SHADE=0 (default): the tiled (channel-planar) shade path
+# was built to delete the ~4.1 ms attrs-untile relayout, but the round-3
+# closing A/B (tools_dev/r3hw14.log) measured the FULL frame ~1.7 FPS
+# SLOWER with it ON at 1M/1080p (21.94 OFF vs 20.28 ON) and 4K (9.13 vs
+# 8.94) — whatever the tiled layout costs downstream exceeds the untile
+# saving. Default OFF; knob kept for re-measurement if the layout changes.
+TILED_SHADE = _os.environ.get("TRIDENT_TILED_SHADE", "0") == "1"
 
 
 def _dot3(ax, ay, az, bx, by, bz):
