@@ -211,7 +211,8 @@ def test_zskip_is_bit_exact_and_packs(rng, monkeypatch):
     only elide provably no-op merges), and build_bins must pack a nonzero
     depth bound into mask word 0's high bits for front-depth geometry."""
     if not raster_pallas.ZSKIP_PACK:
-        pytest.skip("ZSKIP needs NSUB<=16 / one mask word")
+        pytest.skip("ZSKIP bound does not fit the last mask word's spare "
+                    "bits at this CHUNK/SUB/QGATE config")
     t = raster_pallas.CHUNK * 3
     # layer 1 (early triangle ids): near wall at NDC z=-0.6 covering most
     # of the frame; layer 2 (later ids → later chunks): far quads behind
@@ -243,16 +244,68 @@ def test_zskip_is_bit_exact_and_packs(rng, monkeypatch):
     bins = jax.jit(lambda s: build_bins(
         s, -(-W // raster_pallas.TILE_W) * raster_pallas.TILE_W,
         -(-H // raster_pallas.TILE_H) * raster_pallas.TILE_H))(setup)
-    hi = np.asarray(bins.pair_mask[0]) >> 16
+    zs = raster_pallas.ZSKIP_SHIFT
+    words = [np.asarray(m) for m in bins.pair_mask]
+    hi = words[-1] >> zs
     assert (hi > 0).any(), "no pair packed a nonzero depth bound"
     assert hi.max() <= raster_pallas.ZSKIP_SCALE
     # global conservativeness: the frame's min depth pixel is covered by
-    # some pair, whose packed bound cannot exceed it (margin + floor
-    # quantization both round down). Per-pair tightness is proven by the
-    # bit-exact on/off equality above.
+    # some pair, whose DEQUANTIZED bound (zparams base + q·step, the exact
+    # f32 arithmetic the kernel runs) cannot exceed it. Per-pair tightness
+    # is proven by the bit-exact on/off equality above.
     d = np.asarray(off.depth)
     assert (d < 1.0).any(), \
         "scene rendered no geometry — rng fixture change broke the precondition"
     dmin = d[d < 1.0].min()
-    masked = np.asarray(bins.pair_mask[0]) & 0xFFFF
-    assert (hi[masked > 0].min() / raster_pallas.ZSKIP_SCALE) <= dmin
+    hitbits = words[-1] & ((1 << zs) - 1)
+    for wd in words[:-1]:
+        hitbits = hitbits | wd
+    zp = np.asarray(bins.zparams)
+    bound = (zp[0] + hi.astype(np.float32) * zp[1]).astype(np.float32)
+    assert bound[hitbits > 0].min() <= dmin
+
+
+def _set_qgate(monkeypatch, on: bool):
+    """Consistently monkeypatch the QGATE-derived module constants."""
+    nq = 4 if on else 1
+    bits = raster_pallas.NSUB * nq
+    mw = -(-bits // 30)
+    shift = bits - 30 * (mw - 1)
+    monkeypatch.setattr(raster_pallas, "QGATE", on)
+    monkeypatch.setattr(raster_pallas, "NQ", nq)
+    monkeypatch.setattr(raster_pallas, "MASK_WORDS", mw)
+    monkeypatch.setattr(raster_pallas, "ZSKIP_SHIFT", shift)
+    monkeypatch.setattr(raster_pallas, "ZSKIP_PACK",
+                        (30 - shift) >= raster_pallas.ZSKIP_BITS)
+
+
+def test_qgate_is_bit_exact(rng, monkeypatch):
+    """Quarter-gated sub-block evaluation must render BIT-IDENTICALLY to
+    the whole-tile sweep (gating only elides pixels outside the sub-block
+    bbox, which the edge tests already reject)."""
+    setup = _random_scene(rng, 300)
+    _set_qgate(monkeypatch, False)
+    off = _vis(setup)
+    _set_qgate(monkeypatch, True)
+    on = _assert_matches_ref(setup)
+    assert (np.asarray(off.tri_id) != np.asarray(on.tri_id)).sum() == 0
+    assert (np.asarray(off.depth) != np.asarray(on.depth)).sum() == 0
+
+
+def test_zorder_is_bit_exact(rng, monkeypatch):
+    """Near-to-far pair ordering is correctness-neutral: the kernel merge
+    is order-independent lexicographic (depth, tid), so ZORDER on/off must
+    render BIT-IDENTICALLY — including on exact depth ties (two coplanar
+    quads drawn at the same depth: later triangle id must win both ways)."""
+    t = 64
+    pos = (rng.uniform(-1, 1, (t, 1, 3)) * [0.9, 0.9, 0.3]
+           + rng.uniform(-0.3, 0.3, (t, 3, 3))).astype(np.float32)
+    pos[10] = pos[12]          # exact duplicate → exact depth tie
+    pos[30] = pos[31]
+    setup = _setup_from_ndc(pos)
+    monkeypatch.setattr(raster_pallas, "ZORDER", False)
+    off = _vis(setup)
+    monkeypatch.setattr(raster_pallas, "ZORDER", True)
+    on = _assert_matches_ref(setup)
+    assert (np.asarray(off.tri_id) != np.asarray(on.tri_id)).sum() == 0
+    assert (np.asarray(off.depth) != np.asarray(on.depth)).sum() == 0

@@ -12,9 +12,11 @@ Replaces the O(T×pixels) reference path with a sort-middle design:
      tile (rare: huge triangles). Every candidate tile is tested EXACTLY
      against the 16-triangle sub-block bboxes: tiles no sub-block touches
      emit nothing, and the surviving pairs carry a per-sub-block hit mask.
-     Pairs pack as tile << CHUNK_BITS | chunk_slot in ONE i32 — one
-     key-value sort (mask as the value) yields the tile-major pair list AND
-     the per-tile ordering (chunks ascending = draw order). Tiles nothing
+     Pairs pack as (tile | quantized-chunk-min-depth | chunk_slot) in ONE
+     sortable i32 — one sort yields the tile-major pair list AND a
+     near-to-far per-tile order (the kernel merge is order-independent
+     lexicographic (depth, tid), so ordering is a pure hierarchical-Z
+     enabler, not a correctness requirement). Tiles nothing
      touches are masked to background AFTER the kernel from the pair list
      itself (one cheap scatter), so no per-tile sentinel pairs are needed
      and output blocks are always well-defined even if the pair list
@@ -84,17 +86,7 @@ if CHUNK < SUB or CHUNK % SUB != 0:
         f"TRIDENT_CHUNK={CHUNK} must be a positive multiple of "
         f"SUB={SUB}: the kernel splits each chunk into SUB-triangle "
         "sub-blocks")
-NSUB = CHUNK // SUB  # sub-blocks per chunk == bits in the pair hit mask
-MASK_WORDS = -(-NSUB // 30)
-                     # hit-mask words per pair: 30 sub-block bits ride in
-                     # each i32 scalar-prefetch word (bit 31 would go
-                     # negative), so CHUNK=512/SUB=16 (NSUB=32) costs one
-                     # extra SMEM array instead of being impossible —
-                     # halving grid steps at constant sub-block tightness.
-if MASK_WORDS > 2:
-    raise ValueError(
-        f"TRIDENT_CHUNK={CHUNK}/TRIDENT_SUB={SUB} needs {MASK_WORDS} hit-"
-        "mask words; at most 2 fit the SMEM scalar-prefetch budget")
+NSUB = CHUNK // SUB  # sub-blocks per chunk (hit-maskable unit)
 if TILE_H < 1 or 128 % TILE_H != 0:
     raise ValueError(
         f"TRIDENT_TILE_H={TILE_H} must divide 128: SPAN_Y = 128//TILE_H must "
@@ -123,23 +115,66 @@ COVER_GATE = _os.environ.get("TRIDENT_COVER_GATE", "0") == "1"
                      # the @pl.when branchiness costs more than the skipped
                      # vector work once sub-block masks already cull most
                      # misses. Default OFF; knob kept for re-measurement.
+QGATE = _os.environ.get("TRIDENT_QGATE", "1") == "1"
+                     # quarter-gated sub-block evaluation (round 4): the
+                     # per-pair hit masks carry one bit per (sub-block ×
+                     # 8-row tile quarter) instead of per sub-block, and
+                     # the kernel evaluates each hit sub-block only on the
+                     # hit quarters (static 128-aligned lane slices).
+                     # Measured on the flagship 1M/1080p scene (CPU stats,
+                     # tools_dev/stats_visibility.py): a sub-block's bbox
+                     # covers only ~8% of its tile (rows 8.1/32), so the
+                     # full-tile sweep evaluates 53M px/frame where quarter
+                     # gating needs 22M — the visibility kernel's vector
+                     # work drops ~2.4x at the cost of 3 mask words and
+                     # 4x the @pl.when branches.
+NQ = 4 if QGATE else 1      # tile quarters (8-row row-bands) per tile
+if QGATE and (TILE_H * TILE_W) % (NQ * 128) != 0:
+    raise ValueError(
+        f"TRIDENT_QGATE=1 needs tile quarters lane-aligned: "
+        f"{TILE_W}x{TILE_H} px / {NQ} quarters is not a multiple of 128")
+if QGATE and TILE_H % NQ != 0:
+    raise ValueError(f"TRIDENT_TILE_H={TILE_H} must divide into {NQ} "
+                     "whole-row quarters for TRIDENT_QGATE=1")
+ZORDER = _os.environ.get("TRIDENT_ZORDER", "1") == "1"
+                     # near-to-far pair ordering: the bin sort key carries
+                     # a frame-normalized quantized chunk min-depth between
+                     # the tile and chunk-slot bits, so a tile's pairs
+                     # process front chunks first. Correctness-neutral (the
+                     # kernel merge is order-independent lexicographic
+                     # (depth, tid) — see _visibility_kernel); it exists to
+                     # let the hierarchical-Z skip fire on occluded pairs.
+                     # Auto-disables when tile+chunk bits leave <2 spare.
 ZSKIP = _os.environ.get("TRIDENT_ZSKIP", "0") == "1"
                      # pair-level hierarchical-Z skip: build_bins packs a
-                     # conservative 13-bit min depth (margin 1e-5, floor
-                     # quantized — both round DOWN) into the spare high
-                     # bits of mask word 0; the kernel skips a pair's
-                     # whole sub-block sweep when that bound exceeds the
-                     # tile's current max accumulated depth. Provably a
-                     # no-op merge (d >= hull min > zmax >= acc_d at every
-                     # pixel ⇒ `better` is false everywhere, ties included)
-                     # so outputs are BIT-IDENTICAL with the knob on/off;
+                     # conservative 13-bit min depth into the spare high
+                     # bits of the LAST mask word, quantized over the
+                     # frame's [min,max] sub-block depth range (base/step
+                     # ride in a 2-float SMEM array — round 3's fixed [0,1]
+                     # quantization had 1.2e-4 steps, far coarser than the
+                     # flagship's 4e-5 total depth spread, so the bound
+                     # could never discriminate and the skip never fired).
+                     # The kernel skips a (sub-block, quarter) sweep when
+                     # the bound exceeds that QUARTER's current max
+                     # accumulated depth. Provably a no-op merge (margin
+                     # 1e-5 + floor quantization both round DOWN: d >=
+                     # hull min - margin >= bound > acc_d at every pixel
+                     # ⇒ `better` is false everywhere, ties included) so
+                     # outputs are BIT-IDENTICAL with the knob on/off;
                      # only occluded-after-occluder pairs get cheaper.
 ZSKIP_BITS = 13
 ZSKIP_SCALE = float((1 << ZSKIP_BITS) - 1)
-ZSKIP_PACK = NSUB <= 16 and MASK_WORDS == 1
-                     # the packed bound needs bits 16..28 of word 0 free:
-                     # NSUB > 16 (or a second mask word) owns them, so the
-                     # skip silently disables on those sweep configs
+ZSKIP_MARGIN = 1e-5  # absolute fp-noise bound on the kernel's rational
+                     # depth vs the binner's corner ratios (r3 hardware-
+                     # validated; see the ZSKIP note)
+MASK_BITS = NSUB * NQ       # hit bits per pair (sub-major, quarter-minor)
+MASK_WORDS = -(-MASK_BITS // 30)
+                     # hit-mask words per pair: 30 bits ride in each i32
+                     # scalar-prefetch word (bit 31 would go negative)
+ZSKIP_SHIFT = MASK_BITS - 30 * (MASK_WORDS - 1)
+                     # hit bits used in the last word; the depth bound
+                     # packs in the bits above them when they fit
+ZSKIP_PACK = (30 - ZSKIP_SHIFT) >= ZSKIP_BITS
 MAX_GLOBAL = int(_os.environ.get("TRIDENT_MAX_GLOBAL", "8"))
                      # whale-chunk slots (span beyond every mid tier): each
                      # costs an (n_tiles,) row in the bin sort whether used
@@ -161,16 +196,20 @@ MID_CAPS = (1024, 128, 32, 8)
                      # sphere grid spans ~3×3 tiles per chunk).
 if MAX_GLOBAL < 1:
     raise ValueError(f"TRIDENT_MAX_GLOBAL={MAX_GLOBAL} must be >= 1")
-CHUNK_BITS = 18      # chunk-slot bits in the packed pair
-CHUNK_MASK = (1 << CHUNK_BITS) - 1
+if MASK_WORDS > 3:
+    raise ValueError(
+        f"TRIDENT_CHUNK={CHUNK}/TRIDENT_SUB={SUB} with QGATE={int(QGATE)} "
+        f"needs {MASK_WORDS} hit-mask words; at most 3 fit the SMEM "
+        "scalar-prefetch budget")
 PAIR_BUDGET = int(_os.environ.get(
-    "TRIDENT_PAIR_BUDGET", "65536" if MASK_WORDS == 1 else "49152"))
+    "TRIDENT_PAIR_BUDGET",
+    {1: "65536", 2: "49152", 3: "40960"}[MASK_WORDS]))
                      # scalar-prefetch arrays live in SMEM (~1MB); cap them.
                      # Real pairs are a sorted prefix; overflow truncates the
                      # farthest-sorted tiles' geometry (counted in `aux`).
                      # (2+MASK_WORDS) i32 arrays ride in SMEM, so the default
-                     # shrinks when a second mask word is in play — wide
-                     # chunks also emit far fewer pairs, so headroom GROWS.
+                     # shrinks as mask words grow ((2+3)·40960·4B = 819KB) —
+                     # real pair counts are far below (flagship 8.9k, 4K 17k).
 DEPTH_SENTINEL = 4.0
 
 
@@ -178,18 +217,21 @@ class PallasBins(NamedTuple):
     records: Array      # ((NC+1)*C, 16) f32; chunk slot 0 = empty sentinel
     pair_tile: Array    # (NPAIR,) i32 tile per pair (sorted, tile-major)
     pair_chunk: Array   # (NPAIR,) i32 chunk slot per pair (0 = sentinel)
-    pair_mask: tuple    # MASK_WORDS × (NPAIR,) i32, 30 NSUB bits per word —
-                        # which SUB-triangle sub-blocks of the chunk have a
-                        # bbox touching this pair's tile. Computed exactly
-                        # per (tile, sub) at binning time, so (a) a tile
-                        # inside a chunk's union bbox that intersects no
-                        # sub-block emits NO pair at all, and (b) the kernel
-                        # evaluates only hit sub-blocks (Morton order keeps
-                        # them spatially compact). Replaces round-2's
-                        # in-kernel SMEM half-bbox range test at finer grain.
-                        # When ZSKIP_PACK, word 0 bits 16..28 carry the
-                        # pair's conservative quantized min depth for the
-                        # hierarchical-Z skip (see ZSKIP).
+    pair_mask: tuple    # MASK_WORDS × (NPAIR,) i32, 30 hit bits per word,
+                        # bit q·NQ+w = sub-block q hits tile quarter w
+                        # (whole-tile bits when QGATE off, NQ=1) — which
+                        # SUB-triangle sub-blocks of the chunk have a bbox
+                        # touching this pair's tile (quarter). Computed
+                        # exactly per (tile, sub) at binning time, so (a) a
+                        # tile inside a chunk's union bbox that intersects
+                        # no sub-block emits NO pair at all, and (b) the
+                        # kernel evaluates only hit sub-blocks on hit
+                        # quarters (Morton order keeps them spatially
+                        # compact). When ZSKIP & ZSKIP_PACK, the LAST
+                        # word's bits above ZSKIP_SHIFT carry the pair's
+                        # conservative quantized min depth (see ZSKIP).
+    zparams: Array      # (2,) f32 [base, step] — the hierarchical-Z
+                        # bound dequantization constants (zeros when unused)
     n_real: Array       # () i32 — real pairs (sorted prefix; rest is padding)
     n_pairs: int        # static capacity (== NPAIR)
     aux: Array          # (2,) i32 — [truncated real pairs, dropped big chunks]
@@ -237,15 +279,21 @@ def build_bins(setup: TriangleSetup, width: int, height: int,
     ntx = -(-width // TILE_W)
     nty = -(-height // TILE_H)
     n_tiles = ntx * nty
-    if n_tiles >= (1 << (31 - CHUNK_BITS)):
+    # pair keys pack (tile, [quantized chunk depth,] chunk slot) into one
+    # sortable non-negative i32; the bit split is computed per (scene,
+    # framebuffer) shape — both static under jit
+    cbits = max(1, n_chunks.bit_length())     # chunk slots 0..n_chunks
+    tbits = max(1, n_tiles.bit_length())      # sentinel tile id == n_tiles
+    zbits = min(10, 31 - tbits - cbits) if ZORDER else 0
+    if zbits < 2:  # no room for a useful depth key → plain (tile, chunk)
+        zbits = 0
+    if tbits + cbits > 31:
         raise ValueError(
-            f"framebuffer {width}x{height} needs {n_tiles} raster tiles, over "
-            f"the packed-pair limit ({1 << (31 - CHUNK_BITS)}). Render in "
-            "bands (parallel.framebuffer) or lower supersample/resolution.")
-    if n_chunks + 1 > CHUNK_MASK:
-        raise ValueError(
-            f"{t} triangles exceed the chunk-slot limit "
-            f"({(CHUNK_MASK - 1) * CHUNK}). Split the scene across draws.")
+            f"framebuffer {width}x{height} ({n_tiles} raster tiles) with "
+            f"{t} triangles ({n_chunks} chunks) exceeds the 31-bit packed-"
+            "pair key. Render in bands (parallel.framebuffer), lower "
+            "supersample/resolution, or split the scene across draws.")
+    shift_t = zbits + cbits
 
     records = _build_records(setup, tpad, setup_cols=setup_cols)
 
@@ -286,6 +334,63 @@ def build_bins(setup: TriangleSetup, width: int, height: int,
     qty1 = jnp.where(q_nonempty, jnp.clip((qy1 - 1) // TILE_H, 0, nty - 1), -1)
     qtx0 = jnp.where(q_nonempty, jnp.clip(qx0 // TILE_W, 0, ntx - 1), 32767)
     qtx1 = jnp.where(q_nonempty, jnp.clip((qx1 - 1) // TILE_W, 0, ntx - 1), -1)
+    # pixel-space sub-block y bounds for the quarter masks (empty → miss)
+    qpy0 = jnp.where(q_nonempty, qy0, big).astype(jnp.int32)
+    qpy1 = jnp.where(q_nonempty, qy1, -1).astype(jnp.int32)
+
+    # conservative per-sub-block min depth hulls, shared by near-to-far
+    # ordering (chunk-level) and the hierarchical-Z bound (pair-level).
+    # Ratios are hull bounds only when zi has no cancellation, i.e. every
+    # corner z >= 0; negative ratios clip to 0 = never skip. Computed only
+    # when a consumer exists (the divides + gathers are per-frame binning
+    # cost — advisor round-3 finding).
+    need_zskip = ZSKIP and ZSKIP_PACK
+    need_z = need_zskip or zbits > 0
+    if need_z:
+        zs = [setup_cols.z[k] if setup_cols is not None else setup.z[:, k]
+              for k in range(3)]
+        ws_ = [setup_cols.w[k] if setup_cols is not None else setup.w[:, k]
+               for k in range(3)]
+        if tpad != t:
+            zs = [jnp.concatenate([z, jnp.zeros(tpad - t, z.dtype)])
+                  for z in zs]
+            ws_ = [jnp.concatenate([w_, jnp.ones(tpad - t, w_.dtype)])
+                   for w_ in ws_]
+        zs = [jnp.where(valid, z, 0.0) for z in zs]
+        ws_ = [jnp.where(valid, w_, 1.0) for w_ in ws_]
+        w_safe = ((ws_[0] > 1e-6) & (ws_[1] > 1e-6) & (ws_[2] > 1e-6))
+        ratio = jnp.minimum(
+            jnp.minimum(zs[0] / jnp.maximum(ws_[0], 1e-6),
+                        zs[1] / jnp.maximum(ws_[1], 1e-6)),
+            zs[2] / jnp.maximum(ws_[2], 1e-6))
+        # invalid rows never cover a pixel: exclude them from the sub-block
+        # min (2.0 > any accepted depth); unsafe-w rows can cover anywhere
+        # in [0,1] → bound 0 (never skip)
+        zmin_tri = jnp.where(valid, jnp.where(w_safe, ratio, 0.0), 2.0)
+        zmin_sub = zmin_tri.reshape(n_chunks, NSUB, SUB).min(axis=2)
+        # frame depth range over real sub-blocks — the quantization grid.
+        # Round 3 quantized over fixed [0,1]; at the flagship's ZO far-
+        # depth compression (all depths within 4e-5) that grid could not
+        # tell any two chunks apart and the skip was dead.
+        zvalid = zmin_sub <= 1.0
+        any_z = jnp.any(zvalid)
+        z_lo = jnp.where(any_z, jnp.min(jnp.where(zvalid, zmin_sub, 2.0)), 0.0)
+        z_hi = jnp.where(any_z, jnp.max(jnp.where(zvalid, zmin_sub, -1.0)), 1.0)
+        z_hi = jnp.maximum(z_hi, z_lo)
+    if zbits > 0:
+        zmin_chunk = zmin_sub.min(axis=1)
+        ord_step = jnp.maximum((z_hi - z_lo) / ((1 << zbits) - 1), 1e-30)
+        zqc = jnp.clip(
+            jnp.floor((jnp.where(zmin_chunk <= 1.0, zmin_chunk, z_hi) - z_lo)
+                      / ord_step),
+            0, (1 << zbits) - 1).astype(jnp.int32)
+    else:
+        zqc = jnp.zeros((n_chunks,), jnp.int32)
+
+    def pack_keys(tile_arr, slot_col, zq_col):
+        """(tile << zbits | chunk-depth) << cbits | slot — sortable i32."""
+        return ((((tile_arr << zbits) | zq_col) << cbits)
+                | slot_col).astype(jnp.int32)
 
     def subblock_hit(ty, tx, sel=None):
         """Does ANY sub-block bbox touch the candidate tile? (Pruning only:
@@ -331,15 +436,15 @@ def build_bins(setup: TriangleSetup, width: int, height: int,
     in_range = small[:, None] & subblock_hit(ty, tx)
     tile_of = ty * ntx + tx
     small_pairs = jnp.where(
-        in_range, (tile_of << CHUNK_BITS) | slot_ids[:, None],
-        n_tiles << CHUNK_BITS).astype(jnp.int32)
+        in_range, pack_keys(tile_of, slot_ids[:, None], zqc[:, None]),
+        n_tiles << shift_t).astype(jnp.int32)
 
     # wider chunks cascade through windowed mid tiers (tier k: span up to
     # SPAN0<<(k+1), window anchored at the bbox corner, cap MID_CAPS[k]
     # chunks via stable-argsort compaction), then to global whale slots.
     # Only chunks past the WHALE cap are dropped (counted in aux[1]) —
     # mid-tier overflow just falls through to the next tier.
-    sentinel = jnp.asarray(n_tiles << CHUNK_BITS, jnp.int32)
+    sentinel = jnp.asarray(n_tiles << shift_t, jnp.int32)
     parts = [small_pairs.reshape(-1)]
     admitted = small
     # mid-tier windows scale with the SAME resolution factor as the base
@@ -362,7 +467,8 @@ def build_bins(setup: TriangleSetup, width: int, height: int,
         ty = cty0[gsel][:, None] + dy[None, :]
         m = gvalid[:, None] & subblock_hit(ty, tx, gsel)
         parts.append(jnp.where(
-            m, ((ty * ntx + tx) << CHUNK_BITS) | slot_ids[gsel][:, None],
+            m, pack_keys(ty * ntx + tx, slot_ids[gsel][:, None],
+                         zqc[gsel][:, None]),
             sentinel).astype(jnp.int32).reshape(-1))
 
     # whale chunks: broadcast to every tile a sub-block touches. Chunks
@@ -379,8 +485,8 @@ def build_bins(setup: TriangleSetup, width: int, height: int,
     big_mask = gvalid[:, None] & subblock_hit(g_ty, g_tx, gsel)
     big_pairs = jnp.where(
         big_mask,
-        (tile_ids[None, :] << CHUNK_BITS) | (gsel[:, None] + 1),
-        n_tiles << CHUNK_BITS).astype(jnp.int32)
+        pack_keys(tile_ids[None, :], gsel[:, None] + 1, zqc[gsel][:, None]),
+        sentinel).astype(jnp.int32)
     parts.append(big_pairs.reshape(-1))
 
     # One sort of the full slot array (mostly empty-sentinel slots) orders
@@ -396,84 +502,89 @@ def build_bins(setup: TriangleSetup, width: int, height: int,
     pairs = jnp.sort(pairs)
     # real pairs form a sorted prefix; padding slots clamp to
     # (last tile, sentinel chunk 0) and sit beyond the dynamic grid bound
-    overflow = pairs >= (n_tiles << CHUNK_BITS)
+    overflow = pairs >= (n_tiles << shift_t)
     n_real_total = jnp.sum(~overflow).astype(jnp.int32)
-    pairs = jnp.where(overflow, ((n_tiles - 1) << CHUNK_BITS), pairs)
+    pairs = jnp.where(overflow, ((n_tiles - 1) << shift_t), pairs)
     if pairs.shape[0] > PAIR_BUDGET:
         pairs = pairs[:PAIR_BUDGET]
     n_real = jnp.minimum(n_real_total, pairs.shape[0])
     n_truncated = n_real_total - n_real
     # unpack for the scalar-prefetch index maps (plain array reads lower
     # reliably in Mosaic index maps; bit ops there hung the compiler)
-    pair_tile = pairs >> CHUNK_BITS
-    pair_chunk = pairs & CHUNK_MASK
+    pair_tile = pairs >> shift_t
+    pair_chunk = pairs & ((1 << cbits) - 1)
 
-    # recompute each surviving pair's sub-block mask: one (4·NSUB)-int row
-    # gather from the per-chunk bbox table + vector compares (sentinel
-    # chunk 0 → all-miss row → mask 0)
+    # recompute each surviving pair's hit mask: one row gather from the
+    # per-chunk bbox table + vector compares (sentinel chunk 0 → all-miss
+    # row → mask 0). With QGATE the bits are per (sub-block, quarter):
+    # the sub-block's pixel-y bounds against each tile quarter's row band.
     qtab = jnp.concatenate([
         jnp.stack([jnp.full((1, NSUB), 32767, jnp.int32),
                    jnp.full((1, NSUB), -1, jnp.int32),
                    jnp.full((1, NSUB), 32767, jnp.int32),
+                   jnp.full((1, NSUB), -1, jnp.int32),
+                   jnp.full((1, NSUB), big, jnp.int32),
                    jnp.full((1, NSUB), -1, jnp.int32)], axis=1),
-        jnp.stack([qty0, qty1, qtx0, qtx1], axis=1).astype(jnp.int32),
-    ], axis=0)                                       # (NC+1, 4, NSUB)
-    rows = qtab[pair_chunk]                          # (NPAIR, 4, NSUB)
+        jnp.stack([qty0, qty1, qtx0, qtx1, qpy0, qpy1],
+                  axis=1).astype(jnp.int32),
+    ], axis=0)                                       # (NC+1, 6, NSUB)
+    rows = qtab[pair_chunk]                          # (NPAIR, 6, NSUB)
     p_ty = (pair_tile // ntx)[:, None]
     p_tx = (pair_tile % ntx)[:, None]
     hit = ((p_ty >= rows[:, 0]) & (p_ty <= rows[:, 1])
            & (p_tx >= rows[:, 2]) & (p_tx <= rows[:, 3]))
     real = jnp.arange(pairs.shape[0], dtype=jnp.int32) < n_real
+    if NQ > 1:
+        qrows_px = TILE_H // NQ
+        band0 = p_ty * TILE_H                        # (NPAIR, 1) global px y
+        qh = [hit & (rows[:, 4] < band0 + (wq + 1) * qrows_px)
+              & (rows[:, 5] > band0 + wq * qrows_px)
+              for wq in range(NQ)]
+        bits_all = jnp.stack(qh, axis=-1).reshape(   # sub-major, NQ-minor
+            hit.shape[0], NSUB * NQ)
+    else:
+        bits_all = hit
     masks = []
-    for wd in range(MASK_WORDS):                     # 30 sub-block bits/word
-        bits = hit[:, wd * 30:(wd + 1) * 30]
+    for wd in range(MASK_WORDS):                     # 30 hit bits per word
+        bits = bits_all[:, wd * 30:(wd + 1) * 30]
         w = (1 << jnp.arange(bits.shape[1], dtype=jnp.int32))
         masks.append(jnp.where(
             real, jnp.sum(bits.astype(jnp.int32) * w[None, :], axis=-1), 0))
 
-    if ZSKIP_PACK:
-        # conservative per-pair min depth, packed into bits 16..28 of mask
-        # word 0 (floor quantization + 1e-5 margin both round DOWN, so the
-        # bound never exceeds any pixel's real d — see the ZSKIP note).
-        # Ratios are hull bounds only when zi has no cancellation, i.e.
-        # every corner z >= 0; negative ratios clip to 0 = never skip.
-        zs = [setup_cols.z[k] if setup_cols is not None else setup.z[:, k]
-              for k in range(3)]
-        ws_ = [setup_cols.w[k] if setup_cols is not None else setup.w[:, k]
-               for k in range(3)]
-        if tpad != t:
-            zs = [jnp.concatenate([z, jnp.zeros(tpad - t, z.dtype)])
-                  for z in zs]
-            ws_ = [jnp.concatenate([w_, jnp.ones(tpad - t, w_.dtype)])
-                   for w_ in ws_]
-        zs = [jnp.where(valid, z, 0.0) for z in zs]
-        ws_ = [jnp.where(valid, w_, 1.0) for w_ in ws_]
-        w_safe = ((ws_[0] > 1e-6) & (ws_[1] > 1e-6) & (ws_[2] > 1e-6))
-        ratio = jnp.minimum(
-            jnp.minimum(zs[0] / jnp.maximum(ws_[0], 1e-6),
-                        zs[1] / jnp.maximum(ws_[1], 1e-6)),
-            zs[2] / jnp.maximum(ws_[2], 1e-6))
-        # invalid rows never cover a pixel: exclude them from the sub-block
-        # min (2.0 > any accepted depth); unsafe-w rows can cover anywhere
-        # in [0,1] → bound 0 (never skip)
-        zmin_tri = jnp.where(valid, jnp.where(w_safe, ratio, 0.0), 2.0)
-        zmin_sub = zmin_tri.reshape(n_chunks, NSUB, SUB).min(axis=2)
+    zparams = jnp.zeros((2,), jnp.float32)
+    if need_zskip:
+        # conservative per-pair min depth → frame-normalized quantized
+        # bound in the last mask word's bits above ZSKIP_SHIFT. Floor
+        # quantization, the margin, and the decrement-verify (run in the
+        # EXACT f32 arithmetic the kernel dequantizes with) all round
+        # DOWN, so base + zq·step never exceeds any pixel's real d.
         ztab = jnp.concatenate([jnp.full((1, NSUB), 2.0, jnp.float32),
                                 zmin_sub.astype(jnp.float32)], axis=0)
         zrows = ztab[pair_chunk]                     # (NPAIR, NSUB)
-        pair_zmin = jnp.min(jnp.where(hit[:, :NSUB], zrows, 2.0), axis=-1)
-        zq = jnp.floor(jnp.clip(pair_zmin - 1e-5, 0.0, 1.0)
-                       * ZSKIP_SCALE).astype(jnp.int32)
-        masks[0] = masks[0] + jnp.where(masks[0] > 0, zq, 0) * (1 << 16)
+        pair_zmin = jnp.min(jnp.where(hit, zrows, 2.0), axis=-1)
+        base = (z_lo - ZSKIP_MARGIN).astype(jnp.float32)
+        step = jnp.maximum((z_hi - base) / ZSKIP_SCALE,
+                           1e-30).astype(jnp.float32)
+        target = pair_zmin - ZSKIP_MARGIN
+        zq = jnp.clip(jnp.floor((target - base) / step), 0.0,
+                      ZSKIP_SCALE).astype(jnp.int32)
+        for _ in range(2):
+            recon = base + zq.astype(jnp.float32) * step
+            zq = jnp.maximum(jnp.where(recon > target, zq - 1, zq), 0)
+        has_hit = jnp.any(hit, axis=-1) & real
+        masks[-1] = masks[-1] + (jnp.where(has_hit, zq, 0)
+                                 * (1 << ZSKIP_SHIFT))
+        zparams = jnp.stack([base, step])
 
     return PallasBins(records=records, pair_tile=pair_tile,
                       pair_chunk=pair_chunk, pair_mask=tuple(masks),
-                      n_real=n_real, n_pairs=int(pairs.shape[0]),
+                      zparams=zparams, n_real=n_real,
+                      n_pairs=int(pairs.shape[0]),
                       aux=jnp.stack([n_truncated, n_big_dropped]))
 
 
-def _visibility_kernel(band_ref, pair_tile_ref, pair_chunk_ref, *refs,
-                       ntx: int):
+def _visibility_kernel(band_ref, zp_ref, pair_tile_ref, pair_chunk_ref,
+                       *refs, ntx: int):
     """Layouts chosen for Mosaic: triangles on sublanes (C,1), pixels on
     lanes (1,npx); outputs are flat (1,1,npx) tile rows — no in-kernel
     reshapes or transposes.
@@ -483,18 +594,22 @@ def _visibility_kernel(band_ref, pair_tile_ref, pair_chunk_ref, *refs,
     global-pixel arithmetic as a single-chip render of the full frame, so
     band seams are bit-exact. (It is a scalar-prefetch input because under
     shard_map the offset is a traced per-device value, not a constant.)
+    zp_ref carries the hierarchical-Z bound dequantization [base, step].
 
-    Each pair evaluates its chunk in NSUB SUB-triangle sub-blocks, gated
-    by the pair's precomputed sub-block hit mask (build_bins tests each
-    sub-block's bbox against THIS tile exactly; 30 mask bits per SMEM
-    word, MASK_WORDS words) — Morton order makes sub-blocks spatially
-    compact, so a chunk overlapping a tile usually touches it with a few
-    of them (~6-10× VPU waste at 1M tris came from evaluating all 64
-    triangles per visited tile; round-2's half-chunk skip halved that,
-    the 16-triangle masks prune further and kill dead pairs in the
-    binner). The merge keeps LESS_OR_EQUAL later-wins semantics exactly:
-    sub-block q carries higher triangle ids than q-1 and overwrites equal
-    depths."""
+    Each pair evaluates its chunk in NSUB SUB-triangle sub-blocks, each
+    gated PER TILE QUARTER (NQ static 8-row lane slices) by the pair's
+    precomputed hit mask (build_bins tests each sub-block's bbox against
+    this tile's quarters exactly; 30 mask bits per SMEM word, MASK_WORDS
+    words) — Morton order makes sub-blocks spatially compact, so a hit
+    sub-block's bbox covers only ~8% of its 32×32 tile on the flagship
+    scene (tools_dev/stats_visibility.py): quarter gating cuts the swept
+    pixels ~2.4× on top of the sub-block mask's triangle pruning.
+
+    The merge is ORDER-INDEPENDENT lexicographic (min depth, max triangle
+    id on ties) — exactly the reference pipeline's LESS_OR_EQUAL
+    later-draw-wins state (Pipeline.cpp:549-725) for any processing order,
+    which frees the binner to order a tile's pairs near-to-far (ZORDER)
+    so the hierarchical-Z skip can fire on occluded pairs."""
     # refs = MASK_WORDS mask words (scalar-prefetch), records, depth, tri
     mask_refs = refs[:MASK_WORDS]
     rec_ref, depth_out, tri_out = refs[MASK_WORDS:]
@@ -508,83 +623,95 @@ def _visibility_kernel(band_ref, pair_tile_ref, pair_chunk_ref, *refs,
     tx = jax.lax.rem(tile, ntx)
 
     npx = TILE_H * TILE_W
-
+    qpx = npx // NQ
 
     @pl.when(first)
     def _():
         depth_out[0] = jnp.full((1, npx), 1.0, jnp.float32)
         tri_out[0] = jnp.full((1, npx), -1, jnp.int32)
 
-    r = jax.lax.broadcasted_iota(jnp.int32, (1, npx), 1)
-    pxf = (tx * TILE_W + jax.lax.rem(r, TILE_W)).astype(jnp.float32) + 0.5
-    pyf = (ty * TILE_H + r // TILE_W).astype(jnp.float32) + 0.5
-
     if ZSKIP and ZSKIP_PACK:
-        # hierarchical-Z: the pair's packed conservative min depth (mask
-        # word 0 bits 16+) vs the tile's current max accumulated depth.
-        # Reading depth_out AFTER the first-pair reset keeps the test
-        # well-defined on a tile's first visit (zmax = 1.0 → no skip).
-        zminf = ((mask_words[0] // (1 << 16)).astype(jnp.float32)
-                 * (1.0 / ZSKIP_SCALE))
-        keep = zminf <= jnp.max(depth_out[0])
+        # hierarchical-Z: the pair's packed conservative min depth (last
+        # mask word, bits above ZSKIP_SHIFT) vs each QUARTER's current max
+        # accumulated depth. Reading depth_out AFTER the first-pair reset
+        # keeps the test well-defined on a tile's first visit (zmax = 1.0
+        # → no skip). Only fires once nearer geometry covered the whole
+        # quarter — near-to-far pair order (ZORDER) makes that happen.
+        zq = mask_words[-1] // (1 << ZSKIP_SHIFT)
+        zminf = zp_ref[0] + zq.astype(jnp.float32) * zp_ref[1]
+        dcur = depth_out[0]
+        keep = [zminf <= jnp.max(dcur[:, w * qpx:(w + 1) * qpx])
+                for w in range(NQ)]
     else:
         keep = None
 
     for q in range(NSUB):
-        # mask bit q via // and % — bit ops are avoided in Mosaic scalars
-        hit = jax.lax.rem(mask_words[q // 30] // (1 << (q % 30)), 2) == 1
-        if keep is not None:
-            hit = jnp.logical_and(hit, keep)
+        for w in range(NQ):
+            # mask bit via // and % — bit ops are avoided in Mosaic scalars
+            b = q * NQ + w
+            hit = jax.lax.rem(mask_words[b // 30] // (1 << (b % 30)), 2) == 1
+            if keep is not None:
+                hit = jnp.logical_and(hit, keep[w])
 
-        @pl.when(hit)
-        def _(q=q):
-            rec = rec_ref[q * SUB:(q + 1) * SUB, :]  # auto-pipelined
+            @pl.when(hit)
+            def _(q=q, w=w):
+                rec = rec_ref[q * SUB:(q + 1) * SUB, :]  # auto-pipelined
 
-            def col(j):
-                return rec[:, j:j + 1]             # (SUB, 1)
+                def col(j):
+                    return rec[:, j:j + 1]             # (SUB, 1)
 
-            e0 = col(0) * pxf + col(1) * pyf + col(2)   # (SUB, npx)
-            e1 = col(3) * pxf + col(4) * pyf + col(5)
-            e2 = col(6) * pxf + col(7) * pyf + col(8)
-            # depth stays the per-pixel RATIONAL zi/wi — the affine
-            # Σ e_k·(z_k/det) form is 9 ops cheaper but not
-            # self-normalizing and fails catastrophically on subpixel
-            # triangles at ZO far depths (see TriangleSetup numerics
-            # note; r3hw10 lost 27% of covered pixels to d>1).
-            # Association must match raster_ref.visibility_ref exactly.
-            zi = (e0 * col(9) + e1 * col(10)) + e2 * col(11)
-            wi = (e0 * col(12) + e1 * col(13)) + e2 * col(14)
-            # depth range test in cross-multiplied form (no divide): with
-            # wi>0, 0 ≤ zi/wi ≤ 1 ⇔ zi ≥ 0 and zi ≤ wi
-            cover = ((e0 >= 0.0) & (e1 >= 0.0) & (e2 >= 0.0) & (wi > 1e-12)
-                     & (zi >= 0.0) & (zi <= wi))
+                r = jax.lax.broadcasted_iota(
+                    jnp.int32, (1, qpx), 1) + w * qpx
+                pxf = (tx * TILE_W
+                       + jax.lax.rem(r, TILE_W)).astype(jnp.float32) + 0.5
+                pyf = (ty * TILE_H + r // TILE_W).astype(jnp.float32) + 0.5
 
-            def merge():
-                d = zi * pl.reciprocal(jnp.where(cover, wi, 1.0),
-                                       approx=False)
-                dm = jnp.where(cover, d, DEPTH_SENTINEL)
+                e0 = col(0) * pxf + col(1) * pyf + col(2)   # (SUB, qpx)
+                e1 = col(3) * pxf + col(4) * pyf + col(5)
+                e2 = col(6) * pxf + col(7) * pyf + col(8)
+                # depth stays the per-pixel RATIONAL zi/wi — the affine
+                # Σ e_k·(z_k/det) form is 9 ops cheaper but not
+                # self-normalizing and fails catastrophically on subpixel
+                # triangles at ZO far depths (see TriangleSetup numerics
+                # note; r3hw10 lost 27% of covered pixels to d>1).
+                # Association must match raster_ref.visibility_ref exactly.
+                zi = (e0 * col(9) + e1 * col(10)) + e2 * col(11)
+                wi = (e0 * col(12) + e1 * col(13)) + e2 * col(14)
+                # depth range test in cross-multiplied form (no divide):
+                # with wi>0, 0 ≤ zi/wi ≤ 1 ⇔ zi ≥ 0 and zi ≤ wi
+                cover = ((e0 >= 0.0) & (e1 >= 0.0) & (e2 >= 0.0)
+                         & (wi > 1e-12) & (zi >= 0.0) & (zi <= wi))
 
-                cmin = jnp.min(dm, axis=0, keepdims=True)  # (1, npx)
-                tid = ((cid - 1) * CHUNK + q * SUB
-                       + jax.lax.broadcasted_iota(jnp.int32, (SUB, 1), 0))
-                win = jnp.max(jnp.where(dm <= cmin, tid, -1), axis=0,
-                              keepdims=True)
+                def merge():
+                    d = zi * pl.reciprocal(jnp.where(cover, wi, 1.0),
+                                           approx=False)
+                    dm = jnp.where(cover, d, DEPTH_SENTINEL)
 
-                acc_d = depth_out[0]
-                acc_t = tri_out[0]
-                better = (cmin <= acc_d) & (win >= 0)
-                depth_out[0] = jnp.where(better, cmin, acc_d)
-                tri_out[0] = jnp.where(better, win, acc_t)
+                    cmin = jnp.min(dm, axis=0, keepdims=True)  # (1, qpx)
+                    tid = ((cid - 1) * CHUNK + q * SUB
+                           + jax.lax.broadcasted_iota(jnp.int32, (SUB, 1), 0))
+                    win = jnp.max(jnp.where(dm <= cmin, tid, -1), axis=0,
+                                  keepdims=True)
 
-            if COVER_GATE:
-                # bbox-hit sub-blocks that cover NO pixel of this tile (the
-                # conservative tile-bbox test fires but every edge test
-                # misses) skip the reciprocal + both reductions + the
-                # accumulator read-modify-write — only the edge/z/w setup
-                # above was spent
-                pl.when(jnp.any(cover))(merge)
-            else:
-                merge()
+                    sl = slice(w * qpx, (w + 1) * qpx)
+                    acc_d = depth_out[0, :, sl]
+                    acc_t = tri_out[0, :, sl]
+                    # lexicographic (depth, tid) — identical final result
+                    # to draw-order processing, in ANY pair/quarter order
+                    better = (win >= 0) & ((cmin < acc_d)
+                                           | ((cmin == acc_d)
+                                              & (win > acc_t)))
+                    depth_out[0, :, sl] = jnp.where(better, cmin, acc_d)
+                    tri_out[0, :, sl] = jnp.where(better, win, acc_t)
+
+                if COVER_GATE:
+                    # bbox-hit sweeps that cover NO pixel (the conservative
+                    # bbox test fires but every edge test misses) skip the
+                    # reciprocal + both reductions + the accumulator RMW —
+                    # only the edge/z/w setup above was spent
+                    pl.when(jnp.any(cover))(merge)
+                else:
+                    merge()
 
 
 def untile_frame(flat: Array, ntx: int, nty: int) -> Array:
@@ -624,22 +751,23 @@ def visibility_pallas_tiled(setup: TriangleSetup, width: int, height: int,
     band = jnp.asarray(tile_y_offset, jnp.int32).reshape(1)
     kernel = functools.partial(_visibility_kernel, ntx=ntx)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3 + MASK_WORDS,
+        num_scalar_prefetch=4 + MASK_WORDS,
         # dynamic: only real pairs execute (≥1 — pair 0 degenerates to the
         # empty sentinel chunk when the frame has no pairs at all)
         grid=(jnp.maximum(bins.n_real, 1),),
         in_specs=[
             pl.BlockSpec((CHUNK, 16),
-                         lambda i, band, tiles, chunks, *masks: (chunks[i], 0),
+                         lambda i, band, zp, tiles, chunks, *masks:
+                         (chunks[i], 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((1, 1, npx),
-                         lambda i, band, tiles, chunks, *masks:
+                         lambda i, band, zp, tiles, chunks, *masks:
                          (tiles[i], 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, npx),
-                         lambda i, band, tiles, chunks, *masks:
+                         lambda i, band, zp, tiles, chunks, *masks:
                          (tiles[i], 0, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -654,7 +782,8 @@ def visibility_pallas_tiled(setup: TriangleSetup, width: int, height: int,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         interpret=interpret,
-    )(band, bins.pair_tile, bins.pair_chunk, *bins.pair_mask, bins.records)
+    )(band, bins.zparams, bins.pair_tile, bins.pair_chunk, *bins.pair_mask,
+      bins.records)
 
     # tiles no executed pair touched keep uninitialized VMEM garbage —
     # mask them to background from the pair list itself (one tiny scatter)
