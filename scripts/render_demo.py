@@ -97,9 +97,10 @@ def main(argv=None) -> int:
             intensity=4.0, cast_shadows=True))
 
     if args.skybox:
-        from trident_tpu.assets.skybox import load_skybox
+        from trident_tpu.assets.skybox import load_skybox_mips
 
-        app.renderer.set_skybox(load_skybox(args.skybox))
+        levels = load_skybox_mips(args.skybox)
+        app.renderer.set_skybox(levels[0], mips=levels[1:])
     else:
         from trident_tpu.assets.skybox import solid_skybox
 

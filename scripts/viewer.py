@@ -9,9 +9,10 @@ web page streaming `present()` frames with panel equivalents:
 
   * orbit / pan / dolly editor camera (drag / shift-drag / wheel); Scene /
     Game viewport toggle (ID 1 editor camera / ID 2 runtime camera)
-  * click-to-select (tri_id → entity picking); Move mode drags the
-    selected entity in the camera plane (the ImGuizmo-translate analogue,
-    SceneViewportPanel.cpp:63-100) — rotate/scale edit via the inspector
+  * click-to-select (tri_id → entity picking); gizmo drag with the
+    reference's three modes + W/E/R keyboard switching (the ImGuizmo
+    analogue, SceneViewportPanel.cpp:63-100): translate in the camera
+    plane, rotate (euler yaw/pitch), uniform scale
   * Hierarchy (entity list + destroy), Inspector (schema-driven component
     editing), Console (log ring + level filter, ConsolePanel analogue),
     Content browser (asset listing + import), Toolbar (play/stop, perf
@@ -98,15 +99,28 @@ _PAGE = """<!DOCTYPE html>
 <script>
 const img = document.getElementById('frame');
 let sel = null, dragging = 0, lx = 0, ly = 0, moved = 0;
-let vp = 1, moveMode = false, flags = {};
+let vp = 1, gizmoMode = 0, flags = {};
+const GIZMO = ['', 'translate', 'rotate', 'scale'];
 function toggleVp() {
   vp = vp === 1 ? 2 : 1;
   document.getElementById('vp').textContent = vp === 1 ? 'Scene' : 'Game';
 }
-function toggleMove() {
-  moveMode = !moveMode;
-  document.getElementById('move').className = moveMode ? 'on' : '';
+function setMode(m) {
+  gizmoMode = m;
+  const b = document.getElementById('move');
+  b.textContent = m ? GIZMO[m][0].toUpperCase() + GIZMO[m].slice(1) : 'Move';
+  b.className = m ? 'on' : '';
 }
+function toggleMove() { setMode(gizmoMode ? 0 : 1); }
+// W/E/R gizmo mode keys, like the reference editor (SceneViewportPanel)
+window.addEventListener('keydown', e => {
+  if (e.target.tagName === 'INPUT' || e.target.tagName === 'SELECT') return;
+  const k = e.key.toLowerCase();
+  if (k === 'w') setMode(1);
+  else if (k === 'e') setMode(2);
+  else if (k === 'r') setMode(3);
+  else if (k === 'escape') setMode(0);
+});
 async function toggle(api, btn) {
   flags[btn] = !flags[btn];
   const r = await post('/api/' + api, {enabled: flags[btn]});
@@ -145,8 +159,8 @@ img.onpointermove = e => {
   if (!dragging) return;
   const dx = e.clientX - lx, dy = e.clientY - ly; lx = e.clientX; ly = e.clientY;
   moved += Math.abs(dx) + Math.abs(dy);
-  if (moveMode && sel !== null && sel !== undefined)
-    post('/api/gizmo', {entity: sel, dx: dx, dy: dy});
+  if (gizmoMode && sel !== null && sel !== undefined)
+    post('/api/gizmo', {entity: sel, dx: dx, dy: dy, mode: GIZMO[gizmoMode]});
   else if (e.shiftKey || dragging === 4)
     post('/api/camera', {op:'pan', dx:dx, dy:dy});
   else post('/api/camera', {op:'orbit', dx:dx, dy:dy});
@@ -486,13 +500,18 @@ class ViewerServer:
                                                         None))
                 return {"entity": ent}
             elif op == "gizmo":
-                # ImGuizmo-translate analogue: drag the selected entity in
-                # the camera plane, scaled by its distance (so one pixel of
-                # drag tracks roughly one pixel of screen motion)
+                # ImGuizmo analogue with the reference's three modes
+                # (SceneViewportPanel.cpp:63-100, W/E/R keyboard switching):
+                #   translate — drag in the camera plane, scaled by distance
+                #     (one pixel of drag tracks ~one pixel of screen motion)
+                #   rotate    — dx spins yaw (euler Y), dy pitches (euler X)
+                #   scale     — vertical drag scales uniformly (exp curve,
+                #     clamped positive)
                 from trident_tpu.ecs.components import TransformComponent
 
                 t = r.registry.try_get(int(body["entity"]), TransformComponent)
-                if t is not None:
+                mode = body.get("mode", "translate")
+                if t is not None and mode == "translate":
                     right, up, _fwd = cam._basis()
                     dist = float(np.linalg.norm(
                         np.asarray(t.position, np.float32) - cam.position))
@@ -502,6 +521,17 @@ class ViewerServer:
                     t.position = (np.asarray(t.position, np.float32)
                                   + right * float(body["dx"]) * k
                                   - up * float(body["dy"]) * k)
+                elif t is not None and mode == "rotate":
+                    rot = np.asarray(t.rotation, np.float32).copy()
+                    rot[1] = (rot[1] + float(body["dx"]) * 0.5) % 360.0
+                    rot[0] = (rot[0] + float(body["dy"]) * 0.5) % 360.0
+                    t.rotation = rot
+                elif t is not None and mode == "scale":
+                    factor = float(np.exp(
+                        (float(body["dx"]) - float(body["dy"])) * 0.005))
+                    t.scale = np.maximum(
+                        np.asarray(t.scale, np.float32) * factor,
+                        1e-3).astype(np.float32)
             elif op == "destroy":
                 r.registry.destroy(int(body["entity"]))
             elif op == "import":

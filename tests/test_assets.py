@@ -263,3 +263,63 @@ def test_gltf_embedded_texture(tmp_path):
     r.set_active_registry(reg)
     import_model_entities(str(p), reg, r)
     assert r.geometry.materials[-1].texture_slot == 1
+
+
+def test_model_hot_reload(tmp_path):
+    """Editing a watched model file re-imports it and patches the live
+    geometry slots in place (reference: Renderer.cpp:5739-5820): the next
+    frame renders the new mesh through the SAME MeshComponent indices. A
+    broken edit keeps the old geometry."""
+    import os
+
+    from trident_tpu.app import Application
+    from trident_tpu.core.config import EngineConfig, RenderConfig
+    from trident_tpu.ecs.components import MeshComponent
+
+    assets = tmp_path / "Assets"
+    for sub in ("Shaders", "Models", "Textures"):
+        (assets / sub).mkdir(parents=True)
+    obj = assets / "Models" / "tri.obj"
+
+    def write_obj(scale):
+        obj.write_text(
+            "v 0 0 0\n"
+            f"v {scale} 0 0\n"
+            f"v 0 {scale} 0\n"
+            "vn 0 0 1\n"
+            "f 1//1 2//1 3//1\n")
+        os.utime(obj, (os.stat(obj).st_atime, os.stat(obj).st_mtime + 5))
+
+    write_obj(1.0)
+    app = Application(EngineConfig(
+        assets_root=str(assets),
+        render=RenderConfig(width=48, height=48, use_pallas=False)))
+    try:
+        ents = app.import_assets([str(obj)])
+        assert len(ents) == 1
+        mesh_idx = app.scene.editor_registry.get(
+            ents[0], MeshComponent).mesh_index
+        geometry = app.renderer.geometry
+        v0 = geometry.meshes[mesh_idx].positions.copy()
+        ver0 = geometry.version
+
+        app.file_watcher.poll(now=1e9)     # prime the watcher baseline
+        write_obj(2.0)                     # grow the triangle on disk
+        app.file_watcher.poll(now=2e9)
+        app.process_reload_events()
+        v1 = geometry.meshes[mesh_idx].positions
+        assert geometry.version > ver0
+        assert not np.array_equal(v0, v1)
+        assert float(np.abs(v1).max()) == 2.0
+
+        # broken edit (no faces → zero meshes): old geometry must survive
+        ver1 = geometry.version
+        obj.write_text("v 0 0 0\n")
+        os.utime(obj, (os.stat(obj).st_atime, os.stat(obj).st_mtime + 10))
+        app.file_watcher.poll(now=3e9)
+        app.process_reload_events()
+        assert geometry.version == ver1
+        np.testing.assert_array_equal(
+            np.asarray(geometry.meshes[mesh_idx].positions), np.asarray(v1))
+    finally:
+        app.shutdown()

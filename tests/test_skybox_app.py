@@ -107,3 +107,51 @@ def test_reference_skybox_assets_load():
     assert 0.0 <= float(faces.min()) and float(faces.max()) <= 1.0
     # real sky: faces differ from each other
     assert abs(faces[2].mean() - faces[3].mean()) > 0.01
+
+
+def test_skybox_mip_chain_selects_by_viewport(tmp_path):
+    """A KTX2 cubemap's full mip chain loads (reference uploads chains,
+    TextureLoader.cpp:417) and rendering picks the level matching the
+    viewport's angular resolution: a tiny viewport must sample a coarser
+    level, and the frame must still show the right face color."""
+    from trident_tpu.assets.ktx2 import write_ktx2
+    from trident_tpu.assets.skybox import load_skybox_mips
+    from trident_tpu.core.config import EngineConfig, RenderConfig
+    from trident_tpu.ecs.registry import Registry
+    from trident_tpu.render.renderer import Renderer
+
+    # level 0: 256px red cube with green +y; level chain down to 2px —
+    # coarser levels DIFFER (blue +y) so the test can tell which was used
+    def cube(edge, up):
+        f = np.full((6, edge, edge, 4), 0, np.uint8)
+        f[..., 0] = 200
+        f[..., 3] = 255
+        f[2, ..., :3] = up
+        return f
+
+    base = cube(64, (0, 200, 0))
+    mips = [cube(64 >> k, (0, 0, 200)) for k in range(1, 7)]
+    path = str(tmp_path / "sky.ktx2")
+    write_ktx2(path, base, cubemap=True, mips=mips)
+
+    levels = load_skybox_mips(path)
+    assert len(levels) == 7 and levels[0].shape == (6, 64, 64, 3)
+    assert levels[3].shape == (6, 8, 8, 3)
+
+    r = Renderer(EngineConfig(render=RenderConfig(width=48, height=48,
+                                                  use_pallas=False)))
+    reg = Registry()
+    r.set_active_registry(reg)
+    r.set_skybox(levels[0], mips=levels[1:])
+    # big viewport wants the fine level; small wants a coarse one
+    fine = r._skybox_for(2048, 60.0)
+    coarse = r._skybox_for(8, 60.0)
+    assert fine.faces.shape[1] == 64
+    assert coarse.faces.shape[1] < 64
+
+    r.editor_camera.set_position([0, 0, 0])
+    r.editor_camera.set_rotation([89.0, 0, 0])       # look up
+    img = np.asarray(r.read_frame())
+    c = img[24, 24]
+    # 48px viewport at 60° wants ~63 texels/face → level 0 (green +y)
+    assert c[1] > 120 and c[2] < 100

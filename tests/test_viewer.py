@@ -122,6 +122,29 @@ def test_gizmo_translate_writes_transform(server):
     assert np.linalg.norm(p1 - p0) > 1e-3
 
 
+def test_gizmo_rotate_and_scale_modes(server):
+    """Rotate and Scale gizmo drags (the reference's E/R ImGuizmo modes,
+    SceneViewportPanel.cpp:63-100) write euler rotation / uniform scale."""
+    ents = json.loads(_get(server, "/api/entities"))["entities"]
+    sphere = next(e for e in ents if e["tag"] == "sphere")
+    before = json.loads(_get(server, f"/api/entity?id={sphere['id']}"))
+    r0 = np.asarray(before["components"]["Transform"]["rotation"])
+    s0 = np.asarray(before["components"]["Transform"]["scale"])
+    _post(server, "/api/gizmo", {"entity": sphere["id"], "dx": 60, "dy": 20,
+                                 "mode": "rotate"})
+    _post(server, "/api/gizmo", {"entity": sphere["id"], "dx": 0, "dy": -80,
+                                 "mode": "scale"})
+    after = json.loads(_get(server, f"/api/entity?id={sphere['id']}"))
+    r1 = np.asarray(after["components"]["Transform"]["rotation"])
+    s1 = np.asarray(after["components"]["Transform"]["scale"])
+    assert abs(r1[1] - r0[1]) > 1.0 and abs(r1[0] - r0[0]) > 1.0
+    assert (s1 > s0 * 1.2).all()       # -80 px up-drag grows ~1.49x
+    # position untouched by rotate/scale drags
+    p0 = np.asarray(before["components"]["Transform"]["position"])
+    p1 = np.asarray(after["components"]["Transform"]["position"])
+    np.testing.assert_allclose(p1, p0)
+
+
 def test_console_and_ai_state(server):
     from trident_tpu.core.log import get_logger
 

@@ -126,13 +126,50 @@ class Application:
                     ok = self.renderer.shader_hook.load(event.path)
                     event.status = (ReloadStatus.SUCCESS if ok
                                     else ReloadStatus.FAILED)
+                elif event.kind == ReloadType.MODEL:
+                    # re-import the changed model and patch the live
+                    # geometry slots in place (reference re-imports and
+                    # patches geometry/material slots, Renderer.cpp:
+                    # 5739-5820). A model never imported this session has
+                    # nothing to patch (no-op SUCCESS); a failed re-import
+                    # keeps the old geometry (the except below → FAILED).
+                    self.reload_model(event.path)
+                    event.status = ReloadStatus.SUCCESS
                 else:
-                    event.status = ReloadStatus.SUCCESS  # model reload = re-import on demand
+                    event.status = ReloadStatus.SUCCESS
                 if event.status == ReloadStatus.SUCCESS:
                     logger.info("hot-reloaded %s", event.path)
             except Exception as exc:
                 event.status = ReloadStatus.FAILED
                 logger.warning("hot reload failed for %s: %s", event.path, exc)
+
+    def reload_model(self, path: str) -> bool:
+        """Re-import a changed model file and patch its live geometry /
+        material slots (the reference's model hot reload, Renderer.cpp:
+        5739-5820 + 2118-2188). Existing MeshComponent indices stay valid;
+        returns False when the path was never imported this session. Any
+        loader error propagates so process_reload_events marks FAILED and
+        the old geometry stays live."""
+        geometry = self.renderer.geometry
+        if path not in geometry.model_slots:
+            return False
+        from trident_tpu.assets.scene_loader import (
+            load_model, resolve_model_textures,
+        )
+
+        data = load_model(path)
+        if not data.meshes:
+            # a transiently broken file (mid-save, parse salvage yielding
+            # zero meshes) must NOT wipe the live geometry
+            raise ValueError(f"{path}: re-import produced no meshes")
+        resolve_model_textures(data, self.renderer)
+        geometry.replace_model(path, data.meshes, data.materials)
+        if data.skeleton is not None or data.clips:
+            from trident_tpu.anim.service import AnimationAssetService
+
+            AnimationAssetService.get().register_runtime_asset(
+                path, data.skeleton, data.clips)
+        return True
 
     # -- frame loop -------------------------------------------------------------------
     def update(self) -> float:

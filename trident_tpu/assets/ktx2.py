@@ -124,11 +124,17 @@ def load_ktx2_rgba8_mips(path: str):
 
 def load_ktx2_cubemap(path: str) -> np.ndarray:
     """(6,H,W,3) f32 in [0,1], faces ordered +x,-x,+y,-y,+z,-z."""
+    return load_ktx2_cubemap_mips(path)[0]
+
+
+def load_ktx2_cubemap_mips(path: str) -> list:
+    """All mip levels: [(6,E,E,3) f32, (6,E/2,E/2,3), ...] — the full file
+    chain the reference uploads (TextureLoader.cpp:417)."""
     tex = Ktx2File(path)
     if tex.faces != 6:
         raise ValueError(f"{path}: KTX2 has {tex.faces} faces, need 6")
-    imgs = tex.level_images(0)[:6]
-    return imgs[..., :3].astype(np.float32) / 255.0
+    return [tex.level_images(lvl)[:6][..., :3].astype(np.float32) / 255.0
+            for lvl in range(tex.levels)]
 
 
 def write_ktx2(path: str, images: np.ndarray, cubemap: bool = False,

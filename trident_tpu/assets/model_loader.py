@@ -67,6 +67,14 @@ def load_model(path: str, prefer_native: bool = True) -> ModelData:
         from trident_tpu.assets.dae_loader import load_dae
 
         return load_dae(path)
+    if ext == ".stl":
+        from trident_tpu.assets.stl_ply_loader import load_stl
+
+        return load_stl(path)
+    if ext == ".ply":
+        from trident_tpu.assets.stl_ply_loader import load_ply
+
+        return load_ply(path)
     raise ValueError(f"unsupported model format: {ext!r} ({path})")
 
 

@@ -18,7 +18,8 @@ from trident_tpu.mathx.transforms import decompose_trs
 
 logger = get_logger("assets.scene")
 
-SUPPORTED_EXTENSIONS = (".obj", ".gltf", ".glb", ".fbx", ".dae")
+SUPPORTED_EXTENSIONS = (".obj", ".gltf", ".glb", ".fbx", ".dae", ".stl",
+                        ".ply")
 
 
 def load_scene_directory(directory: str, registry: Registry, renderer) -> List[int]:
@@ -36,14 +37,9 @@ def load_scene_directory(directory: str, registry: Registry, renderer) -> List[i
     return entities
 
 
-def import_model_entities(path: str, registry: Registry, renderer,
-                          tag: Optional[str] = None) -> List[int]:
-    """Load a model, upload its meshes, create one entity per mesh instance
-    (the ImportDroppedAssets flow)."""
-    data = load_model(path)
-    import numpy as np
-
-    # resolve textures into renderer slots (file-backed or embedded pixels)
+def resolve_model_textures(data, renderer) -> None:
+    """Resolve a loaded model's textures into renderer slots (file-backed
+    or embedded pixels) and patch its materials' texture_slot fields."""
     for tex in data.textures:
         try:
             if tex.rgba is not None:
@@ -56,11 +52,22 @@ def import_model_entities(path: str, registry: Registry, renderer,
         except Exception as exc:
             logger.warning("texture %s failed: %s", tex.path, exc)
     for mat in data.materials:
-        if mat.base_color_texture >= 0 and mat.base_color_texture < len(data.textures):
+        if 0 <= mat.base_color_texture < len(data.textures):
             mat.texture_slot = renderer.textures.lookup(
                 data.textures[mat.base_color_texture].path)
 
-    mesh_base, _mat_base = renderer.append_meshes(data.meshes, data.materials)
+
+def import_model_entities(path: str, registry: Registry, renderer,
+                          tag: Optional[str] = None) -> List[int]:
+    """Load a model, upload its meshes, create one entity per mesh instance
+    (the ImportDroppedAssets flow)."""
+    data = load_model(path)
+    import numpy as np
+
+    resolve_model_textures(data, renderer)
+
+    mesh_base, _mat_base = renderer.append_meshes(data.meshes, data.materials,
+                                                  source_path=path)
 
     if data.skeleton is not None or data.clips:
         from trident_tpu.anim.service import AnimationAssetService

@@ -38,7 +38,7 @@ class ReloadEvent:
 
 DEFAULT_EXTENSIONS: Dict[ReloadType, Tuple[str, ...]] = {
     ReloadType.TEXTURE: (".png", ".jpg", ".jpeg", ".bmp", ".tga", ".exr", ".ktx", ".ktx2", ".svg"),
-    ReloadType.MODEL: (".obj", ".gltf", ".glb", ".fbx", ".dae"),
+    ReloadType.MODEL: (".obj", ".gltf", ".glb", ".fbx", ".dae", ".stl", ".ply"),
     ReloadType.SHADER: (".py",),
 }
 

@@ -156,6 +156,10 @@ class GeometryCache:
         self.version: int = 0
         self._packed: Optional[PackedGeometry] = None
         self._packed_version: int = -1
+        # source path → (mesh slots, material slots) for hot reload:
+        # replace_model patches these slots in place so existing
+        # MeshComponent.mesh_index values stay valid across re-imports
+        self.model_slots: Dict[str, Tuple[List[int], List[int]]] = {}
 
     def add_material(self, material: Material) -> int:
         self.materials.append(material)
@@ -167,9 +171,11 @@ class GeometryCache:
         self.version += 1
         return len(self.meshes) - 1
 
-    def append(self, meshes: List[Mesh], materials: List[Material]) -> Tuple[int, int]:
+    def append(self, meshes: List[Mesh], materials: List[Material],
+               source_path: Optional[str] = None) -> Tuple[int, int]:
         """Append an imported model: offsets mesh material indices by the
         current material base (reference: Renderer::AppendMeshes).
+        `source_path` registers the model for hot reload (replace_model).
         Returns (first_mesh_index, first_material_index)."""
         mat_base = len(self.materials)
         mesh_base = len(self.meshes)
@@ -178,7 +184,47 @@ class GeometryCache:
             m.material_index += mat_base
             self.meshes.append(m)
         self.version += 1
+        if source_path is not None:
+            self.model_slots[source_path] = (
+                list(range(mesh_base, mesh_base + len(meshes))),
+                list(range(mat_base, mat_base + len(materials))))
         return mesh_base, mat_base
+
+    def replace_model(self, source_path: str, meshes: List[Mesh],
+                      materials: List[Material]) -> bool:
+        """Hot reload: patch a previously appended model's mesh/material
+        slots in place (reference: Renderer.cpp:5739-5820 re-imports a
+        changed model file and patches the live geometry buffers). Returns
+        False when `source_path` was never appended. Mesh indices held by
+        live MeshComponents stay valid: a grown model appends extra slots,
+        a shrunk one leaves empty stub meshes in the leftover slots (the
+        slot list keeps them for reuse by the next reload)."""
+        slots = self.model_slots.get(source_path)
+        if slots is None:
+            return False
+        mesh_slots, mat_slots = slots
+        for k, mat in enumerate(materials):
+            if k < len(mat_slots):
+                self.materials[mat_slots[k]] = mat
+            else:
+                mat_slots.append(len(self.materials))
+                self.materials.append(mat)
+        for k, m in enumerate(meshes):
+            m.material_index = (mat_slots[m.material_index]
+                                if 0 <= m.material_index < len(mat_slots)
+                                else 0)
+            if k < len(mesh_slots):
+                self.meshes[mesh_slots[k]] = m
+            else:
+                mesh_slots.append(len(self.meshes))
+                self.meshes.append(m)
+        for k in range(len(meshes), len(mesh_slots)):
+            self.meshes[mesh_slots[k]] = Mesh(
+                positions=np.zeros((1, 3), np.float32),
+                indices=np.zeros((0,), np.int32),
+                name=f"{source_path}:removed:{k}")
+        self.version += 1
+        return True
 
     def triangle_count(self) -> int:
         return sum(m.triangle_count for m in self.meshes)

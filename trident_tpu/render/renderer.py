@@ -550,9 +550,12 @@ class Renderer:
         return cam
 
     # -- assets -----------------------------------------------------------------
-    def append_meshes(self, meshes: List[Mesh], materials: List[Material]) -> Tuple[int, int]:
-        """Import a model's meshes+materials (Renderer::AppendMeshes)."""
-        return self.geometry.append(meshes, materials)
+    def append_meshes(self, meshes: List[Mesh], materials: List[Material],
+                      source_path: Optional[str] = None) -> Tuple[int, int]:
+        """Import a model's meshes+materials (Renderer::AppendMeshes).
+        `source_path` registers the model for hot reload."""
+        return self.geometry.append(meshes, materials,
+                                    source_path=source_path)
 
     def ensure_primitive(self, kind: PrimitiveType) -> int:
         if kind not in self._primitive_mesh_indices:
@@ -563,13 +566,41 @@ class Renderer:
                         mips=None) -> int:
         return self.textures.acquire(key, rgba, mips=mips)
 
-    def set_skybox(self, faces: np.ndarray) -> None:
-        """faces: (6,E,E,3) float in [0,1] ordered +x,-x,+y,-y,+z,-z."""
+    def set_skybox(self, faces: np.ndarray, mips=None) -> None:
+        """faces: (6,E,E,3) float in [0,1] ordered +x,-x,+y,-y,+z,-z.
+        `mips`: optional list of coarser levels (halved edge each) — the
+        full file chain the reference uploads (TextureLoader.cpp:417).
+        Rendering picks the level whose angular texel density best matches
+        the viewport (a full-frame background's minification ratio is
+        frame-constant, so per-frame level selection is the trilinear
+        analogue without per-pixel derivative cost)."""
+        self._skybox_chain = [jnp.asarray(faces, jnp.float32)] + [
+            jnp.asarray(m, jnp.float32) for m in (mips or [])]
         self._skybox = SkyboxCube(
-            faces=jnp.asarray(faces, jnp.float32),
+            faces=self._skybox_chain[0],
             valid=jnp.asarray(True),
         )
         self._skybox_version = getattr(self, "_skybox_version", 0) + 1
+
+    def _skybox_for(self, height: int, fov_deg: float) -> Optional[SkyboxCube]:
+        """The mip level whose face edge best matches the viewport's
+        angular resolution: a 90° cube face needs ≈ (π/2)·h / (2·tan(fov/2))
+        texels to be minification-free; coarser viewports take coarser
+        levels (cheaper VMEM-resident faces AND less shimmer)."""
+        if self._skybox is None:
+            return None
+        chain = getattr(self, "_skybox_chain", None)
+        if not chain or len(chain) == 1:
+            return self._skybox
+        import math
+
+        ideal = (math.pi / 2.0) * height / max(
+            2.0 * math.tan(math.radians(fov_deg) / 2.0), 1e-6)
+        best = 0
+        for lvl, faces in enumerate(chain):
+            if faces.shape[1] >= ideal:
+                best = lvl           # smallest level still ≥ ideal density
+        return SkyboxCube(faces=chain[best], valid=jnp.asarray(True))
 
     def set_custom_shader(self, path: str) -> bool:
         """Install (or hot-swap) a user shading module — the pipeline-
@@ -685,7 +716,9 @@ class Renderer:
         skinned = any(r.bone_matrices is not None for r in records)
         lights = gather_lights(self.registry)
         textures = self.textures.device_arrays()
-        skybox = self._skybox  # None compiles the clear-color-only background
+        # None compiles the clear-color-only background; with a file mip
+        # chain loaded, pick the level matching this viewport's resolution
+        skybox = self._skybox_for(ctx.height, getattr(cam, "fov_deg", 60.0))
         if not hasattr(self, "_ai_zero"):
             self._ai_zero = jnp.zeros((1, 1, 3), jnp.float32)
         if self._ai_image is not None and self.ai_blend > 0.0:
