@@ -1,0 +1,85 @@
+"""Kernel-knob unification (ops/kernel_knobs.py, SURVEY §5).
+
+The TRIDENT_* env vars remain import-time defaults, but knobs must be
+settable per-run: RenderConfig.kernel drives them programmatically and
+two differently-configured renderers must coexist in one process."""
+
+import numpy as np
+import pytest
+
+from trident_tpu.ops import kernel_knobs, raster_pallas
+
+
+def test_snapshot_apply_restore_roundtrip():
+    before = kernel_knobs.snapshot()
+    prev = kernel_knobs.apply({"chunk": 128, "sub": 16, "zskip": True})
+    try:
+        assert raster_pallas.CHUNK == 128
+        assert raster_pallas.NSUB == 8          # derived recomputed
+        assert raster_pallas.ZSKIP is True
+        assert kernel_knobs.trace_key() != tuple(
+            sorted((k, v) for k, v in before.items()))
+    finally:
+        kernel_knobs.apply(prev)
+    assert kernel_knobs.snapshot() == before
+
+
+def test_unknown_and_invalid_knobs_fail_loudly():
+    with pytest.raises(KeyError):
+        kernel_knobs.apply({"chnk": 128})       # typo must not silently noop
+    before = kernel_knobs.snapshot()
+    with pytest.raises(ValueError):
+        kernel_knobs.apply({"chunk": 100})      # not a multiple of SUB=16
+    # failed apply restored everything (all-or-nothing)
+    assert kernel_knobs.snapshot() == before
+
+
+def test_overrides_context_manager():
+    base = raster_pallas.CHUNK
+    with kernel_knobs.overrides(chunk=512, sub=32):
+        assert raster_pallas.CHUNK == 512
+        assert raster_pallas.MASK_WORDS >= 2    # 16 subs x 4 quarters
+    assert raster_pallas.CHUNK == base
+
+
+def test_two_kernel_configs_in_one_process():
+    """Two renderers with different kernel knobs render interleaved in one
+    process; both produce the same (knob-neutral) image. This is the
+    SURVEY §5 'config, not env sprawl' acceptance test."""
+    from trident_tpu.core.config import EngineConfig, RenderConfig
+    from trident_tpu.ecs import (
+        MeshComponent, Registry, TextureComponent, TransformComponent,
+    )
+    from trident_tpu.geometry.primitives import PrimitiveType
+    from trident_tpu.io.image import checkerboard
+
+    def build(kernel):
+        from trident_tpu.render.renderer import Renderer
+
+        r = Renderer(EngineConfig(render=RenderConfig(
+            width=64, height=64, use_pallas=True, kernel=kernel)))
+        reg = Registry()
+        r.set_active_registry(reg)
+        slot = r.acquire_texture("checker", checkerboard(32, 4))
+        e = reg.create()
+        t = reg.add(e, TransformComponent())
+        t.rotation = np.array([20.0, 35.0, 0.0], np.float32)
+        reg.add(e, MeshComponent(
+            mesh_index=r.ensure_primitive(PrimitiveType.CUBE)))
+        reg.add(e, TextureComponent(path="checker", slot=slot))
+        r.editor_camera.set_position([0, 0.6, 3.0])
+        r.editor_camera.look_at_target([0, 0, 0])
+        return r
+
+    base = kernel_knobs.snapshot()
+    try:
+        ra = build({"chunk": 128, "qgate": True})
+        rb = build({"chunk": 256, "qgate": False})
+        fa1 = np.asarray(ra.read_frame())
+        fb1 = np.asarray(rb.read_frame())
+        fa2 = np.asarray(ra.read_frame())   # interleave back to A
+        np.testing.assert_array_equal(fa1, fb1)
+        np.testing.assert_array_equal(fa1, fa2)
+        assert ra._kcfg != rb._kcfg
+    finally:
+        kernel_knobs.apply(base)

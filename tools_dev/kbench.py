@@ -1,0 +1,141 @@
+#!/usr/bin/env python
+"""Visibility-kernel cost decomposition on hardware (round 4).
+
+The r4hw1 sweep showed quarter gating (2.4x fewer swept pixels) LOSES
+2.6 FPS — so the kernel is not purely vector-bound. This bench times the
+bare visibility pallas_call on the REAL flagship bins with doctored
+masks to split the ~19 ms into:
+
+  zero   — all mask bits cleared: per-pair fixed cost + branch checks
+           (every @pl.when skips ... IF Mosaic actually branches)
+  dflt   — the real masks (~5.8 hit subs/pair at defaults)
+  full   — all NSUB bits set: fixed + branches + NSUB dense sweeps
+
+marginal sweep time = (full - zero) / NSUB; branch+fixed = zero.
+If zero ≈ full, @pl.when lowers to masked execution, not a branch —
+and every mask-based pruning idea is dead on arrival.
+
+Usage: PYTHONPATH=/root/repo:/root/.axon_site python tools_dev/kbench.py
+Env: KB_CONFIGS=zero,dflt,full KB_ITERS=30 TRIDENT_* knobs as usual.
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.join(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__))), "scripts"))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    from profile_stages import build_scene
+    from trident_tpu.ops import raster_pallas as rp
+    from trident_tpu.ops.vertex import triangle_setup, vertex_stage
+    from trident_tpu.render.frame import (
+        build_draw_params, gather_mesh_draws, geometry_to_device,
+    )
+    from trident_tpu.render.types import CameraParams
+
+    width, height = 1920, 1080
+    grid = int(os.environ.get("KB_GRID", "36"))
+    iters = int(os.environ.get("KB_ITERS", "30"))
+    print(f"backend={jax.default_backend()} grid={grid} CHUNK={rp.CHUNK} "
+          f"SUB={rp.SUB} QGATE={rp.QGATE} ZORDER={rp.ZORDER}", flush=True)
+
+    r, reg = build_scene(width, height, grid)
+    packed = r.geometry.packed()
+    geo = geometry_to_device(packed)
+    records_d = gather_mesh_draws(reg, r.geometry)
+    plan, tri_draw = r._plan_cache.plan(packed, records_d, r.geometry.version)
+    params, palette, shade = build_draw_params(
+        records_d, plan.num_draws, material_table=r.geometry.material_table())
+    cam = r.editor_camera.params()
+    verts = vertex_stage(geo, plan, params,
+                         CameraParams(cam.view, cam.proj, cam.position),
+                         palette, skinned=False)
+    setup = triangle_setup(verts.clip, plan.tri_vtx, plan.tri_valid,
+                           width, height)
+    ntx, nty = -(-width // rp.TILE_W), -(-height // rp.TILE_H)
+
+    bins = jax.jit(lambda s: rp.build_bins(
+        s, ntx * rp.TILE_W, nty * rp.TILE_H))(setup)
+    n_real = int(bins.n_real)
+    masks_np = [np.asarray(m) for m in bins.pair_mask]
+    real = np.arange(bins.n_pairs) < n_real
+    hit_words = rp.MASK_BITS - 30 * (rp.MASK_WORDS - 1)
+    nhits = sum(
+        ((m[:, None] >> np.arange(30 if wd < rp.MASK_WORDS - 1 else hit_words
+                                  )[None, :]) & 1).sum()
+        for wd, m in enumerate(masks_np))
+    print(f"pairs={n_real} aux={np.asarray(bins.aux)} "
+          f"hit_bits_total={int(nhits)} "
+          f"({nhits / max(n_real, 1):.1f}/pair of {rp.MASK_BITS})", flush=True)
+
+    def doctored(kind):
+        if kind == "dflt":
+            return bins
+        words = []
+        for wd in range(rp.MASK_WORDS):
+            bits = 30 if wd < rp.MASK_WORDS - 1 else hit_words
+            val = (1 << bits) - 1 if kind == "full" else 0
+            words.append(jnp.where(jnp.asarray(real), val, 0).astype(jnp.int32))
+        return bins._replace(pair_mask=tuple(words))
+
+    npx = rp.TILE_H * rp.TILE_W
+    n_tiles = ntx * nty
+
+    def run_kernel(b, token):
+        import functools
+
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        band = jnp.zeros((1,), jnp.int32)
+        kernel = functools.partial(rp._visibility_kernel, ntx=ntx)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=4 + rp.MASK_WORDS,
+            grid=(jnp.maximum(b.n_real, 1),),
+            in_specs=[pl.BlockSpec(
+                (rp.CHUNK, 16),
+                lambda i, band, zp, tiles, chunks, *masks: (chunks[i], 0),
+                memory_space=pltpu.VMEM)],
+            out_specs=[
+                pl.BlockSpec((1, 1, npx),
+                             lambda i, band, zp, tiles, chunks, *masks:
+                             (tiles[i], 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, npx),
+                             lambda i, band, zp, tiles, chunks, *masks:
+                             (tiles[i], 0, 0), memory_space=pltpu.VMEM),
+            ])
+        depth, tri = pl.pallas_call(
+            kernel, grid_spec=grid_spec,
+            out_shape=[jax.ShapeDtypeStruct((n_tiles, 1, npx), jnp.float32),
+                       jax.ShapeDtypeStruct((n_tiles, 1, npx), jnp.int32)],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",)),
+            interpret=os.environ.get("KB_INTERPRET", "0") == "1",
+        )(band, b.zparams, b.pair_tile, b.pair_chunk, *b.pair_mask,
+          b.records + token)
+        return depth[0, 0, 0] * 0.0
+
+    configs = os.environ.get("KB_CONFIGS", "zero,dflt,full").split(",")
+    for kind in configs:
+        b = doctored(kind)
+        f = jax.jit(run_kernel)
+        token = f(b, jnp.zeros((), jnp.float32))
+        np.asarray(token)                      # compile + run once
+        t0 = time.perf_counter()
+        token = jnp.zeros((), jnp.float32)
+        for _ in range(iters):
+            token = f(b, token)
+        np.asarray(token)
+        ms = (time.perf_counter() - t0) / iters * 1000.0
+        print(f"kind={kind}: {ms:.2f} ms/call", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -17,7 +17,7 @@ export PYTHONPATH=/root/repo:/root/.axon_site
 cd /root/repo
 
 probe() {
-  timeout 420 python -u -c "
+  timeout 1500 python -u -c "
 import jax, jax.numpy as jnp
 print('probe devices:', jax.devices(), flush=True)
 print('probe ok:', float((jnp.ones((128,128)) @ jnp.ones((128,128))).sum()), flush=True)

@@ -58,6 +58,11 @@ class RenderConfig:
     ai_upscale: bool = False         # render at half res + neural 2x
                                      # reconstruction (ai/upscaler.py);
                                      # needs a trained checkpoint
+    kernel: Optional[dict] = None    # kernel-knob overrides by name (see
+                                     # ops/kernel_knobs.py: chunk, tile_h,
+                                     # qgate, zskip, resolve_prec, ...).
+                                     # Applied at Renderer construction;
+                                     # env TRIDENT_* vars stay the defaults
 
 
 @dataclass

@@ -36,7 +36,7 @@ import jax.numpy as jnp
 
 from trident_tpu.ops import shading
 from trident_tpu.ops import texel_pallas as tp
-from trident_tpu.ops.raster_pallas import TILE_H, TILE_W
+from trident_tpu.ops import raster_pallas as _rp
 from trident_tpu.render.types import CameraParams, LightParams, TextureArrays
 
 Array = jax.Array
@@ -147,7 +147,7 @@ def shade_attrs_tiled(tri_tiles: Array, depth_tiles: Array, attrs_t: Array,
     from trident_tpu.ops import resolve_pallas as rp
 
     nt, _, npx = attrs_t.shape
-    ntx = -(-width // TILE_W)
+    ntx = -(-width // _rp.TILE_W)
 
     def a(c):
         return attrs_t[:, c, :]                          # free plane slice
@@ -198,9 +198,9 @@ def shade_attrs_tiled(tri_tiles: Array, depth_tiles: Array, attrs_t: Array,
     r = jax.lax.broadcasted_iota(jnp.int32, (1, npx), 1)
     tid = jnp.arange(nt, dtype=jnp.int32)[:, None]
     band = jnp.asarray(tile_y_offset, jnp.int32)
-    px = ((tid % ntx) * TILE_W + jax.lax.rem(r, TILE_W)
+    px = ((tid % ntx) * _rp.TILE_W + jax.lax.rem(r, _rp.TILE_W)
           ).astype(jnp.float32) + 0.5
-    py = ((tid // ntx + band) * TILE_H + r // TILE_W
+    py = ((tid // ntx + band) * _rp.TILE_H + r // _rp.TILE_W
           ).astype(jnp.float32) + 0.5
     hp = jax.lax.Precision.HIGHEST
     vp_inv = jnp.linalg.inv(jnp.matmul(camera.proj, camera.view,

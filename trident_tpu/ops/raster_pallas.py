@@ -79,24 +79,6 @@ SUB = int(_os.environ.get("TRIDENT_SUB", "16"))
                      # knob — the hit mask spans up to 2 i32 words = 60
                      # sub-blocks, so SUB=8 caps CHUNK at 480, SUB=16
                      # at 960)
-if SUB < 1:
-    raise ValueError(f"TRIDENT_SUB={SUB} must be >= 1")
-if CHUNK < SUB or CHUNK % SUB != 0:
-    raise ValueError(
-        f"TRIDENT_CHUNK={CHUNK} must be a positive multiple of "
-        f"SUB={SUB}: the kernel splits each chunk into SUB-triangle "
-        "sub-blocks")
-NSUB = CHUNK // SUB  # sub-blocks per chunk (hit-maskable unit)
-if TILE_H < 1 or 128 % TILE_H != 0:
-    raise ValueError(
-        f"TRIDENT_TILE_H={TILE_H} must divide 128: SPAN_Y = 128//TILE_H must "
-        "stay consistent with the binning span")
-if TILE_W < 1 or 256 % TILE_W != 0:
-    raise ValueError(
-        f"TRIDENT_TILE_W={TILE_W} must divide 256: SPAN_X = 256//TILE_W must "
-        "stay consistent with the binning span")
-SPAN_X = 256 // TILE_W   # legacy max small-chunk span (256×128 px): keeps
-SPAN_Y = 128 // TILE_H   # the TILE_W/TILE_H divisibility contract meaningful
 SPAN0 = int(_os.environ.get("TRIDENT_SPAN0", "2"))
                      # base-tier span (tiles per axis): every chunk emits
                      # SPAN0² candidate slots. At CHUNK=256 a Morton chunk
@@ -106,8 +88,6 @@ SPAN0 = int(_os.environ.get("TRIDENT_SPAN0", "2"))
                      # (~65 ns/key on v5e). Wider chunks cascade through
                      # the doubling windowed tiers below, then the whale
                      # slots; only whale overflow drops (counted, aux[1]).
-if SPAN0 < 1:
-    raise ValueError(f"TRIDENT_SPAN0={SPAN0} must be >= 1")
 COVER_GATE = _os.environ.get("TRIDENT_COVER_GATE", "0") == "1"
                      # skip a sub-block's reciprocal/reductions/merge when
                      # every edge test missed (bbox hit, no pixel covered).
@@ -128,14 +108,6 @@ QGATE = _os.environ.get("TRIDENT_QGATE", "1") == "1"
                      # gating needs 22M — the visibility kernel's vector
                      # work drops ~2.4x at the cost of 3 mask words and
                      # 4x the @pl.when branches.
-NQ = 4 if QGATE else 1      # tile quarters (8-row row-bands) per tile
-if QGATE and (TILE_H * TILE_W) % (NQ * 128) != 0:
-    raise ValueError(
-        f"TRIDENT_QGATE=1 needs tile quarters lane-aligned: "
-        f"{TILE_W}x{TILE_H} px / {NQ} quarters is not a multiple of 128")
-if QGATE and TILE_H % NQ != 0:
-    raise ValueError(f"TRIDENT_TILE_H={TILE_H} must divide into {NQ} "
-                     "whole-row quarters for TRIDENT_QGATE=1")
 ZORDER = _os.environ.get("TRIDENT_ZORDER", "1") == "1"
                      # near-to-far pair ordering: the bin sort key carries
                      # a frame-normalized quantized chunk min-depth between
@@ -167,14 +139,6 @@ ZSKIP_SCALE = float((1 << ZSKIP_BITS) - 1)
 ZSKIP_MARGIN = 1e-5  # absolute fp-noise bound on the kernel's rational
                      # depth vs the binner's corner ratios (r3 hardware-
                      # validated; see the ZSKIP note)
-MASK_BITS = NSUB * NQ       # hit bits per pair (sub-major, quarter-minor)
-MASK_WORDS = -(-MASK_BITS // 30)
-                     # hit-mask words per pair: 30 bits ride in each i32
-                     # scalar-prefetch word (bit 31 would go negative)
-ZSKIP_SHIFT = MASK_BITS - 30 * (MASK_WORDS - 1)
-                     # hit bits used in the last word; the depth bound
-                     # packs in the bits above them when they fit
-ZSKIP_PACK = (30 - ZSKIP_SHIFT) >= ZSKIP_BITS
 MAX_GLOBAL = int(_os.environ.get("TRIDENT_MAX_GLOBAL", "8"))
                      # whale-chunk slots (span beyond every mid tier): each
                      # costs an (n_tiles,) row in the bin sort whether used
@@ -194,16 +158,8 @@ MID_CAPS = (1024, 128, 32, 8)
                      # the first cap is wide (1024 chunks) because medium-
                      # object scenes put EVERY chunk there (a 110k-tri
                      # sphere grid spans ~3×3 tiles per chunk).
-if MAX_GLOBAL < 1:
-    raise ValueError(f"TRIDENT_MAX_GLOBAL={MAX_GLOBAL} must be >= 1")
-if MASK_WORDS > 3:
-    raise ValueError(
-        f"TRIDENT_CHUNK={CHUNK}/TRIDENT_SUB={SUB} with QGATE={int(QGATE)} "
-        f"needs {MASK_WORDS} hit-mask words; at most 3 fit the SMEM "
-        "scalar-prefetch budget")
-PAIR_BUDGET = int(_os.environ.get(
-    "TRIDENT_PAIR_BUDGET",
-    {1: "65536", 2: "49152", 3: "40960"}[MASK_WORDS]))
+PAIR_BUDGET_OVERRIDE = (int(_os.environ["TRIDENT_PAIR_BUDGET"])
+                        if "TRIDENT_PAIR_BUDGET" in _os.environ else None)
                      # scalar-prefetch arrays live in SMEM (~1MB); cap them.
                      # Real pairs are a sorted prefix; overflow truncates the
                      # farthest-sorted tiles' geometry (counted in `aux`).
@@ -211,6 +167,64 @@ PAIR_BUDGET = int(_os.environ.get(
                      # shrinks as mask words grow ((2+3)·40960·4B = 819KB) —
                      # real pair counts are far below (flagship 8.9k, 4K 17k).
 DEPTH_SENTINEL = 4.0
+
+
+def recompute_derived() -> None:
+    """(Re)derive every constant that hangs off the base knobs, with the
+    same validation as import time. Called at import AND by
+    ops.kernel_knobs.apply() so knobs are settable per-run (SURVEY §5
+    config unification) — kernels read the module globals at trace time,
+    and the renderer keys its jit caches on kernel_knobs.trace_key()."""
+    global NSUB, NQ, MASK_BITS, MASK_WORDS, ZSKIP_SHIFT, ZSKIP_PACK
+    global SPAN_X, SPAN_Y, PAIR_BUDGET
+    if SUB < 1:
+        raise ValueError(f"TRIDENT_SUB={SUB} must be >= 1")
+    if CHUNK < SUB or CHUNK % SUB != 0:
+        raise ValueError(
+            f"TRIDENT_CHUNK={CHUNK} must be a positive multiple of "
+            f"SUB={SUB}: the kernel splits each chunk into SUB-triangle "
+            "sub-blocks")
+    NSUB = CHUNK // SUB  # sub-blocks per chunk (hit-maskable unit)
+    if TILE_H < 1 or 128 % TILE_H != 0:
+        raise ValueError(
+            f"TRIDENT_TILE_H={TILE_H} must divide 128: SPAN_Y = 128//TILE_H "
+            "must stay consistent with the binning span")
+    if TILE_W < 1 or 256 % TILE_W != 0:
+        raise ValueError(
+            f"TRIDENT_TILE_W={TILE_W} must divide 256: SPAN_X = 256//TILE_W "
+            "must stay consistent with the binning span")
+    SPAN_X = 256 // TILE_W   # legacy max small-chunk span (256×128 px):
+    SPAN_Y = 128 // TILE_H   # keeps the divisibility contract meaningful
+    if SPAN0 < 1:
+        raise ValueError(f"TRIDENT_SPAN0={SPAN0} must be >= 1")
+    NQ = 4 if QGATE else 1   # tile quarters (8-row row-bands) per tile
+    if QGATE and (TILE_H * TILE_W) % (NQ * 128) != 0:
+        raise ValueError(
+            f"TRIDENT_QGATE=1 needs tile quarters lane-aligned: "
+            f"{TILE_W}x{TILE_H} px / {NQ} quarters is not a multiple of 128")
+    if QGATE and TILE_H % NQ != 0:
+        raise ValueError(f"TRIDENT_TILE_H={TILE_H} must divide into {NQ} "
+                         "whole-row quarters for TRIDENT_QGATE=1")
+    MASK_BITS = NSUB * NQ    # hit bits per pair (sub-major, quarter-minor)
+    MASK_WORDS = -(-MASK_BITS // 30)
+                     # hit-mask words per pair: 30 bits ride in each i32
+                     # scalar-prefetch word (bit 31 would go negative)
+    ZSKIP_SHIFT = MASK_BITS - 30 * (MASK_WORDS - 1)
+                     # hit bits used in the last word; the depth bound
+                     # packs in the bits above them when they fit
+    ZSKIP_PACK = (30 - ZSKIP_SHIFT) >= ZSKIP_BITS
+    if MAX_GLOBAL < 1:
+        raise ValueError(f"TRIDENT_MAX_GLOBAL={MAX_GLOBAL} must be >= 1")
+    if MASK_WORDS > 3:
+        raise ValueError(
+            f"TRIDENT_CHUNK={CHUNK}/TRIDENT_SUB={SUB} with QGATE="
+            f"{int(QGATE)} needs {MASK_WORDS} hit-mask words; at most 3 "
+            "fit the SMEM scalar-prefetch budget")
+    PAIR_BUDGET = (PAIR_BUDGET_OVERRIDE if PAIR_BUDGET_OVERRIDE is not None
+                   else {1: 65536, 2: 49152, 3: 40960}[MASK_WORDS])
+
+
+recompute_derived()
 
 
 class PallasBins(NamedTuple):

@@ -33,29 +33,24 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from trident_tpu.ops import planes as planes_mod
-from trident_tpu.ops.raster_pallas import (
-    CHUNK,
-    TILE_H,
-    TILE_W,
-    PallasBins,
-    untile_frame,
-)
+from trident_tpu.ops import raster_pallas as _rp
+from trident_tpu.ops.raster_pallas import PallasBins, untile_frame
 
 Array = jax.Array
 
 import os as _os
 
 # TRIDENT_RESOLVE_HALF=1: run the winner select as two gated half-chunk
-# (K=CHUNK/2) contractions instead of one K=CHUNK — a dev-sweep knob (a
+# (K=_rp.CHUNK/2) contractions instead of one K=_rp.CHUNK — a dev-sweep knob (a
 # K=128 one-hot dot costs half the K=256 one when winners sit in one half)
 RESOLVE_HALF = _os.environ.get("TRIDENT_RESOLVE_HALF", "0") == "1"
 
-if RESOLVE_HALF and CHUNK % 2 != 0:
-    # hc = CHUNK//2 half-blocks would drop the last record row: a winner
-    # with rel == CHUNK-1 matches neither half and keeps its reset zeros
+if RESOLVE_HALF and _rp.CHUNK % 2 != 0:
+    # hc = _rp.CHUNK//2 half-blocks would drop the last record row: a winner
+    # with rel == _rp.CHUNK-1 matches neither half and keeps its reset zeros
     raise ValueError(
         f"TRIDENT_RESOLVE_HALF=1 requires an even chunk; TRIDENT_CHUNK="
-        f"{CHUNK} leaves the odd last record row outside both halves")
+        f"{_rp.CHUNK} leaves the odd last record row outside both halves")
 
 # TRIDENT_RESOLVE_COMPACT=1 enables the owning-pair compaction (A/B knob):
 # the resolve grid then runs only over pairs whose chunk actually WON at
@@ -126,7 +121,7 @@ def _winner_select(rec_ref, oh, tr, rows=slice(None)):
     Transposed layout (tr=True, planes.RESOLVE_TR): (RW, C) with
     triangles on LANES ((3, RW, C) in split mode) — the contraction just
     moves to the other operand side and RESOLVE_HALF's triangle slice
-    becomes a (CHUNK/2)-aligned lane slice."""
+    becomes a (_rp.CHUNK/2)-aligned lane slice."""
     dims = ((((1,) if tr else (0,)), (0,)), ((), ()))
 
     def blk(k=None):
@@ -214,23 +209,23 @@ def _resolve_kernel(band_ref, pair_tile_ref, pair_chunk_ref, won_ref,
     # global pixel coords keep band arithmetic bit-identical to single-chip
     ty = tile // ntx + band_ref[0]
     tx = jax.lax.rem(tile, ntx)
-    npx = TILE_H * TILE_W
+    npx = _rp.TILE_H * _rp.TILE_W
 
     @pl.when(reset)
     def _():
         out_ref[0] = jnp.zeros((CHANNELS, npx), jnp.float32)
 
     win = tri_ref[0]                               # (1, npx) i32 winner ids
-    base = (cid - 1) * CHUNK
+    base = (cid - 1) * _rp.CHUNK
     rel = win - base
-    mine = (win >= 0) & (rel >= 0) & (rel < CHUNK)  # (1, npx)
+    mine = (win >= 0) & (rel >= 0) & (rel < _rp.CHUNK)  # (1, npx)
 
     def interpolants(sel, write_mask):
         """Evaluate every interpolant from the selected (RW, npx) record
         rows and merge into the output on `write_mask` pixels."""
         r = jax.lax.broadcasted_iota(jnp.int32, (1, npx), 1)
-        pxf = (tx * TILE_W + jax.lax.rem(r, TILE_W)).astype(jnp.float32) + 0.5
-        pyf = (ty * TILE_H + r // TILE_W).astype(jnp.float32) + 0.5
+        pxf = (tx * _rp.TILE_W + jax.lax.rem(r, _rp.TILE_W)).astype(jnp.float32) + 0.5
+        pyf = (ty * _rp.TILE_H + r // _rp.TILE_W).astype(jnp.float32) + 0.5
 
         def row(j):
             return sel[j:j + 1]                    # (1, npx)
@@ -291,10 +286,10 @@ def _resolve_kernel(band_ref, pair_tile_ref, pair_chunk_ref, won_ref,
     # one-hot select's MXU time scales with the OUTPUT columns, not the
     # contraction dim, and winners average ~5 sub-blocks per owning pair,
     # so 5 small dots lose to one big one. RESOLVE_HALF (K=C/2, exactly one
-    # MXU contraction tile at CHUNK=256) is the one grain where gating can
+    # MXU contraction tile at _rp.CHUNK=256) is the one grain where gating can
     # still pay; dev-sweep knob.
     if RESOLVE_HALF:
-        hc = CHUNK // 2
+        hc = _rp.CHUNK // 2
         for h in (0, 1):
             mine_h = mine & (rel // hc == h)
             run_h = jnp.any(mine_h) if not skip else \
@@ -317,7 +312,7 @@ def _resolve_kernel(band_ref, pair_tile_ref, pair_chunk_ref, won_ref,
 
         @pl.when(run)
         def _():
-            oh = (jax.lax.broadcasted_iota(jnp.int32, (CHUNK, npx), 0)
+            oh = (jax.lax.broadcasted_iota(jnp.int32, (_rp.CHUNK, npx), 0)
                   == rel).astype(_oh_dtype())
             interpolants(_winner_select(rec_ref, oh, tr), mine)
 
@@ -337,10 +332,10 @@ def resolve_attrs_pallas(bins: PallasBins, tri_tiles: Array, records: Array,
     fast-path flag (tests exercise both paths explicitly)."""
     if skip is None:
         skip = RESOLVE_SKIP
-    ntx = -(-width // TILE_W)
-    nty = -(-height // TILE_H)
+    ntx = -(-width // _rp.TILE_W)
+    nty = -(-height // _rp.TILE_H)
     n_tiles = ntx * nty
-    npx = TILE_H * TILE_W
+    npx = _rp.TILE_H * _rp.TILE_W
     # transposed records (planes.RESOLVE_TR builders) are 2-D
     # (RW, (NC+1)·C); the lane-major legacy layout is (NC+1, C, RW)
     tr = records.ndim == 2
@@ -380,8 +375,8 @@ def resolve_attrs_pallas(bins: PallasBins, tri_tiles: Array, records: Array,
         # chunk's range? XLA fuses the gather into the compare+any — the
         # (NPAIR, npx) intermediate never materializes.
         rows = tri_tiles[pair_tile, 0, :]              # (NPAIR, npx) i32
-        rel = rows - ((pair_chunk - 1) * CHUNK)[:, None]
-        owns = ((rows >= 0) & (rel >= 0) & (rel < CHUNK)).any(axis=1)
+        rel = rows - ((pair_chunk - 1) * _rp.CHUNK)[:, None]
+        owns = ((rows >= 0) & (rel >= 0) & (rel < _rp.CHUNK)).any(axis=1)
         owns &= idx < n_grid
         # first owning pair of each tile does the tile reset (won == 2)
         first_of_tile = jnp.full((n_tiles + 1,), bins.n_pairs, jnp.int32).at[
@@ -412,8 +407,8 @@ def resolve_attrs_pallas(bins: PallasBins, tri_tiles: Array, records: Array,
         # 1-D scatters replace the sort. Slots past the owner count keep
         # zeros — the grid stops at n_grid and never reads them.
         rows = tri_tiles[pair_tile, 0, :]              # (NPAIR, npx) i32
-        rel = rows - ((pair_chunk - 1) * CHUNK)[:, None]
-        owns = ((rows >= 0) & (rel >= 0) & (rel < CHUNK)).any(axis=1)
+        rel = rows - ((pair_chunk - 1) * _rp.CHUNK)[:, None]
+        owns = ((rows >= 0) & (rel >= 0) & (rel < _rp.CHUNK)).any(axis=1)
         owns &= jnp.arange(bins.n_pairs, dtype=jnp.int32) < bins.n_real
         dst = jnp.where(owns, _cumsum_i32(owns.astype(jnp.int32)) - 1,
                         bins.n_pairs)
@@ -428,24 +423,24 @@ def resolve_attrs_pallas(bins: PallasBins, tri_tiles: Array, records: Array,
                                vertex_colors=vertex_colors, skip=skip, tr=tr)
     if tr:
         # chunk c = lanes [c·C, (c+1)·C) of the one 2-D column table —
-        # block starts are always CHUNK-aligned (CHUNK is a 128 multiple)
+        # block starts are always _rp.CHUNK-aligned (_rp.CHUNK is a 128 multiple)
         rec_spec = (
-            pl.BlockSpec((3, rw, CHUNK),
+            pl.BlockSpec((3, rw, _rp.CHUNK),
                          lambda i, band, tiles, chunks, won:
                          (0, 0, chunks[i]),
                          memory_space=pltpu.VMEM)
             if _PREC_MODE == "split" else
-            pl.BlockSpec((rw, CHUNK),
+            pl.BlockSpec((rw, _rp.CHUNK),
                          lambda i, band, tiles, chunks, won: (0, chunks[i]),
                          memory_space=pltpu.VMEM))
     else:
         rec_spec = (
-            pl.BlockSpec((1, 3, CHUNK, rw),
+            pl.BlockSpec((1, 3, _rp.CHUNK, rw),
                          lambda i, band, tiles, chunks, won:
                          (chunks[i], 0, 0, 0),
                          memory_space=pltpu.VMEM)
             if _PREC_MODE == "split" else
-            pl.BlockSpec((1, CHUNK, rw),
+            pl.BlockSpec((1, _rp.CHUNK, rw),
                          lambda i, band, tiles, chunks, won: (chunks[i], 0, 0),
                          memory_space=pltpu.VMEM))
     grid_spec = pltpu.PrefetchScalarGridSpec(

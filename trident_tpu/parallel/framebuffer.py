@@ -323,7 +323,7 @@ def render_frame_banded_bundled(mesh: Mesh, axis: str, geometry, plan,
                                 supersample: int = 1, bloom: bool = False,
                                 bloom_threshold: float = 1.0,
                                 bloom_strength: float = 0.6,
-                                shader_fn=None) -> FrameOutput:
+                                shader_fn=None, kcfg=None) -> FrameOutput:
     """render_frame_banded with every per-frame host value arriving in the
     TWO packed blobs of render/bundle.py — the interactive multi-chip
     path. The unbundled variant was shipping ~13 separate host arrays per

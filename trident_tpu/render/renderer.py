@@ -399,7 +399,8 @@ def _render_frame_impl(geometry, plan, tri_draw, params, palette, shade_table,
                                              "bloom_threshold",
                                              "bloom_strength",
                                              "draw_stride", "real_draws",
-                                             "profile_stop", "shader_fn"))
+                                             "profile_stop", "shader_fn",
+                                             "kcfg"))
 def render_frame(geometry, plan, tri_draw, params, palette, shade_table,
                  camera, lights, textures, skybox, ai, light_camera=None,
                  corner_t=None, upscale_params=None, prev=None,
@@ -410,7 +411,9 @@ def render_frame(geometry, plan, tri_draw, params, palette, shade_table,
                  bloom=False, bloom_threshold=1.0,
                  bloom_strength=0.6, draw_stride=0,
                  real_draws=0, profile_stop="",
-                 shader_fn=None) -> FrameOutput:
+                 shader_fn=None, kcfg=None) -> FrameOutput:
+    # kcfg: the active kernel_knobs.trace_key() — a pure jit-cache key so
+    # renders under different kernel-knob sets never share a trace
     return _render_frame_impl(
         geometry, plan, tri_draw, params, palette, shade_table, camera,
         lights, textures, skybox, ai, corner_t, upscale_params, prev,
@@ -430,7 +433,7 @@ def render_frame(geometry, plan, tri_draw, params, palette, shade_table,
     "shape", "width", "height", "clear_color", "raster", "chunk", "skinned",
     "sampling", "vertex_colors", "plane_f16", "forward_shading",
     "shadow_size", "shadow_pcf", "supersample", "bloom", "bloom_threshold",
-    "bloom_strength", "draw_stride", "real_draws", "shader_fn"))
+    "bloom_strength", "draw_stride", "real_draws", "shader_fn", "kcfg"))
 def render_frame_bundled(geometry, plan, tri_draw, f32, i32, textures,
                          skybox, ai_image, corner_t=None, upscale_params=None,
                          prev=None,
@@ -441,7 +444,8 @@ def render_frame_bundled(geometry, plan, tri_draw, f32, i32, textures,
                          shadow_size=0, shadow_pcf=False, supersample=1,
                          bloom=False, bloom_threshold=1.0,
                          bloom_strength=0.6, draw_stride=0,
-                         real_draws=0, shader_fn=None) -> FrameOutput:
+                         real_draws=0, shader_fn=None,
+                         kcfg=None) -> FrameOutput:
     """render_frame with every per-frame host value arriving in TWO packed
     blobs (render/bundle.py) — the interactive path. Uploads per frame:
     f32 blob + i32 blob (+ the AI image at its own cadence); everything
@@ -488,6 +492,18 @@ class Renderer:
     def __init__(self, config: Optional[EngineConfig] = None) -> None:
         self.config = config or EngineConfig()
         rc = self.config.render
+        from trident_tpu.ops import kernel_knobs
+
+        if rc.kernel:
+            # per-run kernel constants (SURVEY §5 unification): knobs are
+            # module statics the kernels bake in at trace time; the active
+            # set's trace_key() rides every frame jit as a static arg so
+            # two differently-configured Renderers never share traces, and
+            # _ensure_knobs() re-applies this renderer's set before each
+            # dispatch so interleaved renderers each trace their own
+            kernel_knobs.apply(rc.kernel)
+        self._kcfg_snapshot = kernel_knobs.snapshot()
+        self._kcfg = kernel_knobs.trace_key()
         self.geometry = GeometryCache()
         self.textures = TextureSlots(max_slots=rc.max_textures, edge=rc.texture_size)
         self.registry: Optional[Registry] = None
@@ -683,14 +699,24 @@ class Renderer:
                     "skinned", "chunk", "sampling", "vertex_colors",
                     "plane_f16", "forward_shading", "shadow_size",
                     "shadow_pcf", "supersample", "bloom", "bloom_threshold",
-                    "bloom_strength", "shader_fn"))
+                    "bloom_strength", "shader_fn", "kcfg"))
             self._banded_n = n
         return self._banded_jit
+
+    def _ensure_knobs(self) -> None:
+        """Re-apply this renderer's kernel-knob set if another renderer
+        (or a sweep) changed the globals since — keeps interleaved
+        differently-configured renderers correct in one process."""
+        from trident_tpu.ops import kernel_knobs
+
+        if kernel_knobs.trace_key() != self._kcfg:
+            kernel_knobs.apply(self._kcfg_snapshot)
 
     def render_viewport(self, viewport_id: int = 0) -> FrameOutput:
         """Render one viewport; returns device FrameOutput (async)."""
         if self.registry is None:
             raise RuntimeError("no active registry — call set_active_registry")
+        self._ensure_knobs()
         ctx = self.viewports[viewport_id]
         cam = self._camera_for(ctx)
 
@@ -832,7 +858,7 @@ class Renderer:
                 shadow_pcf=rc.shadow_pcf,
                 supersample=max(int(rc.supersample), 1),
                 bloom=rc.bloom, bloom_threshold=rc.bloom_threshold,
-                bloom_strength=rc.bloom_strength,
+                bloom_strength=rc.bloom_strength, kcfg=self._kcfg,
                 shader_fn=self.shader_hook.fn)
             if up is not None:
                 hp = jax.lax.Precision.HIGHEST
@@ -876,7 +902,8 @@ class Renderer:
                    rc.sampling, rc.plane_f16, rc.forward_shading,
                    rc.shadow_pcf, int(rc.supersample), rc.bloom,
                    rc.bloom_threshold, rc.bloom_strength,
-                   tuple(rc.clear_color), self.shader_hook.version)
+                   tuple(rc.clear_color), self.shader_hook.version,
+                   self._kcfg)
             if ctx.last_frame is not None and ctx.last_sig == sig:
                 return ctx.last_frame
             ctx.last_sig = sig
@@ -897,7 +924,7 @@ class Renderer:
                 bloom=rc.bloom,
                 bloom_threshold=rc.bloom_threshold,
                 bloom_strength=rc.bloom_strength,
-                shader_fn=self.shader_hook.fn,
+                shader_fn=self.shader_hook.fn, kcfg=self._kcfg,
                 **self._stride_kwargs(skinned))
             if up is not None:
                 hp = jax.lax.Precision.HIGHEST
