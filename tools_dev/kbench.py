@@ -18,6 +18,7 @@ and every mask-based pruning idea is dead on arrival.
 Usage: PYTHONPATH=/root/repo:/root/.axon_site python tools_dev/kbench.py
 Env: KB_CONFIGS=zero,dflt,full KB_ITERS=30 TRIDENT_* knobs as usual.
 """
+import functools
 import os
 import sys
 import time
@@ -88,14 +89,64 @@ def main():
     npx = rp.TILE_H * rp.TILE_W
     n_tiles = ntx * nty
 
-    def run_kernel(b, token):
+    def _dense_kernel(band_ref, zp_ref, pair_tile_ref, pair_chunk_ref,
+                      *refs, ntx: int):
+        """No-@pl.when variant: every sub-block evaluated straight-line.
+        vs 'full' masks (all branches true) isolates the region overhead."""
+        rec_ref, depth_out, tri_out = refs[rp.MASK_WORDS:]
+        i = pl.program_id(0)
+        tile = pair_tile_ref[i]
+        prev = pair_tile_ref[jnp.maximum(i - 1, 0)]
+        first = jnp.logical_or(i == 0, tile != prev)
+        cid = pair_chunk_ref[i]
+        ty = tile // ntx + band_ref[0]
+        tx = jax.lax.rem(tile, ntx)
+
+        @pl.when(first)
+        def _():
+            depth_out[0] = jnp.full((1, npx), 1.0, jnp.float32)
+            tri_out[0] = jnp.full((1, npx), -1, jnp.int32)
+
+        r_ = jax.lax.broadcasted_iota(jnp.int32, (1, npx), 1)
+        pxf = (tx * rp.TILE_W
+               + jax.lax.rem(r_, rp.TILE_W)).astype(jnp.float32) + 0.5
+        pyf = (ty * rp.TILE_H + r_ // rp.TILE_W).astype(jnp.float32) + 0.5
+        for q in range(rp.NSUB):
+            rec = rec_ref[q * rp.SUB:(q + 1) * rp.SUB, :]
+
+            def col(j, rec=rec):
+                return rec[:, j:j + 1]
+
+            e0 = col(0) * pxf + col(1) * pyf + col(2)
+            e1 = col(3) * pxf + col(4) * pyf + col(5)
+            e2 = col(6) * pxf + col(7) * pyf + col(8)
+            zi = (e0 * col(9) + e1 * col(10)) + e2 * col(11)
+            wi = (e0 * col(12) + e1 * col(13)) + e2 * col(14)
+            cover = ((e0 >= 0.0) & (e1 >= 0.0) & (e2 >= 0.0)
+                     & (wi > 1e-12) & (zi >= 0.0) & (zi <= wi))
+            d = zi * pl.reciprocal(jnp.where(cover, wi, 1.0), approx=False)
+            dm = jnp.where(cover, d, rp.DEPTH_SENTINEL)
+            cmin = jnp.min(dm, axis=0, keepdims=True)
+            tid = ((cid - 1) * rp.CHUNK + q * rp.SUB
+                   + jax.lax.broadcasted_iota(jnp.int32, (rp.SUB, 1), 0))
+            win = jnp.max(jnp.where(dm <= cmin, tid, -1), axis=0,
+                          keepdims=True)
+            acc_d = depth_out[0]
+            acc_t = tri_out[0]
+            better = (win >= 0) & ((cmin < acc_d)
+                                   | ((cmin == acc_d) & (win > acc_t)))
+            depth_out[0] = jnp.where(better, cmin, acc_d)
+            tri_out[0] = jnp.where(better, win, acc_t)
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    def run_kernel(b, token, dense=False):
         import functools
 
-        from jax.experimental import pallas as pl
-        from jax.experimental.pallas import tpu as pltpu
-
         band = jnp.zeros((1,), jnp.int32)
-        kernel = functools.partial(rp._visibility_kernel, ntx=ntx)
+        kernel = functools.partial(
+            _dense_kernel if dense else rp._visibility_kernel, ntx=ntx)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=4 + rp.MASK_WORDS,
             grid=(jnp.maximum(b.n_real, 1),),
@@ -122,10 +173,12 @@ def main():
           b.records + token)
         return depth[0, 0, 0] * 0.0
 
-    configs = os.environ.get("KB_CONFIGS", "zero,dflt,full").split(",")
+    configs = os.environ.get(
+        "KB_CONFIGS", "zero,dflt,full,nobranch,dflt").split(",")
     for kind in configs:
-        b = doctored(kind)
-        f = jax.jit(run_kernel)
+        dense = kind == "nobranch"
+        b = doctored("full" if dense else kind)
+        f = jax.jit(functools.partial(run_kernel, dense=dense))
         token = f(b, jnp.zeros((), jnp.float32))
         np.asarray(token)                      # compile + run once
         t0 = time.perf_counter()

@@ -95,27 +95,31 @@ COVER_GATE = _os.environ.get("TRIDENT_COVER_GATE", "0") == "1"
                      # the @pl.when branchiness costs more than the skipped
                      # vector work once sub-block masks already cull most
                      # misses. Default OFF; knob kept for re-measurement.
-QGATE = _os.environ.get("TRIDENT_QGATE", "1") == "1"
+QGATE = _os.environ.get("TRIDENT_QGATE", "0") == "1"
                      # quarter-gated sub-block evaluation (round 4): the
                      # per-pair hit masks carry one bit per (sub-block ×
                      # 8-row tile quarter) instead of per sub-block, and
                      # the kernel evaluates each hit sub-block only on the
-                     # hit quarters (static 128-aligned lane slices).
-                     # Measured on the flagship 1M/1080p scene (CPU stats,
-                     # tools_dev/stats_visibility.py): a sub-block's bbox
-                     # covers only ~8% of its tile (rows 8.1/32), so the
-                     # full-tile sweep evaluates 53M px/frame where quarter
-                     # gating needs 22M — the visibility kernel's vector
-                     # work drops ~2.4x at the cost of 3 mask words and
-                     # 4x the @pl.when branches.
-ZORDER = _os.environ.get("TRIDENT_ZORDER", "1") == "1"
+                     # hit quarters (static 128-aligned lane slices). CPU
+                     # stats said a sub-block's bbox covers only ~8% of its
+                     # tile (53M swept px/frame → 22M), but the r4hw1
+                     # hardware A/B measured a LOSS (19.19 vs 21.44 FPS at
+                     # 1M/1080p): the 4x @pl.when regions cost more than
+                     # the pruned pixels saved — the kernel is not purely
+                     # vector-bound (tools_dev/kbench.py decomposes it).
+                     # Default OFF; exact either way (bit-equality test).
+ZORDER = _os.environ.get(
+    "TRIDENT_ZORDER", _os.environ.get("TRIDENT_ZSKIP", "0")) == "1"
                      # near-to-far pair ordering: the bin sort key carries
                      # a frame-normalized quantized chunk min-depth between
                      # the tile and chunk-slot bits, so a tile's pairs
                      # process front chunks first. Correctness-neutral (the
                      # kernel merge is order-independent lexicographic
                      # (depth, tid) — see _visibility_kernel); it exists to
-                     # let the hierarchical-Z skip fire on occluded pairs.
+                     # let the hierarchical-Z skip fire on occluded pairs,
+                     # so it FOLLOWS the ZSKIP default unless set
+                     # explicitly (its binning z/w divides measured
+                     # −0.4 FPS at 1M with no consumer, r4hw1 §3 vs §4).
                      # Auto-disables when tile+chunk bits leave <2 spare.
 ZSKIP = _os.environ.get("TRIDENT_ZSKIP", "0") == "1"
                      # pair-level hierarchical-Z skip: build_bins packs a
