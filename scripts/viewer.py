@@ -88,6 +88,7 @@ _PAGE = """<!DOCTYPE html>
          oninput="post('/api/ai_blend', {value: this.value / 100})">
   <h4>Entities</h4><div id=ents></div>
   <h4>Inspector</h4><div id=insp>click an entity in the viewport</div>
+  <h4>Animation Graph</h4><div id=animgraph style="font-size:11px"></div>
   <h4>Assets <span id=adir></span></h4><div id=assets></div>
   <h4>Console <select id=lvl onchange="refreshConsole()">
     <option value=0>all</option><option value=20>info</option>
@@ -222,6 +223,57 @@ async function select(id) {
       d.appendChild(row);
     }
   }
+  refreshAnimGraph(id);
+}
+async function refreshAnimGraph(id) {
+  // AnimationGraphPanel analogue: layers/states/transitions + live
+  // parameter editing when the selected entity runs a state machine
+  const d = document.getElementById('animgraph');
+  d.innerHTML = '';
+  if (id === null || id === undefined) return;
+  const r = await (await fetch('/api/animgraph?id=' + id)).json();
+  if (!r.graph) {
+    if (r.clip !== undefined)
+      d.textContent = 'clip ' + r.clip + (r.playing ? ' [playing]' : '');
+    return;
+  }
+  const g = r.graph;
+  for (const p of g.parameters) {
+    const row = document.createElement('div');
+    row.textContent = p.type + ' ' + p.name + ' ';
+    const inp = document.createElement('input');
+    inp.value = p.value;
+    inp.onchange = () => post('/api/anim_param',
+      {entity: id, name: p.name, value: parseFloat(inp.value)});
+    row.appendChild(inp);
+    d.appendChild(row);
+  }
+  for (const layer of g.layers) {
+    const h = document.createElement('div');
+    h.textContent = 'layer ' + layer.name + ' w=' + layer.weight
+      + (layer.additive ? ' additive' : '')
+      + (layer.fading_from ? '  fading ' + layer.fading_from + '→'
+         + layer.current : '');
+    h.style.color = '#8e93a5';
+    d.appendChild(h);
+    for (const st of layer.states) {
+      const row = document.createElement('div');
+      row.textContent = (st.active ? '▶ ' : '   ') + st.name
+        + '  [' + st.tree.type
+        + (st.tree.parameter ? ':' + st.tree.parameter : '') + ']';
+      if (st.active) row.style.color = '#7dc87d';
+      d.appendChild(row);
+    }
+    for (const t of layer.transitions) {
+      const row = document.createElement('div');
+      row.textContent = '  ' + t.source + ' → ' + t.target + '  when '
+        + t.conditions.map(c => c.parameter + ' ' + c.comparison + ' '
+                           + c.threshold).join(' & ')
+        + (t.has_exit_time ? ' @exit ' + t.exit_time : '');
+      row.style.color = '#6b7085';
+      d.appendChild(row);
+    }
+  }
 }
 async function refreshState() {
   const r = await (await fetch('/api/state')).json();
@@ -322,6 +374,8 @@ class ViewerServer:
                         self._json(viewer.entities())
                     elif path == "/api/entity":
                         self._json(viewer.entity(int(self._q()["id"])))
+                    elif path == "/api/animgraph":
+                        self._json(viewer.animgraph(int(self._q()["id"])))
                     elif path == "/api/state":
                         self._json(viewer.state())
                     elif path == "/api/console":
@@ -411,6 +465,25 @@ class ViewerServer:
             return {"id": eid,
                     "components": list_entity(self.app.renderer.registry, eid)}
 
+    def animgraph(self, eid: int):
+        """The AnimationGraphPanel analogue: the entity's animation state
+        machine as a live graph (anim/graph_view.py), or its clip playback
+        info when it plays a plain clip."""
+        from trident_tpu.anim.graph_view import describe_state_machine
+        from trident_tpu.ecs.components import AnimationComponent
+
+        with self.lock:
+            anim = self.app.renderer.registry.try_get(eid, AnimationComponent)
+            if anim is None:
+                return {"id": eid, "graph": None}
+            out = {"id": eid, "playing": bool(anim.playing),
+                   "speed": float(anim.speed), "time": float(anim.time),
+                   "clip": anim.clip_name or anim.clip_index,
+                   "graph": None}
+            if anim.state_machine is not None:
+                out["graph"] = describe_state_machine(anim.state_machine)
+            return out
+
     def state(self):
         with self.lock:
             r = self.app.renderer
@@ -499,6 +572,18 @@ class ViewerServer:
                                     viewport_id=getattr(self, "_last_vp",
                                                         None))
                 return {"entity": ent}
+            elif op == "anim_param":
+                # AnimationGraphPanel edit path: write a state-machine
+                # parameter (float/int/bool/trigger) on the entity
+                from trident_tpu.anim.graph_view import set_parameter
+                from trident_tpu.ecs.components import AnimationComponent
+
+                anim = r.registry.try_get(int(body["entity"]),
+                                          AnimationComponent)
+                if anim is None or anim.state_machine is None:
+                    raise ValueError("entity has no animation state machine")
+                set_parameter(anim.state_machine, str(body["name"]),
+                              body["value"])
             elif op == "gizmo":
                 # ImGuizmo analogue with the reference's three modes
                 # (SceneViewportPanel.cpp:63-100, W/E/R keyboard switching):

@@ -206,3 +206,63 @@ def test_viewer_works_with_thread_checks_active(server):
         assert out.get("ok"), out
     finally:
         threadcheck.set_active(threadcheck.checks_enabled())
+
+
+def test_animation_graph_panel(server):
+    """AnimationGraphPanel analogue: /api/animgraph serializes the live
+    state machine (layers/states/transitions/params) and /api/anim_param
+    edits drive transitions — the reference reserves this panel
+    (Trident-Forge AnimationGraphPanel); here it is functional."""
+    from trident_tpu.anim.data import (
+        AnimationClip, Bone, Skeleton, TransformChannel,
+    )
+    from trident_tpu.anim.blend_tree import ClipNode
+    from trident_tpu.anim.state_machine import (
+        AnimationStateMachine, Comparison, Condition, Layer, ParameterType,
+        State, Transition,
+    )
+    from trident_tpu.ecs.components import AnimationComponent
+
+    sk = Skeleton(name="t")
+    sk.add_bone(Bone(name="root", source_name="root"))
+    ch = TransformChannel(
+        bone_name="root",
+        position_times=np.array([0.0, 1.0], np.float32),
+        positions=np.array([[0, 0, 0], [0, 1, 0]], np.float32))
+    clip = AnimationClip(name="rise", duration=1.0, channels=[ch])
+
+    sm = AnimationStateMachine(sk)
+    sm.add_parameter("speed", ParameterType.FLOAT, 0.25)
+    sm.add_parameter("go", ParameterType.TRIGGER)
+    layer = sm.add_layer(Layer("base"))
+    layer.add_state(State("idle", ClipNode(clip, speed=0.0)), default=True)
+    layer.add_state(State("rise", ClipNode(clip)))
+    layer.add_transition(Transition("idle", "rise", [
+        Condition("go", Comparison.TRIGGERED)], fade_duration=0.0))
+
+    with server.lock:
+        reg = server.app.renderer.registry
+        e = reg.create()
+        reg.add(e, AnimationComponent(state_machine=sm, playing=True))
+
+    g = json.loads(_get(server, f"/api/animgraph?id={e}"))
+    assert g["graph"] is not None
+    names = {p["name"]: p for p in g["graph"]["parameters"]}
+    assert names["speed"]["value"] == 0.25
+    assert names["go"]["type"] == "trigger"
+    base = g["graph"]["layers"][0]
+    assert base["current"] == "idle"
+    assert {s["name"] for s in base["states"]} == {"idle", "rise"}
+    tr = base["transitions"][0]
+    assert (tr["source"], tr["target"]) == ("idle", "rise")
+    assert tr["conditions"][0]["comparison"] == "triggered"
+
+    # edit a float param + fire the trigger through the panel API
+    _post(server, "/api/anim_param", {"entity": e, "name": "speed",
+                                      "value": 1.5})
+    _post(server, "/api/anim_param", {"entity": e, "name": "go",
+                                      "value": 1})
+    assert sm.parameters["speed"] == 1.5
+    sm.update(0.05)
+    g2 = json.loads(_get(server, f"/api/animgraph?id={e}"))
+    assert g2["graph"]["layers"][0]["current"] == "rise"
