@@ -292,6 +292,51 @@ def test_qgate_is_bit_exact(rng, monkeypatch):
     assert (np.asarray(off.depth) != np.asarray(on.depth)).sum() == 0
 
 
+def _set_ckern(monkeypatch, on: bool):
+    """Consistently monkeypatch the CKERN-derived module constants."""
+    monkeypatch.setattr(raster_pallas, "CKERN", on)
+    if on:
+        monkeypatch.setattr(raster_pallas, "QGATE", False)
+        bits = max(5, raster_pallas.NSUB.bit_length())
+        monkeypatch.setattr(raster_pallas, "MASK_BITS", bits)
+        monkeypatch.setattr(raster_pallas, "MASK_WORDS", 1)
+        monkeypatch.setattr(raster_pallas, "ZSKIP_SHIFT", bits)
+        monkeypatch.setattr(raster_pallas, "ZSKIP_PACK",
+                            (30 - bits) >= raster_pallas.ZSKIP_BITS)
+
+
+def test_ckern_is_bit_exact(rng, monkeypatch):
+    """Compact-bank kernel: identical output to the masked kernel AND the
+    oracle — duplicate-padding rows and the col-15 triangle ids must be
+    invisible (idempotent lexicographic merge; f32-exact ids)."""
+    setup = _random_scene(rng, 600)   # >1 chunk; varied hit counts
+    off = _vis(setup)
+    _set_ckern(monkeypatch, True)
+    on = _assert_matches_ref(setup)
+    assert (np.asarray(off.tri_id) != np.asarray(on.tri_id)).sum() == 0
+    assert (np.asarray(off.depth) != np.asarray(on.depth)).sum() == 0
+
+
+def test_ckern_zskip_is_bit_exact(rng, monkeypatch):
+    """CKERN + hierarchical-Z: occluded-layer scene renders identically
+    with the skip on and off (per-pair bound above the nhit bits)."""
+    t = raster_pallas.CHUNK * 2
+    pos = (rng.uniform(-1, 1, (t, 1, 3)) * [0.9, 0.9, 0]
+           + rng.uniform(-0.25, 0.25, (t, 3, 3))).astype(np.float32)
+    half = t // 2
+    pos[:half, :, 2] = rng.uniform(-0.7, -0.5, (half, 1))
+    pos[half:, :, 2] = rng.uniform(0.6, 0.8, (t - half, 1))
+    setup = _setup_from_ndc(pos)
+    _set_ckern(monkeypatch, True)
+    monkeypatch.setattr(raster_pallas, "ZSKIP", False)
+    off = _vis(setup)
+    monkeypatch.setattr(raster_pallas, "ZSKIP", True)
+    monkeypatch.setattr(raster_pallas, "ZORDER", True)
+    on = _assert_matches_ref(setup)
+    assert (np.asarray(off.tri_id) != np.asarray(on.tri_id)).sum() == 0
+    assert (np.asarray(off.depth) != np.asarray(on.depth)).sum() == 0
+
+
 def test_zorder_is_bit_exact(rng, monkeypatch):
     """Near-to-far pair ordering is correctness-neutral: the kernel merge
     is order-independent lexicographic (depth, tid), so ZORDER on/off must

@@ -35,6 +35,8 @@ _KNOBS: Dict[str, Tuple[str, str]] = {
     "span0": ("trident_tpu.ops.raster_pallas", "SPAN0"),
     "cover_gate": ("trident_tpu.ops.raster_pallas", "COVER_GATE"),
     "qgate": ("trident_tpu.ops.raster_pallas", "QGATE"),
+    "ckern": ("trident_tpu.ops.raster_pallas", "CKERN"),
+    "ck_bank": ("trident_tpu.ops.raster_pallas", "CK_BANK"),
     "zorder": ("trident_tpu.ops.raster_pallas", "ZORDER"),
     "zskip": ("trident_tpu.ops.raster_pallas", "ZSKIP"),
     "max_global": ("trident_tpu.ops.raster_pallas", "MAX_GLOBAL"),

@@ -143,6 +143,25 @@ ZSKIP_SCALE = float((1 << ZSKIP_BITS) - 1)
 ZSKIP_MARGIN = 1e-5  # absolute fp-noise bound on the kernel's rational
                      # depth vs the binner's corner ratios (r3 hardware-
                      # validated; see the ZSKIP note)
+CKERN = _os.environ.get("TRIDENT_CKERN", "0") == "1"
+                     # compact-bank visibility kernel (round 4): kbench
+                     # decomposed the 21 ms default kernel into 5.7 ms of
+                     # @pl.when branch checks (~40 ns each), 7.7 ms of
+                     # per-region fixed cost (~150 ns) and only 7.2 ms of
+                     # actual (tri,px) evaluation (r4kb1.log). CKERN
+                     # deletes the branches and regions: the binner
+                     # gathers each pair's HIT sub-blocks into a padded
+                     # contiguous (2·CK_BANK·SUB, 16) block (one XLA
+                     # gather of 1 KB sub-block rows; padding duplicates
+                     # the first hit sub — the lexicographic merge is
+                     # idempotent, so duplicates are bit-exactly free)
+                     # and the kernel evaluates bank 0 as ONE dense
+                     # region + bank 1 behind a single nhit>CK_BANK
+                     # branch. Triangle ids ride in record column 15
+                     # (f32-exact for ids < 2^24).
+CK_BANK = int(_os.environ.get("TRIDENT_CK_BANK", "8"))
+                     # hit sub-blocks per compact bank; 2 banks must cover
+                     # NSUB (flagship hit distribution p50=5 p90=12 of 16)
 MAX_GLOBAL = int(_os.environ.get("TRIDENT_MAX_GLOBAL", "8"))
                      # whale-chunk slots (span beyond every mid tier): each
                      # costs an (n_tiles,) row in the bin sort whether used
@@ -181,6 +200,9 @@ def recompute_derived() -> None:
     and the renderer keys its jit caches on kernel_knobs.trace_key()."""
     global NSUB, NQ, MASK_BITS, MASK_WORDS, ZSKIP_SHIFT, ZSKIP_PACK
     global SPAN_X, SPAN_Y, PAIR_BUDGET
+    if CKERN and QGATE:
+        raise ValueError("TRIDENT_CKERN=1 and TRIDENT_QGATE=1 are exclusive "
+                         "visibility-kernel structures")
     if SUB < 1:
         raise ValueError(f"TRIDENT_SUB={SUB} must be >= 1")
     if CHUNK < SUB or CHUNK % SUB != 0:
@@ -209,11 +231,18 @@ def recompute_derived() -> None:
     if QGATE and TILE_H % NQ != 0:
         raise ValueError(f"TRIDENT_TILE_H={TILE_H} must divide into {NQ} "
                          "whole-row quarters for TRIDENT_QGATE=1")
-    MASK_BITS = NSUB * NQ    # hit bits per pair (sub-major, quarter-minor)
-    MASK_WORDS = -(-MASK_BITS // 30)
+    if CKERN:
+        # one SMEM word per pair: the hit COUNT (the bank-1 gate), with
+        # the hierarchical-Z bound in the bits above it
+        MASK_BITS = max(5, NSUB.bit_length())
+        MASK_WORDS = 1
+        ZSKIP_SHIFT = MASK_BITS
+    else:
+        MASK_BITS = NSUB * NQ   # hit bits per pair (sub-major, NQ-minor)
+        MASK_WORDS = -(-MASK_BITS // 30)
                      # hit-mask words per pair: 30 bits ride in each i32
                      # scalar-prefetch word (bit 31 would go negative)
-    ZSKIP_SHIFT = MASK_BITS - 30 * (MASK_WORDS - 1)
+        ZSKIP_SHIFT = MASK_BITS - 30 * (MASK_WORDS - 1)
                      # hit bits used in the last word; the depth bound
                      # packs in the bits above them when they fit
     ZSKIP_PACK = (30 - ZSKIP_SHIFT) >= ZSKIP_BITS
@@ -224,8 +253,25 @@ def recompute_derived() -> None:
             f"TRIDENT_CHUNK={CHUNK}/TRIDENT_SUB={SUB} with QGATE="
             f"{int(QGATE)} needs {MASK_WORDS} hit-mask words; at most 3 "
             "fit the SMEM scalar-prefetch budget")
-    PAIR_BUDGET = (PAIR_BUDGET_OVERRIDE if PAIR_BUDGET_OVERRIDE is not None
-                   else {1: 65536, 2: 49152, 3: 40960}[MASK_WORDS])
+    if CKERN:
+        if CK_BANK < 1 or 2 * CK_BANK < NSUB:
+            raise ValueError(
+                f"TRIDENT_CK_BANK={CK_BANK}: two banks must cover "
+                f"NSUB={NSUB} hit sub-blocks (raise CK_BANK or SUB)")
+        if CK_BANK * SUB > 2048:
+            raise ValueError(
+                f"TRIDENT_CK_BANK={CK_BANK}×SUB={SUB} rows per bank exceed "
+                "a reasonable VMEM block")
+        # the compact table costs PAIR_BUDGET × 2·CK_BANK·SUB × 64 B of
+        # HBM (320 MB at the default); real pair counts are 9-17k on the
+        # bench scenes, so the CKERN default budget is tighter — raise
+        # the pair_budget knob for extreme scenes (overflow is counted)
+        PAIR_BUDGET = (PAIR_BUDGET_OVERRIDE
+                       if PAIR_BUDGET_OVERRIDE is not None else 20480)
+    else:
+        PAIR_BUDGET = (PAIR_BUDGET_OVERRIDE
+                       if PAIR_BUDGET_OVERRIDE is not None
+                       else {1: 65536, 2: 49152, 3: 40960}[MASK_WORDS])
 
 
 recompute_derived()
@@ -253,6 +299,14 @@ class PallasBins(NamedTuple):
     n_real: Array       # () i32 — real pairs (sorted prefix; rest is padding)
     n_pairs: int        # static capacity (== NPAIR)
     aux: Array          # (2,) i32 — [truncated real pairs, dropped big chunks]
+    compact: Array | None = None
+                        # CKERN only: (NPAIR, 2·CK_BANK·SUB, 16) f32 —
+                        # each pair's hit sub-block record rows gathered
+                        # contiguous (padded by duplicating the first hit
+                        # sub; bank 1 only evaluated when nhit > CK_BANK),
+                        # with the triangle id in column 15. pair_mask is
+                        # then a single word: nhit (+ zskip bits above
+                        # ZSKIP_SHIFT).
 
 
 def _build_records(setup: TriangleSetup, tpad: int,
@@ -552,22 +606,52 @@ def build_bins(setup: TriangleSetup, width: int, height: int,
     hit = ((p_ty >= rows[:, 0]) & (p_ty <= rows[:, 1])
            & (p_tx >= rows[:, 2]) & (p_tx <= rows[:, 3]))
     real = jnp.arange(pairs.shape[0], dtype=jnp.int32) < n_real
-    if NQ > 1:
-        qrows_px = TILE_H // NQ
-        band0 = p_ty * TILE_H                        # (NPAIR, 1) global px y
-        qh = [hit & (rows[:, 4] < band0 + (wq + 1) * qrows_px)
-              & (rows[:, 5] > band0 + wq * qrows_px)
-              for wq in range(NQ)]
-        bits_all = jnp.stack(qh, axis=-1).reshape(   # sub-major, NQ-minor
-            hit.shape[0], NSUB * NQ)
+    compact = None
+    if CKERN:
+        if tpad >= (1 << 24):
+            raise ValueError(
+                f"{t} triangles: TRIDENT_CKERN packs triangle ids into an "
+                "f32 record column, exact only below 2^24")
+        # compacted hit-sub list per pair (hit subs first, ascending q;
+        # padding duplicates the FIRST hit sub — the lexicographic merge
+        # is idempotent so duplicates are bit-exactly free; padding PAIRS
+        # have the all-miss sentinel row → nothing covers)
+        order = jnp.argsort(~hit, axis=1, stable=True).astype(jnp.int32)
+        nhit = jnp.sum(hit, axis=1).astype(jnp.int32)
+        nbank = 2 * CK_BANK
+        if NSUB >= nbank:
+            take = order[:, :nbank]
+        else:
+            take = jnp.concatenate(
+                [order, jnp.tile(order[:, :1], (1, nbank - NSUB))], axis=1)
+        j = jnp.arange(nbank, dtype=jnp.int32)[None, :]
+        sel = jnp.where(j < nhit[:, None], take, take[:, :1])
+        g = pair_chunk[:, None] * NSUB + sel           # (NPAIR, 2K) sub rows
+        comp = records.reshape((n_chunks + 1) * NSUB, SUB * 16)[g]
+        comp = comp.reshape(pairs.shape[0], nbank, SUB, 16)
+        tids = ((pair_chunk[:, None, None] - 1) * CHUNK + sel[:, :, None] * SUB
+                + jnp.arange(SUB, dtype=jnp.int32)[None, None, :])
+        comp = comp.at[:, :, :, 15].set(tids.astype(jnp.float32))
+        compact = comp.reshape(pairs.shape[0], nbank * SUB, 16)
+        masks = [jnp.where(real, nhit, 0)]
     else:
-        bits_all = hit
-    masks = []
-    for wd in range(MASK_WORDS):                     # 30 hit bits per word
-        bits = bits_all[:, wd * 30:(wd + 1) * 30]
-        w = (1 << jnp.arange(bits.shape[1], dtype=jnp.int32))
-        masks.append(jnp.where(
-            real, jnp.sum(bits.astype(jnp.int32) * w[None, :], axis=-1), 0))
+        if NQ > 1:
+            qrows_px = TILE_H // NQ
+            band0 = p_ty * TILE_H                    # (NPAIR, 1) global px y
+            qh = [hit & (rows[:, 4] < band0 + (wq + 1) * qrows_px)
+                  & (rows[:, 5] > band0 + wq * qrows_px)
+                  for wq in range(NQ)]
+            bits_all = jnp.stack(qh, axis=-1).reshape(  # sub-major, NQ-minor
+                hit.shape[0], NSUB * NQ)
+        else:
+            bits_all = hit
+        masks = []
+        for wd in range(MASK_WORDS):                 # 30 hit bits per word
+            bits = bits_all[:, wd * 30:(wd + 1) * 30]
+            w = (1 << jnp.arange(bits.shape[1], dtype=jnp.int32))
+            masks.append(jnp.where(
+                real, jnp.sum(bits.astype(jnp.int32) * w[None, :], axis=-1),
+                0))
 
     zparams = jnp.zeros((2,), jnp.float32)
     if need_zskip:
@@ -598,7 +682,8 @@ def build_bins(setup: TriangleSetup, width: int, height: int,
                       pair_chunk=pair_chunk, pair_mask=tuple(masks),
                       zparams=zparams, n_real=n_real,
                       n_pairs=int(pairs.shape[0]),
-                      aux=jnp.stack([n_truncated, n_big_dropped]))
+                      aux=jnp.stack([n_truncated, n_big_dropped]),
+                      compact=compact)
 
 
 def _visibility_kernel(band_ref, zp_ref, pair_tile_ref, pair_chunk_ref,
@@ -732,6 +817,80 @@ def _visibility_kernel(band_ref, zp_ref, pair_tile_ref, pair_chunk_ref,
                     merge()
 
 
+def _visibility_kernel_ck(band_ref, zp_ref, pair_tile_ref, pair_chunk_ref,
+                          nhit_ref, comp_ref, depth_out, tri_out, *,
+                          ntx: int):
+    """Compact-bank visibility kernel (CKERN): the binner already gathered
+    this pair's hit sub-blocks contiguous, so the body is ONE dense
+    (CK_BANK·SUB, npx) evaluation (+ a second bank behind a single
+    nhit>CK_BANK branch) — no per-sub-block branch checks (~40 ns each)
+    and no per-sub region overhead (~150 ns each), which kbench measured
+    as 2/3 of the masked kernel's time (r4kb1.log). Triangle ids ride in
+    record column 15; duplicate padding rows merge idempotently."""
+    i = pl.program_id(0)
+    tile = pair_tile_ref[i]
+    prev = pair_tile_ref[jnp.maximum(i - 1, 0)]
+    first = jnp.logical_or(i == 0, tile != prev)
+    word = nhit_ref[i]
+    nhit = jax.lax.rem(word, 1 << ZSKIP_SHIFT)
+    ty = tile // ntx + band_ref[0]
+    tx = jax.lax.rem(tile, ntx)
+    npx = TILE_H * TILE_W
+    rows_bank = CK_BANK * SUB
+
+    @pl.when(first)
+    def _():
+        depth_out[0] = jnp.full((1, npx), 1.0, jnp.float32)
+        tri_out[0] = jnp.full((1, npx), -1, jnp.int32)
+
+    r = jax.lax.broadcasted_iota(jnp.int32, (1, npx), 1)
+    pxf = (tx * TILE_W + jax.lax.rem(r, TILE_W)).astype(jnp.float32) + 0.5
+    pyf = (ty * TILE_H + r // TILE_W).astype(jnp.float32) + 0.5
+
+    if ZSKIP and ZSKIP_PACK:
+        zq = word // (1 << ZSKIP_SHIFT)
+        zminf = zp_ref[0] + zq.astype(jnp.float32) * zp_ref[1]
+        keep = zminf <= jnp.max(depth_out[0])
+    else:
+        keep = None
+
+    def bank(b):
+        rec = comp_ref[0, b * rows_bank:(b + 1) * rows_bank, :]
+
+        def col(j):
+            return rec[:, j:j + 1]                 # (rows_bank, 1)
+
+        e0 = col(0) * pxf + col(1) * pyf + col(2)   # (rows_bank, npx)
+        e1 = col(3) * pxf + col(4) * pyf + col(5)
+        e2 = col(6) * pxf + col(7) * pyf + col(8)
+        # RATIONAL zi/wi, association pinned to the oracle — see the
+        # masked kernel's numerics note
+        zi = (e0 * col(9) + e1 * col(10)) + e2 * col(11)
+        wi = (e0 * col(12) + e1 * col(13)) + e2 * col(14)
+        cover = ((e0 >= 0.0) & (e1 >= 0.0) & (e2 >= 0.0) & (wi > 1e-12)
+                 & (zi >= 0.0) & (zi <= wi))
+        d = zi * pl.reciprocal(jnp.where(cover, wi, 1.0), approx=False)
+        dm = jnp.where(cover, d, DEPTH_SENTINEL)
+
+        cmin = jnp.min(dm, axis=0, keepdims=True)  # (1, npx)
+        tid = col(15).astype(jnp.int32)            # exact: ids < 2^24
+        win = jnp.max(jnp.where(dm <= cmin, tid, -1), axis=0, keepdims=True)
+
+        acc_d = depth_out[0]
+        acc_t = tri_out[0]
+        better = (win >= 0) & ((cmin < acc_d)
+                               | ((cmin == acc_d) & (win > acc_t)))
+        depth_out[0] = jnp.where(better, cmin, acc_d)
+        tri_out[0] = jnp.where(better, win, acc_t)
+
+    if keep is None:
+        bank(0)
+        pl.when(nhit > CK_BANK)(lambda: bank(1))
+    else:
+        pl.when(keep)(lambda: bank(0))
+        pl.when(jnp.logical_and(keep, nhit > CK_BANK))(lambda: bank(1))
+
+
 def untile_frame(flat: Array, ntx: int, nty: int) -> Array:
     """(n_tiles, 1, TH·TW) or (n_tiles, CH, TH·TW) → (H, W[, CH])."""
     if flat.shape[1] == 1:
@@ -767,18 +926,26 @@ def visibility_pallas_tiled(setup: TriangleSetup, width: int, height: int,
     n_tiles = ntx * nty
     npx = TILE_H * TILE_W
     band = jnp.asarray(tile_y_offset, jnp.int32).reshape(1)
-    kernel = functools.partial(_visibility_kernel, ntx=ntx)
+    if CKERN:
+        kernel = functools.partial(_visibility_kernel_ck, ntx=ntx)
+        rec_in = bins.compact
+        rec_spec = pl.BlockSpec((1, 2 * CK_BANK * SUB, 16),
+                                lambda i, band, zp, tiles, chunks, *masks:
+                                (i, 0, 0),
+                                memory_space=pltpu.VMEM)
+    else:
+        kernel = functools.partial(_visibility_kernel, ntx=ntx)
+        rec_in = bins.records
+        rec_spec = pl.BlockSpec((CHUNK, 16),
+                                lambda i, band, zp, tiles, chunks, *masks:
+                                (chunks[i], 0),
+                                memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4 + MASK_WORDS,
         # dynamic: only real pairs execute (≥1 — pair 0 degenerates to the
         # empty sentinel chunk when the frame has no pairs at all)
         grid=(jnp.maximum(bins.n_real, 1),),
-        in_specs=[
-            pl.BlockSpec((CHUNK, 16),
-                         lambda i, band, zp, tiles, chunks, *masks:
-                         (chunks[i], 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=[rec_spec],
         out_specs=[
             pl.BlockSpec((1, 1, npx),
                          lambda i, band, zp, tiles, chunks, *masks:
@@ -801,7 +968,7 @@ def visibility_pallas_tiled(setup: TriangleSetup, width: int, height: int,
             dimension_semantics=("arbitrary",)),
         interpret=interpret,
     )(band, bins.zparams, bins.pair_tile, bins.pair_chunk, *bins.pair_mask,
-      bins.records)
+      rec_in)
 
     # tiles no executed pair touched keep uninitialized VMEM garbage —
     # mask them to background from the pair list itself (one tiny scatter)
