@@ -145,15 +145,23 @@ def main():
         import functools
 
         band = jnp.zeros((1,), jnp.int32)
-        kernel = functools.partial(
-            _dense_kernel if dense else rp._visibility_kernel, ntx=ntx)
+        if rp.CKERN:
+            kernel = functools.partial(rp._visibility_kernel_ck, ntx=ntx)
+            rec_spec = pl.BlockSpec(
+                (1, 2 * rp.CK_BANK * rp.SUB, 16),
+                lambda i, band, zp, tiles, chunks, *masks: (i, 0, 0),
+                memory_space=pltpu.VMEM)
+        else:
+            kernel = functools.partial(
+                _dense_kernel if dense else rp._visibility_kernel, ntx=ntx)
+            rec_spec = pl.BlockSpec(
+                (rp.CHUNK, 16),
+                lambda i, band, zp, tiles, chunks, *masks: (chunks[i], 0),
+                memory_space=pltpu.VMEM)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=4 + rp.MASK_WORDS,
             grid=(jnp.maximum(b.n_real, 1),),
-            in_specs=[pl.BlockSpec(
-                (rp.CHUNK, 16),
-                lambda i, band, zp, tiles, chunks, *masks: (chunks[i], 0),
-                memory_space=pltpu.VMEM)],
+            in_specs=[rec_spec],
             out_specs=[
                 pl.BlockSpec((1, 1, npx),
                              lambda i, band, zp, tiles, chunks, *masks:
@@ -170,13 +178,30 @@ def main():
                 dimension_semantics=("arbitrary",)),
             interpret=os.environ.get("KB_INTERPRET", "0") == "1",
         )(band, b.zparams, b.pair_tile, b.pair_chunk, *b.pair_mask,
-          b.records + token)
+          (b.compact if rp.CKERN else b.records) + token)
         return depth[0, 0, 0] * 0.0
+
+    if os.environ.get("KB_BINS", "0") == "1":
+        # time build_bins alone (the CKERN compact-table build rides here)
+        fb = jax.jit(lambda s, tok: rp.build_bins(
+            s._replace(edge=s.edge + tok), ntx * rp.TILE_W, nty * rp.TILE_H))
+        out = fb(setup, jnp.zeros((), jnp.float32))
+        np.asarray(out.pair_tile[0])
+        t0 = time.perf_counter()
+        tok = jnp.zeros((), jnp.float32)
+        for _ in range(iters):
+            out = fb(setup, tok)
+            tok = out.pair_tile[0].astype(jnp.float32) * 0.0
+        np.asarray(tok)
+        print(f"build_bins: {(time.perf_counter() - t0) / iters * 1000.0:.2f}"
+              " ms/call", flush=True)
 
     configs = os.environ.get(
         "KB_CONFIGS", "zero,dflt,full,nobranch,dflt").split(",")
     for kind in configs:
         dense = kind == "nobranch"
+        if dense and rp.CKERN:
+            continue                      # masked-kernel probe only
         b = doctored("full" if dense else kind)
         f = jax.jit(functools.partial(run_kernel, dense=dense))
         token = f(b, jnp.zeros((), jnp.float32))

@@ -331,11 +331,14 @@ def _build_records(setup: TriangleSetup, tpad: int,
         cols.append(jnp.where(valid, zcol(k), 0.0))
     for k in range(3):
         cols.append(jnp.where(valid, wcol(k), 1.0))
-    cols.append(jnp.zeros_like(cols[0]))
+    # column 15: the GLOBAL triangle id (f32-exact below 2^24) — the
+    # compact-bank kernel reads winner ids from here; sentinel/padding
+    # rows carry -1 (they never cover, so it is never selected)
+    cols.append(jnp.arange(t, dtype=jnp.float32))
     rec = jnp.stack(cols, axis=1)                       # (T, 16) row-major
     empty_row = jnp.zeros((16,), rec.dtype)
     empty_row = empty_row.at[2].set(-1.0).at[5].set(-1.0).at[8].set(-1.0)
-    empty_row = empty_row.at[12:15].set(1.0)
+    empty_row = empty_row.at[12:15].set(1.0).at[15].set(-1.0)
     # sentinel chunk 0 in front + tail padding
     front = jnp.tile(empty_row, (CHUNK, 1))
     tail = jnp.tile(empty_row, (tpad - t, 1)) if tpad != t else None
@@ -627,12 +630,10 @@ def build_bins(setup: TriangleSetup, width: int, height: int,
         j = jnp.arange(nbank, dtype=jnp.int32)[None, :]
         sel = jnp.where(j < nhit[:, None], take, take[:, :1])
         g = pair_chunk[:, None] * NSUB + sel           # (NPAIR, 2K) sub rows
-        comp = records.reshape((n_chunks + 1) * NSUB, SUB * 16)[g]
-        comp = comp.reshape(pairs.shape[0], nbank, SUB, 16)
-        tids = ((pair_chunk[:, None, None] - 1) * CHUNK + sel[:, :, None] * SUB
-                + jnp.arange(SUB, dtype=jnp.int32)[None, None, :])
-        comp = comp.at[:, :, :, 15].set(tids.astype(jnp.float32))
-        compact = comp.reshape(pairs.shape[0], nbank * SUB, 16)
+        # one gather of 1 KB sub-block rows; triangle ids already ride in
+        # record column 15 (_build_records), so no post-gather rewrite
+        compact = records.reshape((n_chunks + 1) * NSUB, SUB * 16)[g]
+        compact = compact.reshape(pairs.shape[0], nbank * SUB, 16)
         masks = [jnp.where(real, nhit, 0)]
     else:
         if NQ > 1:
@@ -782,8 +783,14 @@ def _visibility_kernel(band_ref, zp_ref, pair_tile_ref, pair_chunk_ref,
                 wi = (e0 * col(12) + e1 * col(13)) + e2 * col(14)
                 # depth range test in cross-multiplied form (no divide):
                 # with wi>0, 0 ≤ zi/wi ≤ 1 ⇔ zi ≥ 0 and zi ≤ wi
-                cover = ((e0 >= 0.0) & (e1 >= 0.0) & (e2 >= 0.0)
-                         & (wi > 1e-12) & (zi >= 0.0) & (zi <= wi))
+                # min-tree: all-nonneg of {e0,e1,e2,zi} as ONE
+                # compare — exact (minimum propagates NaN; -0.0 >= 0
+                # matches the individual compares). zi <= wi stays a
+                # direct compare: a (wi-zi >= 0) rewrite would flip on
+                # TPU's flush-to-zero when the difference is subnormal.
+                mnn = jnp.minimum(jnp.minimum(e0, e1),
+                                  jnp.minimum(e2, zi))
+                cover = (mnn >= 0.0) & (zi <= wi) & (wi > 1e-12)
 
                 def merge():
                     d = zi * pl.reciprocal(jnp.where(cover, wi, 1.0),
@@ -791,8 +798,8 @@ def _visibility_kernel(band_ref, zp_ref, pair_tile_ref, pair_chunk_ref,
                     dm = jnp.where(cover, d, DEPTH_SENTINEL)
 
                     cmin = jnp.min(dm, axis=0, keepdims=True)  # (1, qpx)
-                    tid = ((cid - 1) * CHUNK + q * SUB
-                           + jax.lax.broadcasted_iota(jnp.int32, (SUB, 1), 0))
+                    # global ids ride record col 15 (f32-exact < 2^24)
+                    tid = col(15).astype(jnp.int32)
                     win = jnp.max(jnp.where(dm <= cmin, tid, -1), axis=0,
                                   keepdims=True)
 
@@ -855,26 +862,46 @@ def _visibility_kernel_ck(band_ref, zp_ref, pair_tile_ref, pair_chunk_ref,
         keep = None
 
     def bank(b):
-        rec = comp_ref[0, b * rows_bank:(b + 1) * rows_bank, :]
+        # straight-line loop over 16-row slices — (SUB, npx) shapes keep
+        # Mosaic in vregs (a single dense (CK_BANK·SUB, npx) region
+        # spilled its ~0.5 MB intermediates to VMEM and measured 2×
+        # SLOWER end-to-end, r4hw2 §2) — with a SHARED lexicographic
+        # (depth, tid) accumulator: the per-slice merge+reductions were
+        # ~163 of each masked sweep's 260 ns (kbench quarters algebra);
+        # here each slice pays only the 6-op elementwise accumulate and
+        # the bank reduces + merges ONCE.
+        run_d = run_t = None
+        for k in range(CK_BANK):
+            lo = (b * CK_BANK + k) * SUB
+            rec = comp_ref[0, lo:lo + SUB, :]
 
-        def col(j):
-            return rec[:, j:j + 1]                 # (rows_bank, 1)
+            def col(j, rec=rec):
+                return rec[:, j:j + 1]             # (SUB, 1)
 
-        e0 = col(0) * pxf + col(1) * pyf + col(2)   # (rows_bank, npx)
-        e1 = col(3) * pxf + col(4) * pyf + col(5)
-        e2 = col(6) * pxf + col(7) * pyf + col(8)
-        # RATIONAL zi/wi, association pinned to the oracle — see the
-        # masked kernel's numerics note
-        zi = (e0 * col(9) + e1 * col(10)) + e2 * col(11)
-        wi = (e0 * col(12) + e1 * col(13)) + e2 * col(14)
-        cover = ((e0 >= 0.0) & (e1 >= 0.0) & (e2 >= 0.0) & (wi > 1e-12)
-                 & (zi >= 0.0) & (zi <= wi))
-        d = zi * pl.reciprocal(jnp.where(cover, wi, 1.0), approx=False)
-        dm = jnp.where(cover, d, DEPTH_SENTINEL)
+            e0 = col(0) * pxf + col(1) * pyf + col(2)   # (SUB, npx)
+            e1 = col(3) * pxf + col(4) * pyf + col(5)
+            e2 = col(6) * pxf + col(7) * pyf + col(8)
+            # RATIONAL zi/wi, association pinned to the oracle — see the
+            # masked kernel's numerics note
+            zi = (e0 * col(9) + e1 * col(10)) + e2 * col(11)
+            wi = (e0 * col(12) + e1 * col(13)) + e2 * col(14)
+            # min-tree all-nonneg — see the masked kernel's note
+            mnn = jnp.minimum(jnp.minimum(e0, e1), jnp.minimum(e2, zi))
+            cover = (mnn >= 0.0) & (zi <= wi) & (wi > 1e-12)
+            d = zi * pl.reciprocal(jnp.where(cover, wi, 1.0), approx=False)
+            dm = jnp.where(cover, d, DEPTH_SENTINEL)
+            tid = col(15).astype(jnp.int32)        # exact: ids < 2^24
+            if run_d is None:
+                run_d = dm
+                run_t = jnp.broadcast_to(tid, dm.shape)
+            else:
+                btr = (dm < run_d) | ((dm == run_d) & (tid > run_t))
+                run_d = jnp.where(btr, dm, run_d)
+                run_t = jnp.where(btr, tid, run_t)
 
-        cmin = jnp.min(dm, axis=0, keepdims=True)  # (1, npx)
-        tid = col(15).astype(jnp.int32)            # exact: ids < 2^24
-        win = jnp.max(jnp.where(dm <= cmin, tid, -1), axis=0, keepdims=True)
+        cmin = jnp.min(run_d, axis=0, keepdims=True)   # (1, npx)
+        win = jnp.max(jnp.where(run_d <= cmin, run_t, -1), axis=0,
+                      keepdims=True)
 
         acc_d = depth_out[0]
         acc_t = tri_out[0]
