@@ -61,4 +61,8 @@ gate flav_ck2 && env TRIDENT_CKERN=1 \
   timeout 2400 python -u tools_dev/flavor_hw_check.py >> "$LOG" 2>&1
 echo "=== END flav_ck2 exit=$? ($(date -u +%H:%M:%S))" >> "$LOG"
 
+echo "=== 7 LADDER at 4K (fused ablation, VERDICT r3 item 5) ($(date -u +%H:%M:%S))" >> "$LOG"
+gate ladder4k && timeout 3600 python -u scripts/profile_stages.py --scale 4k >> "$LOG" 2>&1
+echo "=== END ladder4k exit=$? ($(date -u +%H:%M:%S))" >> "$LOG"
+
 echo "##### sweep_r4_hw3 done $(date -u)" >> "$LOG"
