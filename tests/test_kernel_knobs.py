@@ -36,9 +36,10 @@ def test_unknown_and_invalid_knobs_fail_loudly():
 
 def test_overrides_context_manager():
     base = raster_pallas.CHUNK
-    with kernel_knobs.overrides(chunk=512, sub=32):
+    with kernel_knobs.overrides(chunk=512, sub=16):
         assert raster_pallas.CHUNK == 512
-        assert raster_pallas.MASK_WORDS >= 2    # 16 subs x 4 quarters
+        assert raster_pallas.NSUB == 32
+        assert raster_pallas.MASK_WORDS == 2    # 32 sub bits > one word
     assert raster_pallas.CHUNK == base
 
 
