@@ -580,8 +580,16 @@ def build_bins(setup: TriangleSetup, width: int, height: int,
     overflow = pairs >= (n_tiles << shift_t)
     n_real_total = jnp.sum(~overflow).astype(jnp.int32)
     pairs = jnp.where(overflow, ((n_tiles - 1) << shift_t), pairs)
-    if pairs.shape[0] > PAIR_BUDGET:
-        pairs = pairs[:PAIR_BUDGET]
+    budget = PAIR_BUDGET
+    if CKERN and PAIR_BUDGET_OVERRIDE is None:
+        # the compact table costs budget × 2·CK_BANK·SUB·64 B to gather,
+        # write, and stream — scale the cap with the scene (small scenes
+        # emit few base-tier slots; the +4096 headroom absorbs mid/whale
+        # tiers). Static per jit shape; overflow stays a counted aux.
+        est = n_chunks * span0 * span0 + 4096
+        budget = min(PAIR_BUDGET, -(-est // 2048) * 2048)
+    if pairs.shape[0] > budget:
+        pairs = pairs[:budget]
     n_real = jnp.minimum(n_real_total, pairs.shape[0])
     n_truncated = n_real_total - n_real
     # unpack for the scalar-prefetch index maps (plain array reads lower
