@@ -65,4 +65,9 @@ echo "=== 7 LADDER at 4K (fused ablation, VERDICT r3 item 5) ($(date -u +%H:%M:%
 gate ladder4k && timeout 3600 python -u scripts/profile_stages.py --scale 4k >> "$LOG" 2>&1
 echo "=== END ladder4k exit=$? ($(date -u +%H:%M:%S))" >> "$LOG"
 
+echo "=== 8 BENCH 110k + shadows CKERN v2 (scaled budget) ($(date -u +%H:%M:%S))" >> "$LOG"
+gate b_ck_small && env BENCH_ITERS=30 BENCH_WATCHDOG=1500 TRIDENT_CKERN=1 \
+  timeout 2400 python -u scripts/bench_sweep.py spheres1080 shadows1080 >> "$LOG" 2>&1
+echo "=== END b_ck_small exit=$? ($(date -u +%H:%M:%S))" >> "$LOG"
+
 echo "##### sweep_r4_hw3 done $(date -u)" >> "$LOG"
