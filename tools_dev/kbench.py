@@ -148,7 +148,7 @@ def main():
         if rp.CKERN:
             kernel = functools.partial(rp._visibility_kernel_ck, ntx=ntx)
             rec_spec = pl.BlockSpec(
-                (1, 2 * rp.CK_BANK * rp.SUB, 16),
+                (1, rp.CK_NBANKS * rp.CK_BANK * rp.SUB, 16),
                 lambda i, band, zp, tiles, chunks, *masks: (i, 0, 0),
                 memory_space=pltpu.VMEM)
         else:

@@ -160,6 +160,7 @@ CKERN = _os.environ.get("TRIDENT_CKERN", "0") == "1"
                      # branch. Triangle ids ride in record column 15
                      # (f32-exact for ids < 2^24).
 CK_BANK = int(_os.environ.get("TRIDENT_CK_BANK", "8"))
+CK_NBANKS = 2   # derived in recompute_derived()
                      # hit sub-blocks per compact bank; 2 banks must cover
                      # NSUB (flagship hit distribution p50=5 p90=12 of 16)
 MAX_GLOBAL = int(_os.environ.get("TRIDENT_MAX_GLOBAL", "8"))
@@ -253,11 +254,20 @@ def recompute_derived() -> None:
             f"TRIDENT_CHUNK={CHUNK}/TRIDENT_SUB={SUB} with QGATE="
             f"{int(QGATE)} needs {MASK_WORDS} hit-mask words; at most 3 "
             "fit the SMEM scalar-prefetch budget")
+    global CK_NBANKS
     if CKERN:
-        if CK_BANK < 1 or 2 * CK_BANK < NSUB:
+        if CK_BANK < 1:
+            raise ValueError(f"TRIDENT_CK_BANK={CK_BANK} must be >= 1")
+        CK_NBANKS = -(-NSUB // CK_BANK)
+                     # banks of CK_BANK hit subs; bank b>0 runs behind one
+                     # nhit > b·CK_BANK branch. Flagship hit distribution
+                     # (nhit mean 5.8, P(>4)=.54 P(>8)=.25 P(>12)=.08):
+                     # 4 banks of 4 evaluate ~7.4 slices/pair where 2
+                     # banks of 8 evaluate ~10.
+        if CK_NBANKS > 8:
             raise ValueError(
-                f"TRIDENT_CK_BANK={CK_BANK}: two banks must cover "
-                f"NSUB={NSUB} hit sub-blocks (raise CK_BANK or SUB)")
+                f"TRIDENT_CK_BANK={CK_BANK}: {CK_NBANKS} banks for "
+                f"NSUB={NSUB} is too branchy; raise CK_BANK")
         if CK_BANK * SUB > 2048:
             raise ValueError(
                 f"TRIDENT_CK_BANK={CK_BANK}×SUB={SUB} rows per bank exceed "
@@ -629,7 +639,7 @@ def build_bins(setup: TriangleSetup, width: int, height: int,
         # have the all-miss sentinel row → nothing covers)
         order = jnp.argsort(~hit, axis=1, stable=True).astype(jnp.int32)
         nhit = jnp.sum(hit, axis=1).astype(jnp.int32)
-        nbank = 2 * CK_BANK
+        nbank = CK_NBANKS * CK_BANK
         if NSUB >= nbank:
             take = order[:, :nbank]
         else:
@@ -920,10 +930,13 @@ def _visibility_kernel_ck(band_ref, zp_ref, pair_tile_ref, pair_chunk_ref,
 
     if keep is None:
         bank(0)
-        pl.when(nhit > CK_BANK)(lambda: bank(1))
+        for b in range(1, CK_NBANKS):
+            pl.when(nhit > b * CK_BANK)(functools.partial(bank, b))
     else:
         pl.when(keep)(lambda: bank(0))
-        pl.when(jnp.logical_and(keep, nhit > CK_BANK))(lambda: bank(1))
+        for b in range(1, CK_NBANKS):
+            pl.when(jnp.logical_and(keep, nhit > b * CK_BANK))(
+                functools.partial(bank, b))
 
 
 def untile_frame(flat: Array, ntx: int, nty: int) -> Array:
@@ -964,7 +977,7 @@ def visibility_pallas_tiled(setup: TriangleSetup, width: int, height: int,
     if CKERN:
         kernel = functools.partial(_visibility_kernel_ck, ntx=ntx)
         rec_in = bins.compact
-        rec_spec = pl.BlockSpec((1, 2 * CK_BANK * SUB, 16),
+        rec_spec = pl.BlockSpec((1, CK_NBANKS * CK_BANK * SUB, 16),
                                 lambda i, band, zp, tiles, chunks, *masks:
                                 (i, 0, 0),
                                 memory_space=pltpu.VMEM)
