@@ -70,4 +70,10 @@ gate b_ck_small && env BENCH_ITERS=30 BENCH_WATCHDOG=1500 TRIDENT_CKERN=1 \
   timeout 2400 python -u scripts/bench_sweep.py spheres1080 shadows1080 >> "$LOG" 2>&1
 echo "=== END b_ck_small exit=$? ($(date -u +%H:%M:%S))" >> "$LOG"
 
+echo "=== 9 BENCH 1M CKERN CK_BANK=4 (4 banks) ($(date -u +%H:%M:%S))" >> "$LOG"
+gate b_ck4 && env BENCH_ITERS=30 BENCH_WATCHDOG=1500 TRIDENT_CKERN=1 \
+  TRIDENT_CK_BANK=4 \
+  timeout 1800 python -u scripts/bench_sweep.py spheres1080_1m >> "$LOG" 2>&1
+echo "=== END b_ck4 exit=$? ($(date -u +%H:%M:%S))" >> "$LOG"
+
 echo "##### sweep_r4_hw3 done $(date -u)" >> "$LOG"
