@@ -191,6 +191,37 @@ def test_banded_render_composes_with_texel_mxu(eight_devices, monkeypatch):
     assert (diff > 0).mean() < 1e-3
 
 
+def test_banded_render_composes_with_ckern(eight_devices):
+    """The compact-bank visibility kernel (TRIDENT_CKERN) inside the
+    banded shard_map: the per-band binner gathers compact blocks from
+    band-local pair lists; frames must be BIT-IDENTICAL to the banded
+    masked-kernel render (same arithmetic, different work structure)."""
+    import functools
+
+    from jax.sharding import Mesh
+    from trident_tpu.ops import kernel_knobs
+    from trident_tpu.parallel.framebuffer import render_frame_banded
+
+    w, h = 128, 128
+    r = build_scene(w, h)
+    args, _, _ = _frame_inputs(r)
+    common = dict(width=w, height=h, clear_color=(0.05, 0.05, 0.08, 1.0),
+                  raster="pallas", skinned=False, forward_shading=True)
+    mesh = Mesh(np.array(eight_devices[:2]), ("fb",))
+
+    base = kernel_knobs.snapshot()
+    frames = {}
+    try:
+        for ck in (False, True):
+            kernel_knobs.apply({"ckern": ck})
+            out = jax.jit(functools.partial(
+                render_frame_banded, mesh, "fb", **common))(*args)
+            frames[ck] = np.asarray(out.color)
+    finally:
+        kernel_knobs.apply(base)
+    np.testing.assert_array_equal(frames[True], frames[False])
+
+
 def test_unet_dryrun_multichip(eight_devices):
     # 2 devices: same GSPMD + explicit-collective code paths at the
     # smallest mesh that still communicates. include_render=False: the
