@@ -31,14 +31,32 @@ def pallas_make(**kw):
 tg._make = pallas_make
 
 worst = 0.0
+interior_total = 0
 for name, builder in sorted(tg.FLAVORS.items()):
-    img = builder().read_frame()
+    r = builder()
+    out = r.render_viewport(r.active_viewport)
+    img = np.asarray(r.read_frame())
+    tri = np.asarray(out.tri_id)
     golden = load_rgba8(os.path.join(tg.GOLDEN_DIR, f"flavor_{name}.png"))
     diff = np.abs(img.astype(int) - golden.astype(int))
     frac = (diff > 3).mean()
     mean = float(diff.mean())
     mx = int(diff.max())
-    print(f"flavor {name}: >3LSB frac={frac:.5f} mean={mean:.3f} max={mx}",
-          flush=True)
+    # classify big outliers: a >16-LSB pixel ON a winner-id boundary is a
+    # depth-tie silhouette flip (a different surface's color from a 1-ulp
+    # upstream difference — r4 diag_skinned root cause); an INTERIOR one
+    # is real shading drift and a bug.
+    d2 = diff.max(axis=-1) if diff.ndim == 3 else diff
+    ys, xs = np.nonzero(d2 > 16)
+    interior = 0
+    h, w = d2.shape[:2]
+    for y, x in zip(ys.tolist(), xs.tolist()):
+        neigh = tri[max(y - 1, 0):min(y + 2, h), max(x - 1, 0):min(x + 2, w)]
+        if not (neigh != tri[y, x]).any():
+            interior += 1
+    interior_total += interior
+    print(f"flavor {name}: >3LSB frac={frac:.5f} mean={mean:.3f} max={mx} "
+          f">16LSB={len(ys)}px (interior={interior})", flush=True)
     worst = max(worst, frac)
-print(f"WORST_FRAC {worst:.5f}", flush=True)
+print(f"WORST_FRAC {worst:.5f} INTERIOR_OUTLIERS {interior_total}",
+      flush=True)
