@@ -117,3 +117,50 @@ def test_gltf_fuzz(tmp_path, rng):
         p = tmp_path / f"f{i}.gltf"
         p.write_bytes(m)
         _assert_clean(load_model, str(p))
+
+
+def test_stl_fuzz(tmp_path, rng):
+    from trident_tpu.assets.model_loader import load_model
+
+    # binary STL (with the evil "solid" prefix) + ASCII STL
+    import struct as _s
+
+    binary = bytearray(b"solid-prefix".ljust(80, b"\0"))
+    binary += _s.pack("<I", 2)
+    for k in range(2):
+        binary += _s.pack("<3f", 0, 0, 1)
+        for v in ([0, 0, k], [1, 0, k], [0, 1, k]):
+            binary += _s.pack("<3f", *v)
+        binary += _s.pack("<H", 0)
+    ascii_src = (b"solid t\n facet normal 0 0 1\n  outer loop\n"
+                 b"   vertex 0 0 0\n   vertex 1 0 0\n   vertex 0 1 0\n"
+                 b"  endloop\n endfacet\nendsolid t\n")
+    for i, m in enumerate(_mutations(bytes(binary), rng)
+                          + _mutations(ascii_src, rng)):
+        p = tmp_path / f"f{i}.stl"
+        p.write_bytes(m)
+        _assert_clean(load_model, str(p))
+
+
+def test_ply_fuzz(tmp_path, rng):
+    import struct as _s
+
+    from trident_tpu.assets.model_loader import load_model
+
+    ascii_src = (b"ply\nformat ascii 1.0\nelement vertex 3\n"
+                 b"property float x\nproperty float y\nproperty float z\n"
+                 b"element face 1\n"
+                 b"property list uchar int vertex_indices\nend_header\n"
+                 b"0 0 0\n1 0 0\n0 1 0\n3 0 1 2\n")
+    header = (b"ply\nformat binary_little_endian 1.0\nelement vertex 3\n"
+              b"property float x\nproperty float y\nproperty float z\n"
+              b"element face 1\n"
+              b"property list uchar int vertex_indices\nend_header\n")
+    body = b"".join(_s.pack("<3f", *v)
+                    for v in ([0, 0, 0], [1, 0, 0], [0, 1, 0]))
+    body += _s.pack("<B3i", 3, 0, 1, 2)
+    for i, m in enumerate(_mutations(ascii_src, rng)
+                          + _mutations(header + body, rng)):
+        p = tmp_path / f"f{i}.ply"
+        p.write_bytes(m)
+        _assert_clean(load_model, str(p))
