@@ -144,21 +144,23 @@ ZSKIP_MARGIN = 1e-5  # absolute fp-noise bound on the kernel's rational
                      # depth vs the binner's corner ratios (r3 hardware-
                      # validated; see the ZSKIP note)
 CKERN = _os.environ.get("TRIDENT_CKERN", "0") == "1"
-                     # compact-bank visibility kernel (round 4): kbench
-                     # decomposed the 21 ms default kernel into 5.7 ms of
-                     # @pl.when branch checks (~40 ns each), 7.7 ms of
-                     # per-region fixed cost (~150 ns) and only 7.2 ms of
-                     # actual (tri,px) evaluation (r4kb1.log). CKERN
-                     # deletes the branches and regions: the binner
-                     # gathers each pair's HIT sub-blocks into a padded
-                     # contiguous (2·CK_BANK·SUB, 16) block (one XLA
-                     # gather of 1 KB sub-block rows; padding duplicates
-                     # the first hit sub — the lexicographic merge is
-                     # idempotent, so duplicates are bit-exactly free)
-                     # and the kernel evaluates bank 0 as ONE dense
-                     # region + bank 1 behind a single nhit>CK_BANK
-                     # branch. Triangle ids ride in record column 15
-                     # (f32-exact for ids < 2^24).
+                     # compact-bank visibility kernel (round-4 experiment,
+                     # MEASURED A LOSS — default stays OFF; kept as the
+                     # documented negative result so it is not retried):
+                     # the binner gathers each pair's HIT sub-blocks into
+                     # a padded contiguous block (padding duplicates are
+                     # bit-exactly free — the lexicographic merge is
+                     # idempotent) and the kernel evaluates CK_BANK-slice
+                     # banks with no per-sub branch checks. kbench r4kb1
+                     # suggested ~13 ms; reality (r4hw2/r4hw3): v1's dense
+                     # (128,1024) region spilled to VMEM (10.8 FPS), v2's
+                     # shared accumulator measured 31 ms vs the masked
+                     # kernel's 19.9 — the ~160 ns/block "region fixed"
+                     # cost is column loads/broadcast setup, which
+                     # sharing the merge cannot remove — and the compact
+                     # gather adds +8.3 ms to build_bins. Zero cost when
+                     # OFF (everything gated on the static flag). Exact
+                     # either way (oracle + banded equality tests).
 CK_BANK = int(_os.environ.get("TRIDENT_CK_BANK", "8"))
 CK_NBANKS = 2   # derived in recompute_derived()
                      # hit sub-blocks per compact bank; 2 banks must cover
