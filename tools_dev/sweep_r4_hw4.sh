@@ -32,4 +32,9 @@ gate b_ai && env BENCH_ITERS=30 BENCH_WATCHDOG=1800 \
   spheres1080_1m:ai >> "$LOG" 2>&1
 echo "=== END b_ai exit=$? ($(date -u +%H:%M:%S))" >> "$LOG"
 
+echo "=== 2 BENCH interp (BASELINE config 4) ($(date -u +%H:%M:%S))" >> "$LOG"
+gate b_interp && env BENCH_ITERS=30 BENCH_WATCHDOG=1500 BENCH_CONFIG=interp \
+  timeout 1800 python -u bench.py >> "$LOG" 2>&1
+echo "=== END b_interp exit=$? ($(date -u +%H:%M:%S))" >> "$LOG"
+
 echo "##### sweep_r4_hw4 done $(date -u)" >> "$LOG"
