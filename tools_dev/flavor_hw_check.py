@@ -60,3 +60,13 @@ for name, builder in sorted(tg.FLAVORS.items()):
     worst = max(worst, frac)
 print(f"WORST_FRAC {worst:.5f} INTERIOR_OUTLIERS {interior_total}",
       flush=True)
+
+# the tightened hardware gate (VERDICT r3 item 9): winner-tie silhouette
+# flips are unboundable in LSB by construction, so the gate is (a) ZERO
+# interior >16-LSB outliers and (b) the >3-LSB fraction stays within the
+# known slerp-residual envelope. Exit nonzero so sweep logs fail loudly.
+if interior_total > 0 or worst > 0.002:
+    print(f"FLAVOR GATE FAILED: interior={interior_total} "
+          f"worst_frac={worst:.5f}", flush=True)
+    sys.exit(1)
+print("FLAVOR GATE PASSED", flush=True)
