@@ -32,4 +32,9 @@ echo "=== 2 BENCH ultra4k defaults ($(date -u +%H:%M:%S))" >> "$LOG"
 gate b4kd && env BENCH_ITERS=30 BENCH_WATCHDOG=1800 \
   timeout 2400 python -u scripts/bench_sweep.py ultra4k >> "$LOG" 2>&1
 echo "=== END b4kd exit=$? ($(date -u +%H:%M:%S))" >> "$LOG"
+echo "=== 3 BENCH ultra4k TEXEL_MXU=0 (r3 open question) ($(date -u +%H:%M:%S))" >> "$LOG"
+gate b4ktex && env BENCH_ITERS=30 BENCH_WATCHDOG=1800 TRIDENT_TEXEL_MXU=0 \
+  timeout 2400 python -u scripts/bench_sweep.py ultra4k >> "$LOG" 2>&1
+echo "=== END b4ktex exit=$? ($(date -u +%H:%M:%S))" >> "$LOG"
+
 echo "##### sweep_r4_hw6 done $(date -u)" >> "$LOG"
