@@ -50,8 +50,11 @@ def build_scene(config: str):
     else:
         w, h = (1920, 1080) if grid else (512, 512)
 
-    cfg = EngineConfig(render=RenderConfig(width=w, height=h,
-                                           bloom=(config == "ultra4k")))
+    cfg = EngineConfig(render=RenderConfig(
+        width=w, height=h, bloom=(config == "ultra4k"),
+        # shadows=True triggers the renderer's zskip-for-overdraw policy
+        # (+9% on this scene, r4hw2 §6) exactly as a real app would get it
+        shadows=(config == "shadows1080")))
     r = Renderer(cfg)
     reg = Registry()
     r.set_active_registry(reg)

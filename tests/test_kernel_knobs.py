@@ -84,3 +84,29 @@ def test_two_kernel_configs_in_one_process():
         assert ra._kcfg != rb._kcfg
     finally:
         kernel_knobs.apply(base)
+
+
+def test_shadow_scenes_get_zskip_policy_without_leaking():
+    """Engine policy: shadows=True renders with the hierarchical-Z skip
+    (+9% on overdraw scenes, r4hw2); a later plain renderer in the same
+    process must build from the env-default baseline, not inherit it."""
+    from trident_tpu.core.config import EngineConfig, RenderConfig
+    from trident_tpu.render.renderer import Renderer
+
+    base = kernel_knobs.snapshot()
+    try:
+        rs = Renderer(EngineConfig(render=RenderConfig(
+            width=32, height=32, shadows=True)))
+        assert raster_pallas.ZSKIP and raster_pallas.ZORDER
+        assert dict(rs._kcfg)["zskip"] is True
+        # explicit kernel config beats the policy
+        ro = Renderer(EngineConfig(render=RenderConfig(
+            width=32, height=32, shadows=True, kernel={"zskip": False})))
+        assert raster_pallas.ZSKIP is False
+        assert dict(ro._kcfg)["zskip"] is False
+        # a renderer with any kernel config resets to env baseline first
+        rp2 = Renderer(EngineConfig(render=RenderConfig(
+            width=32, height=32, kernel={})))
+        assert dict(rp2._kcfg)["zskip"] == kernel_knobs.env_defaults()["zskip"]
+    finally:
+        kernel_knobs.apply(base)

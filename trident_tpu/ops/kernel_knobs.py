@@ -115,6 +115,17 @@ def trace_key() -> tuple:
     return tuple(sorted((k, v) for k, v in snapshot().items()))
 
 
+# captured at the bottom of this module's import (= the TRIDENT_* env
+# values): the deterministic baseline every Renderer builds from, so a
+# previous renderer's policy overlay (e.g. shadows→zskip) can never leak
+# into the next one constructed in the same process
+_ENV_DEFAULTS: Dict[str, Any] = {}
+
+
+def env_defaults() -> Dict[str, Any]:
+    return dict(_ENV_DEFAULTS)
+
+
 @contextlib.contextmanager
 def overrides(**knobs):
     """Scoped knob overrides: with overrides(chunk=512): render(...)."""
@@ -123,3 +134,6 @@ def overrides(**knobs):
         yield
     finally:
         apply(prev)
+
+
+_ENV_DEFAULTS.update(snapshot())
