@@ -23,6 +23,11 @@ for cfg in CONFIGS:
     name, _, mode = cfg.partition(":")
     os.environ["BENCH_CONFIG"] = name
     os.environ["BENCH_AI"] = "1" if mode == "ai" else "0"
+    # reset kernel knobs to the env baseline so a config's policy overlay
+    # (e.g. shadows1080 → zskip) can't leak into the next config
+    from trident_tpu.ops import kernel_knobs
+
+    kernel_knobs.apply(kernel_knobs.env_defaults())
     try:
         bench.main()
     except SystemExit as exc:          # check_aux overflow / bad config
