@@ -37,4 +37,15 @@ gate b4ktex && env BENCH_ITERS=30 BENCH_WATCHDOG=1800 TRIDENT_TEXEL_MXU=0 \
   timeout 2400 python -u scripts/bench_sweep.py ultra4k >> "$LOG" 2>&1
 echo "=== END b4ktex exit=$? ($(date -u +%H:%M:%S))" >> "$LOG"
 
+echo "=== 4 BENCH AI modes retry (smaller scan graph, big watchdog) ($(date -u +%H:%M:%S))" >> "$LOG"
+gate b_ai2 && env BENCH_ITERS=10 BENCH_WATCHDOG=3300 \
+  timeout 7200 python -u scripts/bench_sweep.py ultra4k:ai \
+  spheres1080_1m:ai >> "$LOG" 2>&1
+echo "=== END b_ai2 exit=$? ($(date -u +%H:%M:%S))" >> "$LOG"
+
+echo "=== 5 BENCH interp (config 4) ($(date -u +%H:%M:%S))" >> "$LOG"
+gate b_interp2 && env BENCH_ITERS=30 BENCH_WATCHDOG=1500 BENCH_CONFIG=interp \
+  timeout 1800 python -u bench.py >> "$LOG" 2>&1
+echo "=== END b_interp2 exit=$? ($(date -u +%H:%M:%S))" >> "$LOG"
+
 echo "##### sweep_r4_hw6 done $(date -u)" >> "$LOG"
