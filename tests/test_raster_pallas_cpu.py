@@ -354,3 +354,15 @@ def test_zorder_is_bit_exact(rng, monkeypatch):
     on = _assert_matches_ref(setup)
     assert (np.asarray(off.tri_id) != np.asarray(on.tri_id)).sum() == 0
     assert (np.asarray(off.depth) != np.asarray(on.depth)).sum() == 0
+
+
+def test_recpad_is_bit_exact(rng, monkeypatch):
+    """Lane-padded visibility records (TRIDENT_RECPAD) must render
+    BIT-IDENTICALLY — only the DMA layout changes, never the values the
+    kernel reads (columns 16.. are zeros it never touches)."""
+    setup = _random_scene(rng, 400)
+    off = _vis(setup)
+    monkeypatch.setattr(raster_pallas, "RECPAD", True)
+    on = _assert_matches_ref(setup)
+    assert (np.asarray(off.tri_id) != np.asarray(on.tri_id)).sum() == 0
+    assert (np.asarray(off.depth) != np.asarray(on.depth)).sum() == 0

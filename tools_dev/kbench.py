@@ -155,7 +155,7 @@ def main():
             kernel = functools.partial(
                 _dense_kernel if dense else rp._visibility_kernel, ntx=ntx)
             rec_spec = pl.BlockSpec(
-                (rp.CHUNK, 16),
+                (rp.CHUNK, b.records.shape[1]),
                 lambda i, band, zp, tiles, chunks, *masks: (chunks[i], 0),
                 memory_space=pltpu.VMEM)
         grid_spec = pltpu.PrefetchScalarGridSpec(

@@ -36,6 +36,7 @@ _KNOBS: Dict[str, Tuple[str, str]] = {
     "cover_gate": ("trident_tpu.ops.raster_pallas", "COVER_GATE"),
     "qgate": ("trident_tpu.ops.raster_pallas", "QGATE"),
     "ckern": ("trident_tpu.ops.raster_pallas", "CKERN"),
+    "recpad": ("trident_tpu.ops.raster_pallas", "RECPAD"),
     "ck_bank": ("trident_tpu.ops.raster_pallas", "CK_BANK"),
     "zorder": ("trident_tpu.ops.raster_pallas", "ZORDER"),
     "zskip": ("trident_tpu.ops.raster_pallas", "ZSKIP"),

@@ -143,6 +143,19 @@ ZSKIP_SCALE = float((1 << ZSKIP_BITS) - 1)
 ZSKIP_MARGIN = 1e-5  # absolute fp-noise bound on the kernel's rational
                      # depth vs the binner's corner ratios (r3 hardware-
                      # validated; see the ZSKIP note)
+RECPAD = _os.environ.get("TRIDENT_RECPAD", "0") == "1"
+                     # lane-padded visibility records (round-4 DMA
+                     # hypothesis): kbench measured the per-pair cost
+                     # floor INVARIANT across CHUNK and SUB — i.e. bound
+                     # by record BYTES, ~23 GB/s effective. A (CHUNK, 16)
+                     # f32 block lane-pads 16→128 in VMEM, so the DMA
+                     # restrides 64 B rows into a padded destination at
+                     # ~1/8 bandwidth. RECPAD stores the records
+                     # pre-padded to (·, 128) so the copy is contiguous
+                     # at full bandwidth — 8× the HBM footprint for the
+                     # visibility table only (537 MB at 1M tris), kernel
+                     # arithmetic unchanged (the VMEM block was always
+                     # this shape; loads were always lane-full).
 CKERN = _os.environ.get("TRIDENT_CKERN", "0") == "1"
                      # compact-bank visibility kernel (round-4 experiment,
                      # MEASURED A LOSS — default stays OFF; kept as the
@@ -699,6 +712,13 @@ def build_bins(setup: TriangleSetup, width: int, height: int,
                                  * (1 << ZSKIP_SHIFT))
         zparams = jnp.stack([base, step])
 
+    if RECPAD:
+        # pre-pad to the VMEM lane width so the per-pair block DMA is a
+        # contiguous full-bandwidth copy (see the RECPAD knob note).
+        # Applied AFTER the CKERN compact gather (which indexes the
+        # compact row layout); kernel column reads are unchanged.
+        records = jnp.pad(records, ((0, 0), (0, 128 - records.shape[1])))
+
     return PallasBins(records=records, pair_tile=pair_tile,
                       pair_chunk=pair_chunk, pair_mask=tuple(masks),
                       zparams=zparams, n_real=n_real,
@@ -986,7 +1006,7 @@ def visibility_pallas_tiled(setup: TriangleSetup, width: int, height: int,
     else:
         kernel = functools.partial(_visibility_kernel, ntx=ntx)
         rec_in = bins.records
-        rec_spec = pl.BlockSpec((CHUNK, 16),
+        rec_spec = pl.BlockSpec((CHUNK, bins.records.shape[1]),
                                 lambda i, band, zp, tiles, chunks, *masks:
                                 (chunks[i], 0),
                                 memory_space=pltpu.VMEM)
