@@ -196,9 +196,77 @@ def main():
         print(f"build_bins: {(time.perf_counter() - t0) / iters * 1000.0:.2f}"
               " ms/call", flush=True)
 
+    def run_probe(b, token, tiny):
+        """Step-machinery probe: the kernel body is ONLY the first-tile
+        reset (no mask checks, no sweeps). tiny=True feeds (8,128) dummy
+        blocks instead of the (CHUNK,16) records — the zero-vs-tiny
+        difference isolates the per-pair record-DMA contribution from
+        the bare grid machinery."""
+        band = jnp.zeros((1,), jnp.int32)
+
+        def probe_kernel(band_ref, zp_ref, tiles_ref, chunks_ref, *refs):
+            rec_ref, depth_out, tri_out = refs[rp.MASK_WORDS:]
+            i = pl.program_id(0)
+            tile = tiles_ref[i]
+            prev = tiles_ref[jnp.maximum(i - 1, 0)]
+            first = jnp.logical_or(i == 0, tile != prev)
+
+            @pl.when(first)
+            def _():
+                depth_out[0] = jnp.full((1, npx), 1.0, jnp.float32)
+                tri_out[0] = jnp.full((1, npx), -1, jnp.int32)
+
+        if tiny:
+            nblk = b.records.shape[0] // rp.CHUNK   # static chunk slots
+            rec_in = jnp.zeros((nblk * 8, 128), jnp.float32) + token
+            rec_spec = pl.BlockSpec(
+                (8, 128),
+                lambda i, band, zp, tiles, chunks, *masks: (chunks[i], 0),
+                memory_space=pltpu.VMEM)
+        else:
+            rec_in = b.records + token
+            rec_spec = pl.BlockSpec(
+                (rp.CHUNK, b.records.shape[1]),
+                lambda i, band, zp, tiles, chunks, *masks: (chunks[i], 0),
+                memory_space=pltpu.VMEM)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=4 + rp.MASK_WORDS,
+            grid=(jnp.maximum(b.n_real, 1),),
+            in_specs=[rec_spec],
+            out_specs=[
+                pl.BlockSpec((1, 1, npx),
+                             lambda i, band, zp, tiles, chunks, *masks:
+                             (tiles[i], 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, npx),
+                             lambda i, band, zp, tiles, chunks, *masks:
+                             (tiles[i], 0, 0), memory_space=pltpu.VMEM),
+            ])
+        depth, _tri = pl.pallas_call(
+            probe_kernel, grid_spec=grid_spec,
+            out_shape=[jax.ShapeDtypeStruct((n_tiles, 1, npx), jnp.float32),
+                       jax.ShapeDtypeStruct((n_tiles, 1, npx), jnp.int32)],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",)),
+            interpret=os.environ.get("KB_INTERPRET", "0") == "1",
+        )(band, b.zparams, b.pair_tile, b.pair_chunk, *b.pair_mask, rec_in)
+        return depth[0, 0, 0] * 0.0
+
     configs = os.environ.get(
         "KB_CONFIGS", "zero,dflt,full,nobranch,dflt").split(",")
     for kind in configs:
+        if kind in ("probe", "probe_tiny"):
+            f = jax.jit(functools.partial(run_probe,
+                                          tiny=kind == "probe_tiny"))
+            token = f(bins, jnp.zeros((), jnp.float32))
+            np.asarray(token)
+            t0 = time.perf_counter()
+            token = jnp.zeros((), jnp.float32)
+            for _ in range(iters):
+                token = f(bins, token)
+            np.asarray(token)
+            ms = (time.perf_counter() - t0) / iters * 1000.0
+            print(f"kind={kind}: {ms:.2f} ms/call", flush=True)
+            continue
         dense = kind == "nobranch"
         if dense and rp.CKERN:
             continue                      # masked-kernel probe only
