@@ -145,7 +145,7 @@ ZSKIP_MARGIN = 1e-5  # absolute fp-noise bound on the kernel's rational
                      # validated; see the ZSKIP note)
 RECBUF = int(_os.environ.get("TRIDENT_RECBUF", "0"))
                      # >=2: deepen the record-block pipeline to this many
-                     # buffers WITH LOOKAHEAD (pl.Buffered): the r4hw9
+                     # buffers (pl.Buffered; lookahead unsupported on this lowering): the r4hw9
                      # floor probes measured the per-pair record DMA at
                      # ~1 µs serialized (9.95 ms reset-only vs 1.32 ms
                      # with dummy blocks) and only partially hidden at
@@ -1021,7 +1021,7 @@ def visibility_pallas_tiled(setup: TriangleSetup, width: int, height: int,
                                 (chunks[i], 0),
                                 memory_space=pltpu.VMEM,
                                 pipeline_mode=(pl.Buffered(
-                                    buffer_count=RECBUF, use_lookahead=True)
+                                    buffer_count=RECBUF)
                                     if RECBUF >= 2 else None))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4 + MASK_WORDS,
