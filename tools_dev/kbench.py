@@ -157,9 +157,7 @@ def main():
             rec_spec = pl.BlockSpec(
                 (rp.CHUNK, b.records.shape[1]),
                 lambda i, band, zp, tiles, chunks, *masks: (chunks[i], 0),
-                memory_space=pltpu.VMEM,
-                pipeline_mode=(pl.Buffered(buffer_count=rp.RECBUF)
-                               if rp.RECBUF >= 2 else None))
+                memory_space=pltpu.VMEM)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=4 + rp.MASK_WORDS,
             grid=(jnp.maximum(b.n_real, 1),),

@@ -37,7 +37,6 @@ _KNOBS: Dict[str, Tuple[str, str]] = {
     "qgate": ("trident_tpu.ops.raster_pallas", "QGATE"),
     "ckern": ("trident_tpu.ops.raster_pallas", "CKERN"),
     "recpad": ("trident_tpu.ops.raster_pallas", "RECPAD"),
-    "recbuf": ("trident_tpu.ops.raster_pallas", "RECBUF"),
     "ck_bank": ("trident_tpu.ops.raster_pallas", "CK_BANK"),
     "zorder": ("trident_tpu.ops.raster_pallas", "ZORDER"),
     "zskip": ("trident_tpu.ops.raster_pallas", "ZSKIP"),

@@ -143,16 +143,6 @@ ZSKIP_SCALE = float((1 << ZSKIP_BITS) - 1)
 ZSKIP_MARGIN = 1e-5  # absolute fp-noise bound on the kernel's rational
                      # depth vs the binner's corner ratios (r3 hardware-
                      # validated; see the ZSKIP note)
-RECBUF = int(_os.environ.get("TRIDENT_RECBUF", "0"))
-                     # >=2: deepen the record-block pipeline to this many
-                     # buffers (pl.Buffered; lookahead unsupported on this lowering): the r4hw9
-                     # floor probes measured the per-pair record DMA at
-                     # ~1 µs serialized (9.95 ms reset-only vs 1.32 ms
-                     # with dummy blocks) and only partially hidden at
-                     # the default double-buffering — lookahead lets the
-                     # pipeline start fetching the next CHANGED block as
-                     # soon as a slot frees, across output-revisit
-                     # boundaries. 0 = Pallas default.
 RECPAD = _os.environ.get("TRIDENT_RECPAD", "0") == "1"
                      # lane-padded visibility records (round-4 DMA
                      # hypothesis): kbench measured the per-pair cost
@@ -1019,10 +1009,7 @@ def visibility_pallas_tiled(setup: TriangleSetup, width: int, height: int,
         rec_spec = pl.BlockSpec((CHUNK, bins.records.shape[1]),
                                 lambda i, band, zp, tiles, chunks, *masks:
                                 (chunks[i], 0),
-                                memory_space=pltpu.VMEM,
-                                pipeline_mode=(pl.Buffered(
-                                    buffer_count=RECBUF)
-                                    if RECBUF >= 2 else None))
+                                memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4 + MASK_WORDS,
         # dynamic: only real pairs execute (≥1 — pair 0 degenerates to the
