@@ -366,3 +366,14 @@ def test_recpad_is_bit_exact(rng, monkeypatch):
     on = _assert_matches_ref(setup)
     assert (np.asarray(off.tri_id) != np.asarray(on.tri_id)).sum() == 0
     assert (np.asarray(off.depth) != np.asarray(on.depth)).sum() == 0
+
+
+def test_rect_is_bit_exact(rng, monkeypatch):
+    """Transposed dense records (TRIDENT_RECT): the in-kernel transpose
+    restores the exact values — renders must be BIT-IDENTICAL."""
+    setup = _random_scene(rng, 400)
+    off = _vis(setup)
+    monkeypatch.setattr(raster_pallas, "RECT", True)
+    on = _assert_matches_ref(setup)
+    assert (np.asarray(off.tri_id) != np.asarray(on.tri_id)).sum() == 0
+    assert (np.asarray(off.depth) != np.asarray(on.depth)).sum() == 0

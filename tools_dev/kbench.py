@@ -154,10 +154,18 @@ def main():
         else:
             kernel = functools.partial(
                 _dense_kernel if dense else rp._visibility_kernel, ntx=ntx)
-            rec_spec = pl.BlockSpec(
-                (rp.CHUNK, b.records.shape[1]),
-                lambda i, band, zp, tiles, chunks, *masks: (chunks[i], 0),
-                memory_space=pltpu.VMEM)
+            if rp.RECT:
+                rec_spec = pl.BlockSpec(
+                    (16, rp.CHUNK),
+                    lambda i, band, zp, tiles, chunks, *masks:
+                    (0, chunks[i]),
+                    memory_space=pltpu.VMEM)
+            else:
+                rec_spec = pl.BlockSpec(
+                    (rp.CHUNK, b.records.shape[1]),
+                    lambda i, band, zp, tiles, chunks, *masks:
+                    (chunks[i], 0),
+                    memory_space=pltpu.VMEM)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=4 + rp.MASK_WORDS,
             grid=(jnp.maximum(b.n_real, 1),),

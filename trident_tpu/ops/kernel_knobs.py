@@ -37,6 +37,7 @@ _KNOBS: Dict[str, Tuple[str, str]] = {
     "qgate": ("trident_tpu.ops.raster_pallas", "QGATE"),
     "ckern": ("trident_tpu.ops.raster_pallas", "CKERN"),
     "recpad": ("trident_tpu.ops.raster_pallas", "RECPAD"),
+    "rect": ("trident_tpu.ops.raster_pallas", "RECT"),
     "ck_bank": ("trident_tpu.ops.raster_pallas", "CK_BANK"),
     "zorder": ("trident_tpu.ops.raster_pallas", "ZORDER"),
     "zskip": ("trident_tpu.ops.raster_pallas", "ZSKIP"),

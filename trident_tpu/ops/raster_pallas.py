@@ -143,6 +143,18 @@ ZSKIP_SCALE = float((1 << ZSKIP_BITS) - 1)
 ZSKIP_MARGIN = 1e-5  # absolute fp-noise bound on the kernel's rational
                      # depth vs the binner's corner ratios (r3 hardware-
                      # validated; see the ZSKIP note)
+RECT = _os.environ.get("TRIDENT_RECT", "0") == "1"
+                     # transposed DENSE records (round-4 floor follow-up):
+                     # the per-pair record DMA is ~1 µs serialized because
+                     # a (CHUNK, 16) block is 16-of-128 lanes sparse in
+                     # VMEM (r4hw9 probes; deeper buffering is capped at 2
+                     # by Mosaic). RECT stores records as (16, N) — the
+                     # (16, CHUNK) block is 16 sublanes × 256 lanes DENSE,
+                     # so the DMA moves 16 KB contiguous at full bandwidth
+                     # — and the kernel pays ONE (16,256)→(256,16)
+                     # transpose per pair to restore the compute layout.
+                     # Wins if Mosaic's transpose costs < the ~0.7 µs of
+                     # exposed DMA it removes.
 RECPAD = _os.environ.get("TRIDENT_RECPAD", "0") == "1"
                      # lane-padded visibility records (round-4 DMA
                      # hypothesis): kbench measured the per-pair cost
@@ -718,6 +730,12 @@ def build_bins(setup: TriangleSetup, width: int, height: int,
         # Applied AFTER the CKERN compact gather (which indexes the
         # compact row layout); kernel column reads are unchanged.
         records = jnp.pad(records, ((0, 0), (0, 128 - records.shape[1])))
+    if RECT:
+        # transposed DENSE layout: (16, N) — each pair's (16, CHUNK)
+        # block is sublane/lane dense, so the DMA moves contiguous bytes;
+        # the kernel transposes back once per pair (see the RECT note).
+        # Applied AFTER the CKERN compact gather.
+        records = records.T
 
     return PallasBins(records=records, pair_tile=pair_tile,
                       pair_chunk=pair_chunk, pair_mask=tuple(masks),
@@ -789,6 +807,10 @@ def _visibility_kernel(band_ref, zp_ref, pair_tile_ref, pair_chunk_ref,
     else:
         keep = None
 
+    if RECT:
+        # one relayout per pair restores triangles-on-sublanes from the
+        # DMA-dense (16, CHUNK) transposed block
+        rec_all = jnp.transpose(rec_ref[...])          # (CHUNK, 16)
     for q in range(NSUB):
         for w in range(NQ):
             # mask bit via // and % — bit ops are avoided in Mosaic scalars
@@ -799,7 +821,8 @@ def _visibility_kernel(band_ref, zp_ref, pair_tile_ref, pair_chunk_ref,
 
             @pl.when(hit)
             def _(q=q, w=w):
-                rec = rec_ref[q * SUB:(q + 1) * SUB, :]  # auto-pipelined
+                rec = (rec_all[q * SUB:(q + 1) * SUB, :] if RECT
+                       else rec_ref[q * SUB:(q + 1) * SUB, :])
 
                 def col(j):
                     return rec[:, j:j + 1]             # (SUB, 1)
@@ -1006,10 +1029,16 @@ def visibility_pallas_tiled(setup: TriangleSetup, width: int, height: int,
     else:
         kernel = functools.partial(_visibility_kernel, ntx=ntx)
         rec_in = bins.records
-        rec_spec = pl.BlockSpec((CHUNK, bins.records.shape[1]),
-                                lambda i, band, zp, tiles, chunks, *masks:
-                                (chunks[i], 0),
-                                memory_space=pltpu.VMEM)
+        if RECT:
+            rec_spec = pl.BlockSpec((16, CHUNK),
+                                    lambda i, band, zp, tiles, chunks,
+                                    *masks: (0, chunks[i]),
+                                    memory_space=pltpu.VMEM)
+        else:
+            rec_spec = pl.BlockSpec((CHUNK, bins.records.shape[1]),
+                                    lambda i, band, zp, tiles, chunks,
+                                    *masks: (chunks[i], 0),
+                                    memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4 + MASK_WORDS,
         # dynamic: only real pairs execute (≥1 — pair 0 degenerates to the
