@@ -342,10 +342,14 @@ def _main_inner() -> None:
     out = frame_b(jnp.zeros((), jnp.float32), *bundles[0], prev0)
     np.asarray(out.color.ravel()[:1])
 
-    # interactive mode is measured TWICE: the tunnel's dispatch latency
-    # fluctuates wildly run to run (r4hw1 measured 2.1–24.9 FPS for the
-    # SAME config across sections), so a single sample routinely
-    # mislabels engine latency as a regression. Report both + the best.
+    # interactive mode is measured with an AGREEMENT GATE (VERDICT r4
+    # item 8): the tunnel's dispatch latency fluctuates wildly run to run
+    # (r4hw1 measured 2.1–24.9 FPS for the SAME config across sections;
+    # BENCH_r04 published a 2x spread), so a single sample routinely
+    # mislabels tunnel state as engine latency — but max-of-two could
+    # also hide a REAL latency regression on a noisy day. Re-run (up to
+    # 5x) until the two best runs agree within 20%, then report the
+    # median of those two; all runs are published.
     def interactive_run():
         t0 = time.perf_counter()
         token = jnp.zeros((), jnp.float32)
@@ -359,7 +363,13 @@ def _main_inner() -> None:
         return iters / (time.perf_counter() - t0)
 
     chain_runs = [interactive_run() for _ in range(2)]
-    chain_fps = max(chain_runs)
+    while len(chain_runs) < 5:
+        best2 = sorted(chain_runs)[-2:]
+        if best2[0] >= 0.8 * best2[1]:     # two best agree within 20%
+            break
+        chain_runs.append(interactive_run())
+    best2 = sorted(chain_runs)[-2:]
+    chain_fps = best2[0]                   # lower of the two agreeing best
 
     # device-throughput mode: all frames inside ONE jit via lax.scan over
     # stacked per-frame params — no per-frame dispatch
@@ -434,6 +444,7 @@ def _main_inner() -> None:
                   "triangles": int(n_tris),
                   "interactive_fps": round(chain_fps, 2),
                   "interactive_runs": [round(c, 2) for c in chain_runs],
+                  "interactive_agreed": bool(best2[0] >= 0.8 * best2[1]),
                   "raster": raster,
                   "aux": [int(aux_counts[0]), int(aux_counts[1])],
                   "backend": jax.default_backend(), **extra_quality},

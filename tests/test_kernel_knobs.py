@@ -110,3 +110,22 @@ def test_shadow_scenes_get_zskip_policy_without_leaking():
         assert dict(rp2._kcfg)["zskip"] == kernel_knobs.env_defaults()["zskip"]
     finally:
         kernel_knobs.apply(base)
+
+
+def test_default_renderer_resets_leaked_globals():
+    """A default-config Renderer (kernel=None, shadows=False) constructed
+    after a sweep leaked knob overrides must snapshot the env-default
+    baseline, not the leaked globals (advisor round-4 finding)."""
+    from trident_tpu.core.config import EngineConfig, RenderConfig
+    from trident_tpu.render.renderer import Renderer
+
+    base = kernel_knobs.snapshot()
+    try:
+        kernel_knobs.apply({"zskip": True, "chunk": 128})   # leaked sweep
+        rd = Renderer(EngineConfig(render=RenderConfig(width=32, height=32)))
+        env = kernel_knobs.env_defaults()
+        assert dict(rd._kcfg)["zskip"] == env["zskip"]
+        assert dict(rd._kcfg)["chunk"] == env["chunk"]
+        assert raster_pallas.ZSKIP == env["zskip"]
+    finally:
+        kernel_knobs.apply(base)

@@ -377,3 +377,71 @@ def test_rect_is_bit_exact(rng, monkeypatch):
     on = _assert_matches_ref(setup)
     assert (np.asarray(off.tri_id) != np.asarray(on.tri_id)).sum() == 0
     assert (np.asarray(off.depth) != np.asarray(on.depth)).sum() == 0
+
+
+def test_acc_is_bit_exact(rng, monkeypatch):
+    """Shared-accumulator masked kernel (TRIDENT_ACC, round 5): reducing +
+    merging once per PAIR via the (SUB, npx) scratch must render
+    BIT-IDENTICALLY to the per-sweep merge — same order-independent
+    lexicographic (depth, tid) semantics, different association point."""
+    setup = _random_scene(rng, 600)
+    monkeypatch.setattr(raster_pallas, "ACC", False)
+    off = _vis(setup)
+    monkeypatch.setattr(raster_pallas, "ACC", True)
+    on = _assert_matches_ref(setup)
+    assert (np.asarray(off.tri_id) != np.asarray(on.tri_id)).sum() == 0
+    assert (np.asarray(off.depth) != np.asarray(on.depth)).sum() == 0
+
+
+def test_acc_zskip_is_bit_exact(rng, monkeypatch):
+    """ACC + hierarchical-Z: a skipped sweep leaves sentinel scratch rows,
+    which must lose the final merge exactly like a skipped per-sweep merge
+    (occluded-layer scene, skip provably fires)."""
+    t = raster_pallas.CHUNK * 2
+    pos = (rng.uniform(-1, 1, (t, 1, 3)) * [0.9, 0.9, 0]
+           + rng.uniform(-0.25, 0.25, (t, 3, 3))).astype(np.float32)
+    half = t // 2
+    pos[:half, :, 2] = rng.uniform(-0.7, -0.5, (half, 1))
+    pos[half:, :, 2] = rng.uniform(0.6, 0.8, (t - half, 1))
+    setup = _setup_from_ndc(pos)
+    monkeypatch.setattr(raster_pallas, "ACC", True)
+    monkeypatch.setattr(raster_pallas, "ZSKIP", False)
+    off = _vis(setup)
+    monkeypatch.setattr(raster_pallas, "ZSKIP", True)
+    monkeypatch.setattr(raster_pallas, "ZORDER", True)
+    on = _assert_matches_ref(setup)
+    assert (np.asarray(off.tri_id) != np.asarray(on.tri_id)).sum() == 0
+    assert (np.asarray(off.depth) != np.asarray(on.depth)).sum() == 0
+
+
+def test_acc_qgate_is_bit_exact(rng, monkeypatch):
+    """ACC composes with quarter gating: quarter sweeps accumulate into
+    lane slices of the shared scratch; the single final merge must still
+    equal the oracle and the non-ACC render."""
+    setup = _random_scene(rng, 300)
+    _set_qgate(monkeypatch, True)
+    monkeypatch.setattr(raster_pallas, "ACC", False)
+    off = _vis(setup)
+    monkeypatch.setattr(raster_pallas, "ACC", True)
+    on = _assert_matches_ref(setup)
+    assert (np.asarray(off.tri_id) != np.asarray(on.tri_id)).sum() == 0
+    assert (np.asarray(off.depth) != np.asarray(on.depth)).sum() == 0
+
+
+def test_acc_depth_tie_is_bit_exact(rng, monkeypatch):
+    """Exact depth ties across DIFFERENT sub-blocks of one pair: the
+    accumulator's per-cell tie-break plus the final cross-sub max must
+    pick the same winner as the per-sweep merge (max tid among min-depth
+    entries, globally)."""
+    t = 96                     # spans several SUB=16 sub-blocks
+    pos = (rng.uniform(-1, 1, (t, 1, 3)) * [0.9, 0.9, 0.3]
+           + rng.uniform(-0.3, 0.3, (t, 3, 3))).astype(np.float32)
+    pos[5] = pos[40]           # exact duplicates in different sub-blocks
+    pos[20] = pos[85]
+    setup = _setup_from_ndc(pos)
+    monkeypatch.setattr(raster_pallas, "ACC", False)
+    off = _vis(setup)
+    monkeypatch.setattr(raster_pallas, "ACC", True)
+    on = _assert_matches_ref(setup)
+    assert (np.asarray(off.tri_id) != np.asarray(on.tri_id)).sum() == 0
+    assert (np.asarray(off.depth) != np.asarray(on.depth)).sum() == 0

@@ -112,3 +112,47 @@ def test_stl_renders_end_to_end(tmp_path):
     r.editor_camera.look_at_target([0, 0, 0])
     img = np.asarray(r.read_frame())
     assert img[24, 24, :3].astype(int).sum() > 30   # quad visible at center
+
+
+def test_binary_stl_with_trailing_bytes(tmp_path):
+    """Several common exporters append bytes after the last record; the
+    Assimp-backed reference loads them (advisor round-4 finding)."""
+    p = str(tmp_path / "trail.stl")
+    _write_binary_stl(p, QUAD)
+    with open(p, "ab") as f:
+        f.write(b"\0" * 37 + b"exporter junk")
+    mesh = load_model(p).meshes[0]
+    assert mesh.triangle_count == 2
+
+
+def test_ply_color_scale_follows_declared_dtype(tmp_path):
+    """uchar colors divide by 255 even when every observed value <= 1
+    (near-black mesh); float colors > 1.0 pass through unscaled
+    (advisor round-4 finding)."""
+    dark = tmp_path / "dark.ply"
+    dark.write_text(
+        "ply\nformat ascii 1.0\n"
+        "element vertex 3\n"
+        "property float x\nproperty float y\nproperty float z\n"
+        "property uchar red\nproperty uchar green\nproperty uchar blue\n"
+        "element face 1\n"
+        "property list uchar int vertex_indices\n"
+        "end_header\n"
+        "0 0 0 1 0 1\n1 0 0 1 1 0\n0 1 0 0 1 1\n"
+        "3 0 1 2\n")
+    mesh = load_model(str(dark)).meshes[0]
+    assert mesh.colors.max() <= 1.01 / 255.0     # 1 means 1/255, not 1.0
+
+    hdr = tmp_path / "hdr.ply"
+    hdr.write_text(
+        "ply\nformat ascii 1.0\n"
+        "element vertex 3\n"
+        "property float x\nproperty float y\nproperty float z\n"
+        "property float red\nproperty float green\nproperty float blue\n"
+        "element face 1\n"
+        "property list uchar int vertex_indices\n"
+        "end_header\n"
+        "0 0 0 2.5 0 0\n1 0 0 0 2.5 0\n0 1 0 0 0 2.5\n"
+        "3 0 1 2\n")
+    mesh = load_model(str(hdr)).meshes[0]
+    assert np.isclose(mesh.colors.max(), 2.5)    # HDR floats not divided

@@ -30,8 +30,19 @@ def pallas_make(**kw):
 
 tg._make = pallas_make
 
+# Per-flavor cap on the EXEMPTED class (boundary winner-tie flips, >16
+# LSB on a winner-id edge): the exemption is qualitative in nature (any
+# single flip's LSB magnitude is unboundable) but its COUNT is not — a
+# regression that multiplies depth ties must not hide in it (VERDICT r4
+# item 7). Thresholds = round-4 measured counts + margin: skinned read 20
+# flip px (r4diag1, the slerp-transcendental class); every other flavor
+# read 0 (r4hw2 byte-stable). Flavors not listed get the default cap.
+FLIP_CAPS = {"skinned": 40}
+FLIP_CAP_DEFAULT = 8
+
 worst = 0.0
 interior_total = 0
+flip_violations = []
 for name, builder in sorted(tg.FLAVORS.items()):
     r = builder()
     out = r.render_viewport(r.active_viewport)
@@ -55,18 +66,26 @@ for name, builder in sorted(tg.FLAVORS.items()):
         if not (neigh != tri[y, x]).any():
             interior += 1
     interior_total += interior
+    flips = len(ys) - interior
+    cap = FLIP_CAPS.get(name, FLIP_CAP_DEFAULT)
+    if flips > cap:
+        flip_violations.append((name, flips, cap))
     print(f"flavor {name}: >3LSB frac={frac:.5f} mean={mean:.3f} max={mx} "
-          f">16LSB={len(ys)}px (interior={interior})", flush=True)
+          f">16LSB={len(ys)}px (interior={interior} flips={flips}/"
+          f"cap {cap})", flush=True)
     worst = max(worst, frac)
 print(f"WORST_FRAC {worst:.5f} INTERIOR_OUTLIERS {interior_total}",
       flush=True)
 
-# the tightened hardware gate (VERDICT r3 item 9): winner-tie silhouette
-# flips are unboundable in LSB by construction, so the gate is (a) ZERO
-# interior >16-LSB outliers and (b) the >3-LSB fraction stays within the
-# known slerp-residual envelope. Exit nonzero so sweep logs fail loudly.
-if interior_total > 0 or worst > 0.002:
+# the tightened hardware gate (VERDICT r3 item 9 + r4 item 7): winner-tie
+# silhouette flips are unboundable in LSB by construction, so the gate is
+# (a) ZERO interior >16-LSB outliers, (b) the >3-LSB fraction stays within
+# the known slerp-residual envelope, and (c) the boundary-flip COUNT per
+# flavor stays under its measured cap. Exit nonzero so sweep logs fail
+# loudly.
+if interior_total > 0 or worst > 0.002 or flip_violations:
     print(f"FLAVOR GATE FAILED: interior={interior_total} "
-          f"worst_frac={worst:.5f}", flush=True)
+          f"worst_frac={worst:.5f} flip_caps_exceeded={flip_violations}",
+          flush=True)
     sys.exit(1)
 print("FLAVOR GATE PASSED", flush=True)

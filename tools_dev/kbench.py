@@ -45,7 +45,8 @@ def main():
     grid = int(os.environ.get("KB_GRID", "36"))
     iters = int(os.environ.get("KB_ITERS", "30"))
     print(f"backend={jax.default_backend()} grid={grid} CHUNK={rp.CHUNK} "
-          f"SUB={rp.SUB} QGATE={rp.QGATE} ZORDER={rp.ZORDER}", flush=True)
+          f"SUB={rp.SUB} QGATE={rp.QGATE} ZORDER={rp.ZORDER} ACC={rp.ACC}",
+          flush=True)
 
     r, reg = build_scene(width, height, grid)
     packed = r.geometry.packed()
@@ -166,6 +167,9 @@ def main():
                     lambda i, band, zp, tiles, chunks, *masks:
                     (chunks[i], 0),
                     memory_space=pltpu.VMEM)
+        scratch = ([pltpu.VMEM((rp.SUB, npx), jnp.float32),
+                    pltpu.VMEM((rp.SUB, npx), jnp.int32)]
+                   if (rp.ACC and not rp.CKERN and not dense) else [])
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=4 + rp.MASK_WORDS,
             grid=(jnp.maximum(b.n_real, 1),),
@@ -177,7 +181,8 @@ def main():
                 pl.BlockSpec((1, 1, npx),
                              lambda i, band, zp, tiles, chunks, *masks:
                              (tiles[i], 0, 0), memory_space=pltpu.VMEM),
-            ])
+            ],
+            scratch_shapes=scratch)
         depth, tri = pl.pallas_call(
             kernel, grid_spec=grid_spec,
             out_shape=[jax.ShapeDtypeStruct((n_tiles, 1, npx), jnp.float32),
@@ -190,19 +195,54 @@ def main():
         return depth[0, 0, 0] * 0.0
 
     if os.environ.get("KB_BINS", "0") == "1":
-        # time build_bins alone (the CKERN compact-table build rides here)
-        fb = jax.jit(lambda s, tok: rp.build_bins(
-            s._replace(edge=s.edge + tok), ntx * rp.TILE_W, nty * rp.TILE_H))
-        out = fb(setup, jnp.zeros((), jnp.float32))
-        np.asarray(out.pair_tile[0])
-        t0 = time.perf_counter()
-        tok = jnp.zeros((), jnp.float32)
-        for _ in range(iters):
-            out = fb(setup, tok)
-            tok = out.pair_tile[0].astype(jnp.float32) * 0.0
-        np.asarray(tok)
-        print(f"build_bins: {(time.perf_counter() - t0) / iters * 1000.0:.2f}"
-              " ms/call", flush=True)
+        # binning-chain decomposition (round 5, VERDICT item 2): split the
+        # build_bins cost into records materialization / emission+sort /
+        # everything else, plus a standalone same-size sort for the
+        # ns-per-key ground truth.
+        def timed(label, f, *args):
+            out = f(*args, jnp.zeros((), jnp.float32))
+            np.asarray(out.ravel()[0])
+            t0 = time.perf_counter()
+            tok = jnp.zeros((), jnp.float32)
+            for _ in range(iters):
+                out = f(*args, tok)
+                tok = out.ravel()[0].astype(jnp.float32) * 0.0
+            np.asarray(tok)
+            print(f"{label}: {(time.perf_counter() - t0) / iters * 1000.0:"
+                  f".2f} ms/call", flush=True)
+
+        t = setup.edge.shape[0]
+        n_chunks = max(1, -(-t // rp.CHUNK))
+        tpad = n_chunks * rp.CHUNK
+
+        timed("build_bins", jax.jit(lambda s, tok: rp.build_bins(
+            s._replace(edge=s.edge + tok), ntx * rp.TILE_W,
+            nty * rp.TILE_H).pair_tile), setup)
+        timed("records_only", jax.jit(lambda s, tok: rp._build_records(
+            s._replace(edge=s.edge + tok), tpad)), setup)
+
+        # build_bins with records stubbed to a broadcast constant — the
+        # (build_bins - stub - records_only) residual is XLA overlap
+        orig_br = rp._build_records
+        try:
+            rp._build_records = (
+                lambda s, tp, setup_cols=None:
+                jnp.zeros(((n_chunks + 1) * rp.CHUNK, 16), jnp.float32)
+                + s.edge[0, 0, 0] * 0.0)
+            timed("bins_minus_records", jax.jit(lambda s, tok: rp.build_bins(
+                s._replace(edge=s.edge + tok), ntx * rp.TILE_W,
+                nty * rp.TILE_H).pair_tile), setup)
+        finally:
+            rp._build_records = orig_br
+
+        # ground truth: one i32 sort of the emission-sized key array
+        nslots = (n_chunks * (rp.SPAN0 ** 2)
+                  + sum(min(c, n_chunks) * ((rp.SPAN0 << (k + 1)) ** 2)
+                        for k, c in enumerate(rp.MID_CAPS))
+                  + min(rp.MAX_GLOBAL, n_chunks) * n_tiles)
+        keys = jnp.arange(nslots, dtype=jnp.int32)[::-1]
+        timed(f"raw_sort_{nslots}", jax.jit(
+            lambda k, tok: jnp.sort(k + tok.astype(jnp.int32))), keys)
 
     def run_probe(b, token, tiny):
         """Step-machinery probe: the kernel body is ONLY the first-tile

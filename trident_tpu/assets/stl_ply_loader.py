@@ -71,7 +71,12 @@ def _parse_stl_binary(data: bytes):
     if len(data) < 84:
         return None
     (count,) = struct.unpack_from("<I", data, 80)
-    if len(data) != 84 + 50 * count or count == 0:
+    # several common exporters append trailing bytes after the records, so
+    # accept len >= the exact size and parse exactly `count` records (the
+    # Assimp-backed reference loads such files; advisor round-4 finding).
+    # An ASCII file essentially never satisfies this: its bytes at offset
+    # 80 decode to a huge count.
+    if len(data) < 84 + 50 * count or count == 0:
         return None
     rec = np.frombuffer(data, np.uint8, 50 * count, 84).reshape(count, 50)
     f = rec[:, :48].copy().view("<f4").reshape(count, 12)
@@ -211,9 +216,18 @@ def load_ply(path: str):
         return None
 
     normals = opt3(("nx", "ny", "nz"))
-    colors = opt3(("red", "green", "blue"),
-                  1.0 / 255.0 if "red" in v and np.asarray(
-                      v["red"], np.float32).max(initial=0.0) > 1.0 else 1.0)
+    # color scaling comes from the DECLARED property dtype, not the
+    # observed value range: a uchar-colored near-black mesh (all channels
+    # <= 1) must still divide by 255, and float colors legitimately > 1.0
+    # must not (advisor round-4 finding)
+    vprops = {p[0]: p[2] for _en, _ct, _props in elements
+              for p in _props if _en == "vertex"}
+    ctype = _PLY_DTYPES.get(vprops.get("red", "float"), "f4")
+    cscale = {"u1": 1.0 / 255.0, "i1": 1.0 / 127.0,
+              "u2": 1.0 / 65535.0, "i2": 1.0 / 32767.0,
+              "u4": 1.0 / 4294967295.0, "i4": 1.0 / 2147483647.0}.get(
+                  ctype, 1.0)
+    colors = opt3(("red", "green", "blue"), cscale)
     uvs = None
     for ua, va_ in (("u", "v"), ("s", "t")):
         if ua in v and va_ in v:

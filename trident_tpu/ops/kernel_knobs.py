@@ -36,6 +36,7 @@ _KNOBS: Dict[str, Tuple[str, str]] = {
     "cover_gate": ("trident_tpu.ops.raster_pallas", "COVER_GATE"),
     "qgate": ("trident_tpu.ops.raster_pallas", "QGATE"),
     "ckern": ("trident_tpu.ops.raster_pallas", "CKERN"),
+    "acc": ("trident_tpu.ops.raster_pallas", "ACC"),
     "recpad": ("trident_tpu.ops.raster_pallas", "RECPAD"),
     "rect": ("trident_tpu.ops.raster_pallas", "RECT"),
     "ck_bank": ("trident_tpu.ops.raster_pallas", "CK_BANK"),

@@ -143,6 +143,22 @@ ZSKIP_SCALE = float((1 << ZSKIP_BITS) - 1)
 ZSKIP_MARGIN = 1e-5  # absolute fp-noise bound on the kernel's rational
                      # depth vs the binner's corner ratios (r3 hardware-
                      # validated; see the ZSKIP note)
+ACC = _os.environ.get("TRIDENT_ACC", "1") == "1"
+                     # shared-accumulator masked kernel (round 5, the
+                     # CKERN-v2 transplant): instead of reducing + merging
+                     # into the output tile once PER SWEEP (~163 ns fixed
+                     # each — merge + two cross-sub reductions +
+                     # predication, measured as ~1/3 of the kernel,
+                     # r4kb1.log), each hit sweep accumulates (depth, tid)
+                     # elementwise into a (SUB, npx) VMEM scratch pair
+                     # with the 6-op lexicographic update CKERN v2 proved
+                     # exact and Mosaic-friendly on chip
+                     # (_visibility_kernel_ck), and the pair reduces +
+                     # merges ONCE at the end. Scratch persists across
+                     # @pl.when regions (unlike registers), so the
+                     # per-sub-block branch structure — which QGATE/CKERN
+                     # showed must stay — is untouched. Bit-exact either
+                     # way (same lexicographic semantics; A/B test).
 RECT = _os.environ.get("TRIDENT_RECT", "0") == "1"
                      # transposed DENSE records (round-4 floor follow-up):
                      # the per-pair record DMA is ~1 µs serialized because
@@ -349,6 +365,14 @@ class PallasBins(NamedTuple):
 def _build_records(setup: TriangleSetup, tpad: int,
                    setup_cols=None) -> Array:
     t = setup.edge.shape[0]
+    if tpad >= (1 << 24):
+        # column 15 carries the global triangle id as f32 — exact only
+        # below 2^24. BOTH kernels read winner ids from it (the masked
+        # kernel since round 4), so the guard applies regardless of CKERN
+        # (advisor round-4 finding; the old code derived ids from iota).
+        raise ValueError(
+            f"{t} triangles: triangle ids ride an f32 record column, "
+            "exact only below 2^24 — split the scene across draws")
     valid = setup.valid
     # planar fast path: SetupCols carries the identical column values
     # pre-stack — consuming them here (the corner chain's only edge/z
@@ -656,10 +680,8 @@ def build_bins(setup: TriangleSetup, width: int, height: int,
     real = jnp.arange(pairs.shape[0], dtype=jnp.int32) < n_real
     compact = None
     if CKERN:
-        if tpad >= (1 << 24):
-            raise ValueError(
-                f"{t} triangles: TRIDENT_CKERN packs triangle ids into an "
-                "f32 record column, exact only below 2^24")
+        # (the 2^24 triangle-id guard lives in _build_records now — it
+        # applies to BOTH kernels, not just CKERN)
         # compacted hit-sub list per pair (hit subs first, ascending q;
         # padding duplicates the FIRST hit sub — the lexicographic merge
         # is idempotent so duplicates are bit-exactly free; padding PAIRS
@@ -773,8 +795,12 @@ def _visibility_kernel(band_ref, zp_ref, pair_tile_ref, pair_chunk_ref,
     which frees the binner to order a tile's pairs near-to-far (ZORDER)
     so the hierarchical-Z skip can fire on occluded pairs."""
     # refs = MASK_WORDS mask words (scalar-prefetch), records, depth, tri
+    # (+ the (SUB, npx) run_d/run_t VMEM scratch pair when ACC)
     mask_refs = refs[:MASK_WORDS]
-    rec_ref, depth_out, tri_out = refs[MASK_WORDS:]
+    if ACC:
+        rec_ref, depth_out, tri_out, run_d_ref, run_t_ref = refs[MASK_WORDS:]
+    else:
+        rec_ref, depth_out, tri_out = refs[MASK_WORDS:]
     i = pl.program_id(0)
     tile = pair_tile_ref[i]
     prev = pair_tile_ref[jnp.maximum(i - 1, 0)]
@@ -791,6 +817,12 @@ def _visibility_kernel(band_ref, zp_ref, pair_tile_ref, pair_chunk_ref,
     def _():
         depth_out[0] = jnp.full((1, npx), 1.0, jnp.float32)
         tri_out[0] = jnp.full((1, npx), -1, jnp.int32)
+
+    if ACC:
+        # straight-line per-pair scratch reset (sentinel never wins the
+        # final merge: cmin = 4.0 > any accumulated acc_d ≤ 1.0)
+        run_d_ref[...] = jnp.full((SUB, npx), DEPTH_SENTINEL, jnp.float32)
+        run_t_ref[...] = jnp.full((SUB, npx), -1, jnp.int32)
 
     if ZSKIP and ZSKIP_PACK:
         # hierarchical-Z: the pair's packed conservative min depth (last
@@ -859,14 +891,27 @@ def _visibility_kernel(band_ref, zp_ref, pair_tile_ref, pair_chunk_ref,
                     d = zi * pl.reciprocal(jnp.where(cover, wi, 1.0),
                                            approx=False)
                     dm = jnp.where(cover, d, DEPTH_SENTINEL)
-
-                    cmin = jnp.min(dm, axis=0, keepdims=True)  # (1, qpx)
                     # global ids ride record col 15 (f32-exact < 2^24)
                     tid = col(15).astype(jnp.int32)
+                    sl = slice(w * qpx, (w + 1) * qpx)
+
+                    if ACC:
+                        # 6-op elementwise lexicographic accumulate into
+                        # the pair's (SUB, npx) scratch — the reductions
+                        # + output merge happen ONCE per pair below
+                        # (CKERN-v2 transplant; see the ACC knob note)
+                        rd = run_d_ref[:, sl]
+                        rt = run_t_ref[:, sl]
+                        tb = jnp.broadcast_to(tid, dm.shape)
+                        btr = (dm < rd) | ((dm == rd) & (tb > rt))
+                        run_d_ref[:, sl] = jnp.where(btr, dm, rd)
+                        run_t_ref[:, sl] = jnp.where(btr, tb, rt)
+                        return
+
+                    cmin = jnp.min(dm, axis=0, keepdims=True)  # (1, qpx)
                     win = jnp.max(jnp.where(dm <= cmin, tid, -1), axis=0,
                                   keepdims=True)
 
-                    sl = slice(w * qpx, (w + 1) * qpx)
                     acc_d = depth_out[0, :, sl]
                     acc_t = tri_out[0, :, sl]
                     # lexicographic (depth, tid) — identical final result
@@ -885,6 +930,24 @@ def _visibility_kernel(band_ref, zp_ref, pair_tile_ref, pair_chunk_ref,
                     pl.when(jnp.any(cover))(merge)
                 else:
                     merge()
+
+    if ACC:
+        # one reduce + output merge per PAIR (was per sweep): cross-sub
+        # min depth, max tid on ties — the same order-independent
+        # lexicographic semantics, so the result is bit-identical to the
+        # per-sweep merge in any pair/sweep order. Sweeps that never ran
+        # (mask miss / hierarchical-Z skip) left sentinel rows, which can
+        # never beat acc_d ≤ 1.0.
+        rd = run_d_ref[...]
+        rt = run_t_ref[...]
+        cmin = jnp.min(rd, axis=0, keepdims=True)          # (1, npx)
+        win = jnp.max(jnp.where(rd <= cmin, rt, -1), axis=0, keepdims=True)
+        acc_d = depth_out[0]
+        acc_t = tri_out[0]
+        better = (win >= 0) & ((cmin < acc_d)
+                               | ((cmin == acc_d) & (win > acc_t)))
+        depth_out[0] = jnp.where(better, cmin, acc_d)
+        tri_out[0] = jnp.where(better, win, acc_t)
 
 
 def _visibility_kernel_ck(band_ref, zp_ref, pair_tile_ref, pair_chunk_ref,
@@ -1039,6 +1102,11 @@ def visibility_pallas_tiled(setup: TriangleSetup, width: int, height: int,
                                     lambda i, band, zp, tiles, chunks,
                                     *masks: (chunks[i], 0),
                                     memory_space=pltpu.VMEM)
+    # shared-accumulator scratch (ACC): run_d/run_t persist across the
+    # masked kernel's @pl.when sweep regions within a pair
+    scratch = ([pltpu.VMEM((SUB, npx), jnp.float32),
+                pltpu.VMEM((SUB, npx), jnp.int32)]
+               if (ACC and not CKERN) else [])
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4 + MASK_WORDS,
         # dynamic: only real pairs execute (≥1 — pair 0 degenerates to the
@@ -1055,6 +1123,7 @@ def visibility_pallas_tiled(setup: TriangleSetup, width: int, height: int,
                          (tiles[i], 0, 0),
                          memory_space=pltpu.VMEM),
         ],
+        scratch_shapes=scratch,
     )
     depth, tri = pl.pallas_call(
         kernel,

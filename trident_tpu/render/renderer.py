@@ -494,22 +494,23 @@ class Renderer:
         rc = self.config.render
         from trident_tpu.ops import kernel_knobs
 
-        if rc.kernel is not None or rc.shadows:
-            # per-run kernel constants (SURVEY §5 unification): knobs are
-            # module statics the kernels bake in at trace time; the active
-            # set's trace_key() rides every frame jit as a static arg so
-            # two differently-configured Renderers never share traces, and
-            # _ensure_knobs() re-applies this renderer's set before each
-            # dispatch so interleaved renderers each trace their own.
-            # Every renderer builds from the env-default baseline (a
-            # previous renderer's overlay must not leak in). Engine
-            # policy: shadow-casting scenes have receivers behind casters
-            # — real overdraw — where the hierarchical-Z skip +
-            # near-to-far pair order measured +9% (r4hw2 §6: 19.44 vs
-            # 17.82 FPS); RenderConfig.kernel overrides it.
-            overlay = ({"zskip": True, "zorder": True} if rc.shadows else {})
-            overlay.update(rc.kernel or {})
-            kernel_knobs.apply({**kernel_knobs.env_defaults(), **overlay})
+        # per-run kernel constants (SURVEY §5 unification): knobs are
+        # module statics the kernels bake in at trace time; the active
+        # set's trace_key() rides every frame jit as a static arg so
+        # two differently-configured Renderers never share traces, and
+        # _ensure_knobs() re-applies this renderer's set before each
+        # dispatch so interleaved renderers each trace their own.
+        # Every renderer builds from the env-default baseline — applied
+        # UNCONDITIONALLY (kernel=None included), so a previous
+        # renderer's or sweep's overlay can never leak into a
+        # default-config renderer (advisor round-4 finding). Engine
+        # policy: shadow-casting scenes have receivers behind casters
+        # — real overdraw — where the hierarchical-Z skip +
+        # near-to-far pair order measured +9% (r4hw2 §6: 19.44 vs
+        # 17.82 FPS); RenderConfig.kernel overrides it.
+        overlay = ({"zskip": True, "zorder": True} if rc.shadows else {})
+        overlay.update(rc.kernel or {})
+        kernel_knobs.apply({**kernel_knobs.env_defaults(), **overlay})
         self._kcfg_snapshot = kernel_knobs.snapshot()
         self._kcfg = kernel_knobs.trace_key()
         self.geometry = GeometryCache()
