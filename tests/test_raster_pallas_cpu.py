@@ -445,3 +445,61 @@ def test_acc_depth_tie_is_bit_exact(rng, monkeypatch):
     on = _assert_matches_ref(setup)
     assert (np.asarray(off.tri_id) != np.asarray(on.tri_id)).sum() == 0
     assert (np.asarray(off.depth) != np.asarray(on.depth)).sum() == 0
+
+
+def test_exact_bins_is_bit_exact(rng, monkeypatch):
+    """Exact-fit ragged pair emission (TRIDENT_EXACT_BINS, round 5): the
+    flat cumsum+searchsorted pool must emit the same REAL pair set as the
+    tiered bbox-window emission, so renders are BIT-IDENTICAL."""
+    setup = _random_scene(rng, 600)
+    monkeypatch.setattr(raster_pallas, "EXACT_BINS", False)
+    off = _vis(setup)
+    monkeypatch.setattr(raster_pallas, "EXACT_BINS", True)
+    on = _assert_matches_ref(setup)
+    assert np.asarray(on.aux).sum() == 0
+    assert (np.asarray(off.tri_id) != np.asarray(on.tri_id)).sum() == 0
+    assert (np.asarray(off.depth) != np.asarray(on.depth)).sum() == 0
+
+
+def test_exact_bins_pair_set_matches_tiers(rng, monkeypatch):
+    """Binning-level check: both emissions must produce the identical
+    sorted real-pair prefix (same keys, same count) when nothing drops —
+    including a scene with whale chunks (near-plane full-frame bboxes),
+    which the tier path broadcasts and the exact path claims by area."""
+    t = 96
+    pos = rng.uniform(-0.8, 0.8, (t, 3, 3)).astype(np.float32)
+    pos[:, :, 2] = rng.uniform(0.1, 0.9, (t, 3))
+    ww = np.ones((t, 3), np.float32)
+    ww[:5, 0] = -0.5                      # near-plane → whale bboxes
+    setup = _setup_from_ndc(pos, ww, w=WB)
+    monkeypatch.setattr(raster_pallas, "EXACT_BINS", False)
+    b0 = jax.jit(lambda s: build_bins(s, WB, H))(setup)
+    monkeypatch.setattr(raster_pallas, "EXACT_BINS", True)
+    b1 = jax.jit(lambda s: build_bins(s, WB, H))(setup)
+    n0, n1 = int(b0.n_real), int(b1.n_real)
+    assert int(np.asarray(b0.aux)[1]) == 0 and int(np.asarray(b1.aux)[1]) == 0
+    assert n0 == n1
+    k0 = np.stack([np.asarray(b0.pair_tile)[:n0],
+                   np.asarray(b0.pair_chunk)[:n0]], -1)
+    k1 = np.stack([np.asarray(b1.pair_tile)[:n1],
+                   np.asarray(b1.pair_chunk)[:n1]], -1)
+    assert (k0 == k1).all()
+
+
+def test_exact_bins_pool_overflow_counted(rng, monkeypatch):
+    """Chunks whose claim crosses the pool end drop to MISSING geometry,
+    counted in aux[1] — never garbage (the degrade contract)."""
+    monkeypatch.setattr(raster_pallas, "EXACT_BINS", True)
+    monkeypatch.setattr(raster_pallas, "EXACT_POOL_PAD", 0)
+    C = raster_pallas.CHUNK
+    t = C * 5
+    pos = rng.uniform(-0.8, 0.8, (t, 3, 3)).astype(np.float32)
+    pos[:, :, 2] = rng.uniform(0.1, 0.9, (t, 3))
+    ww = np.ones((t, 3), np.float32)
+    ww[::C, 0] = -0.5                     # every chunk whale-sized
+    setup = _setup_from_ndc(pos, ww, w=WB)
+    pal = _vis(setup, w=WB)
+    aux = np.asarray(pal.aux)
+    assert aux[1] > 0                     # drops counted
+    pt = np.asarray(pal.tri_id)
+    assert ((pt == -1) | ((pt >= 0) & (pt < t))).all()

@@ -143,6 +143,28 @@ ZSKIP_SCALE = float((1 << ZSKIP_BITS) - 1)
 ZSKIP_MARGIN = 1e-5  # absolute fp-noise bound on the kernel's rational
                      # depth vs the binner's corner ratios (r3 hardware-
                      # validated; see the ZSKIP note)
+EXACT_BINS = _os.environ.get("TRIDENT_EXACT_BINS", "0") == "1"
+                     # exact-fit ragged pair emission (round 5, VERDICT r4
+                     # item 2): instead of the tiered bbox-corner windows
+                     # (base span0² slots/chunk + MID_CAPS windowed tiers +
+                     # whale broadcast — ~73k sort slots at 1M/1080p of
+                     # which ~88% are sentinels), each chunk claims exactly
+                     # span_x·span_y slots in ONE flat pool laid out by a
+                     # cumsum over chunk candidate areas; a searchsorted
+                     # maps pool slots back to (chunk, dx, dy). The sorted
+                     # array shrinks to n_chunks·span0²+8192 static slots
+                     # (~25k at 1M/1080p — the sort is ~65 ns/key), and the
+                     # per-tier argsort compactions + the (MAX_GLOBAL,
+                     # n_tiles) whale test disappear. Emission is exact at
+                     # EVERY span (a whale claims its true area), so the
+                     # only capacity loss is pool-end overflow: chunks past
+                     # the pool are dropped-and-counted (aux[1]), same
+                     # degrade-to-missing contract as the whale cap.
+EXACT_POOL_PAD = 8192
+                     # exact-fit pool headroom past n_chunks·span0²: absorbs
+                     # chunks wider than the base span (the old mid tiers'
+                     # job). Tests shrink it to exercise the counted-drop
+                     # path.
 ACC = _os.environ.get("TRIDENT_ACC", "1") == "1"
                      # shared-accumulator masked kernel (round 5, the
                      # CKERN-v2 transplant): instead of reducing + merging
@@ -407,6 +429,80 @@ def _build_records(setup: TriangleSetup, tpad: int,
     return jnp.concatenate(parts, axis=0)
 
 
+def _tiered_emission(nonempty, span_x, span_y, span0, ctx0, cty0, n_chunks,
+                     n_tiles, ntx, shift_t, slot_ids, zqc, pack_keys,
+                     subblock_hit, sentinel):
+    """The pre-round-5 pair emission (default when EXACT_BINS is off):
+    small chunks emit span0² bbox-window slots, wider chunks cascade
+    through MID_CAPS windowed tiers (stable-argsort compaction), whales
+    broadcast against every tile. Returns the UNSORTED slot array plus the
+    dropped-whale count. Kept for A/B against the exact-fit emission."""
+    small = nonempty & (span_x <= span0) & (span_y <= span0)
+
+    # small chunks → up to span0×span0 (tile, chunk) pairs; a candidate
+    # tile no sub-block touches emits nothing (tighter than the union bbox)
+    k = span0 * span0
+    dx = jnp.arange(k, dtype=jnp.int32) % span0
+    dy = jnp.arange(k, dtype=jnp.int32) // span0
+    tx = ctx0[:, None] + dx[None, :]
+    ty = cty0[:, None] + dy[None, :]
+    in_range = small[:, None] & subblock_hit(ty, tx)
+    tile_of = ty * ntx + tx
+    small_pairs = jnp.where(
+        in_range, pack_keys(tile_of, slot_ids[:, None], zqc[:, None]),
+        sentinel).astype(jnp.int32)
+
+    # wider chunks cascade through windowed mid tiers (tier k: span up to
+    # SPAN0<<(k+1), window anchored at the bbox corner, cap MID_CAPS[k]
+    # chunks via stable-argsort compaction), then to global whale slots.
+    # Only chunks past the WHALE cap are dropped (counted in aux[1]) —
+    # mid-tier overflow just falls through to the next tier.
+    parts = [small_pairs.reshape(-1)]
+    admitted = small
+    # mid-tier windows scale with the SAME resolution factor as the base
+    # span: at 4K a chunk one tile over span0 must land in the wide-cap
+    # tier 0, not cascade through the narrow caps into whale drops
+    wx, wy = span0, span0
+    for cap in MID_CAPS:
+        wx, wy = wx * 2, wy * 2
+        fits = nonempty & ~admitted & (span_x <= wx) & (span_y <= wy)
+        order = jnp.argsort(~fits, stable=True).astype(jnp.int32)
+        g = min(cap, n_chunks)
+        gsel = order[:g]
+        gvalid = fits[gsel]
+        admitted = admitted | jnp.zeros(
+            n_chunks, bool).at[gsel].set(gvalid)
+        kk = wx * wy
+        dx = jnp.arange(kk, dtype=jnp.int32) % wx
+        dy = jnp.arange(kk, dtype=jnp.int32) // wx
+        tx = ctx0[gsel][:, None] + dx[None, :]
+        ty = cty0[gsel][:, None] + dy[None, :]
+        m = gvalid[:, None] & subblock_hit(ty, tx, gsel)
+        parts.append(jnp.where(
+            m, pack_keys(ty * ntx + tx, slot_ids[gsel][:, None],
+                         zqc[gsel][:, None]),
+            sentinel).astype(jnp.int32).reshape(-1))
+
+    # whale chunks: broadcast to every tile a sub-block touches. Chunks
+    # past the cap are DROPPED (missing geometry) and counted in aux[1].
+    gmask = nonempty & ~admitted
+    order = jnp.argsort(~gmask, stable=True).astype(jnp.int32)
+    g = min(MAX_GLOBAL, n_chunks)
+    gsel = order[:g]
+    gvalid = gmask[gsel]
+    n_big_dropped = (jnp.sum(gmask) - jnp.sum(gvalid)).astype(jnp.int32)
+    tile_ids = jnp.arange(n_tiles, dtype=jnp.int32)
+    g_ty = jnp.broadcast_to(tile_ids[None, :] // ntx, (g, n_tiles))
+    g_tx = jnp.broadcast_to(tile_ids[None, :] % ntx, (g, n_tiles))
+    big_mask = gvalid[:, None] & subblock_hit(g_ty, g_tx, gsel)
+    big_pairs = jnp.where(
+        big_mask,
+        pack_keys(tile_ids[None, :], gsel[:, None] + 1, zqc[gsel][:, None]),
+        sentinel).astype(jnp.int32)
+    parts.append(big_pairs.reshape(-1))
+    return jnp.concatenate(parts), n_big_dropped
+
+
 def build_bins(setup: TriangleSetup, width: int, height: int,
                setup_cols=None) -> PallasBins:
     t = setup.edge.shape[0]
@@ -557,73 +653,40 @@ def build_bins(setup: TriangleSetup, width: int, height: int,
     while ntx > 68 * f or nty > 40 * f:
         f *= 2
     span0 = SPAN0 * f
-    small = nonempty & (span_x <= span0) & (span_y <= span0)
 
     # chunk slot in records = chunk index + 1 (slot 0 is the sentinel)
     slot_ids = jnp.arange(1, n_chunks + 1, dtype=jnp.int32)
 
-    # small chunks → up to span0×span0 (tile, chunk) pairs; a candidate
-    # tile no sub-block touches emits nothing (tighter than the union bbox)
-    k = span0 * span0
-    dx = jnp.arange(k, dtype=jnp.int32) % span0
-    dy = jnp.arange(k, dtype=jnp.int32) // span0
-    tx = ctx0[:, None] + dx[None, :]
-    ty = cty0[:, None] + dy[None, :]
-    in_range = small[:, None] & subblock_hit(ty, tx)
-    tile_of = ty * ntx + tx
-    small_pairs = jnp.where(
-        in_range, pack_keys(tile_of, slot_ids[:, None], zqc[:, None]),
-        n_tiles << shift_t).astype(jnp.int32)
-
-    # wider chunks cascade through windowed mid tiers (tier k: span up to
-    # SPAN0<<(k+1), window anchored at the bbox corner, cap MID_CAPS[k]
-    # chunks via stable-argsort compaction), then to global whale slots.
-    # Only chunks past the WHALE cap are dropped (counted in aux[1]) —
-    # mid-tier overflow just falls through to the next tier.
     sentinel = jnp.asarray(n_tiles << shift_t, jnp.int32)
-    parts = [small_pairs.reshape(-1)]
-    admitted = small
-    # mid-tier windows scale with the SAME resolution factor as the base
-    # span: at 4K a chunk one tile over span0 must land in the wide-cap
-    # tier 0, not cascade through the narrow caps into whale drops
-    wx, wy = span0, span0
-    for cap in MID_CAPS:
-        wx, wy = wx * 2, wy * 2
-        fits = nonempty & ~admitted & (span_x <= wx) & (span_y <= wy)
-        order = jnp.argsort(~fits, stable=True).astype(jnp.int32)
-        g = min(cap, n_chunks)
-        gsel = order[:g]
-        gvalid = fits[gsel]
-        admitted = admitted | jnp.zeros(
-            n_chunks, bool).at[gsel].set(gvalid)
-        kk = wx * wy
-        dx = jnp.arange(kk, dtype=jnp.int32) % wx
-        dy = jnp.arange(kk, dtype=jnp.int32) // wx
-        tx = ctx0[gsel][:, None] + dx[None, :]
-        ty = cty0[gsel][:, None] + dy[None, :]
-        m = gvalid[:, None] & subblock_hit(ty, tx, gsel)
-        parts.append(jnp.where(
-            m, pack_keys(ty * ntx + tx, slot_ids[gsel][:, None],
-                         zqc[gsel][:, None]),
-            sentinel).astype(jnp.int32).reshape(-1))
-
-    # whale chunks: broadcast to every tile a sub-block touches. Chunks
-    # past the cap are DROPPED (missing geometry) and counted in aux[1].
-    gmask = nonempty & ~admitted
-    order = jnp.argsort(~gmask, stable=True).astype(jnp.int32)
-    g = min(MAX_GLOBAL, n_chunks)
-    gsel = order[:g]
-    gvalid = gmask[gsel]
-    n_big_dropped = (jnp.sum(gmask) - jnp.sum(gvalid)).astype(jnp.int32)
-    tile_ids = jnp.arange(n_tiles, dtype=jnp.int32)
-    g_ty = jnp.broadcast_to(tile_ids[None, :] // ntx, (g, n_tiles))
-    g_tx = jnp.broadcast_to(tile_ids[None, :] % ntx, (g, n_tiles))
-    big_mask = gvalid[:, None] & subblock_hit(g_ty, g_tx, gsel)
-    big_pairs = jnp.where(
-        big_mask,
-        pack_keys(tile_ids[None, :], gsel[:, None] + 1, zqc[gsel][:, None]),
-        sentinel).astype(jnp.int32)
-    parts.append(big_pairs.reshape(-1))
+    if EXACT_BINS:
+        # exact-fit ragged emission (see the EXACT_BINS knob note): chunk c
+        # claims slots [starts[c], ends[c]) of one flat pool, slot i within
+        # the claim enumerating its bbox tiles row-major. Pool size is
+        # static per (scene, frame) shape; chunks past the pool end drop
+        # to counted missing geometry exactly like the old whale cap.
+        area = jnp.where(nonempty, span_x * span_y, 0).astype(jnp.int32)
+        pool = n_chunks * span0 * span0 + EXACT_POOL_PAD
+        ends = jnp.cumsum(area).astype(jnp.int32)
+        starts = ends - area
+        total = ends[-1]
+        j = jnp.arange(pool, dtype=jnp.int32)
+        cc = jnp.searchsorted(ends, j, side="right").astype(jnp.int32)
+        in_pool = (j < total) & (cc < n_chunks)
+        cc = jnp.minimum(cc, n_chunks - 1)
+        i = j - starts[cc]
+        sx = jnp.maximum(span_x[cc], 1)
+        tx = ctx0[cc] + i % sx
+        ty = cty0[cc] + i // sx
+        m = in_pool & subblock_hit(ty[:, None], tx[:, None], cc)[:, 0]
+        pairs = jnp.where(
+            m, pack_keys(ty * ntx + tx, slot_ids[cc], zqc[cc]),
+            sentinel).astype(jnp.int32)
+        # chunks whose claim crosses the pool end lose (some) tiles
+        n_big_dropped = jnp.sum(nonempty & (ends > pool)).astype(jnp.int32)
+    else:
+        pairs, n_big_dropped = _tiered_emission(
+            nonempty, span_x, span_y, span0, ctx0, cty0, n_chunks, n_tiles,
+            ntx, shift_t, slot_ids, zqc, pack_keys, subblock_hit, sentinel)
 
     # One sort of the full slot array (mostly empty-sentinel slots) orders
     # AND compacts: real pairs form the sorted prefix. The sub-block hit
@@ -633,8 +696,8 @@ def build_bins(setup: TriangleSetup, width: int, height: int,
     # pair. Measured note: a cumsum+scatter compaction before a smaller
     # sort looked cheaper on paper but jnp.cumsum over a 1-D ~650k array
     # lowers pathologically on TPU (binning 9.8 → 38 ms at 1M) — XLA's
-    # sort is the fast path here.
-    pairs = jnp.concatenate(parts)
+    # sort is the fast path here. (The EXACT_BINS cumsum is over n_chunks
+    # — three orders of magnitude shorter — not that pathological shape.)
     pairs = jnp.sort(pairs)
     # real pairs form a sorted prefix; padding slots clamp to
     # (last tile, sentinel chunk 0) and sit beyond the dynamic grid bound
