@@ -503,3 +503,24 @@ def test_exact_bins_pool_overflow_counted(rng, monkeypatch):
     assert aux[1] > 0                     # drops counted
     pt = np.asarray(pal.tri_id)
     assert ((pt == -1) | ((pt >= 0) & (pt < t))).all()
+
+
+@pytest.mark.parametrize("acc", [False, True])
+def test_depth_only_kernel_matches_full(rng, monkeypatch, acc):
+    """The shadow pass's depth-only kernel variant (no tri output, plain
+    min merge) must produce BIT-IDENTICAL depth to the full kernel —
+    including on exact depth ties, where the winner id differs but the
+    depth cannot."""
+    from trident_tpu.ops.raster_pallas import visibility_pallas_tiled
+
+    t = 300
+    pos = (rng.uniform(-1, 1, (t, 1, 3)) * [0.9, 0.9, 0.3]
+           + rng.uniform(-0.3, 0.3, (t, 3, 3))).astype(np.float32)
+    pos[10] = pos[200]         # exact ties across chunks
+    setup = _setup_from_ndc(pos)
+    monkeypatch.setattr(raster_pallas, "ACC", acc)
+    full = jax.jit(lambda s: visibility_pallas_tiled(
+        s, W, H, interpret=True)[1])(setup)
+    donly = jax.jit(lambda s: visibility_pallas_tiled(
+        s, W, H, interpret=True, depth_only=True)[1])(setup)
+    assert (np.asarray(full) != np.asarray(donly)).sum() == 0

@@ -208,8 +208,8 @@ def main():
                 out = f(*args, tok)
                 tok = out.ravel()[0].astype(jnp.float32) * 0.0
             np.asarray(tok)
-            print(f"{label}: {(time.perf_counter() - t0) / iters * 1000.0:"
-                  f".2f} ms/call", flush=True)
+            ms = (time.perf_counter() - t0) / iters * 1000.0
+            print(f"{label}: {ms:.2f} ms/call", flush=True)
 
         t = setup.edge.shape[0]
         n_chunks = max(1, -(-t // rp.CHUNK))

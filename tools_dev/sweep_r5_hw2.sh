@@ -27,6 +27,16 @@ gate() {
 
 echo "##### sweep_r5_hw2 start $(date -u)" >> "$LOG"
 
+# 0. re-run the hw1 kbench sections (failed on an f-string syntax error):
+#    kernel decomposition at ACC=1 + the binning-chain decomposition, then
+#    the ACC=0 control
+echo "=== KBENCH ACC=1 + BINS decomposition ($(date -u +%H:%M:%S))" >> "$LOG"
+gate kbench_acc1 && env KB_BINS=1 KB_CONFIGS=zero,dflt,full,nobranch,dflt \
+  timeout 3600 python -u tools_dev/kbench.py >> "$LOG" 2>&1
+echo "=== KBENCH ACC=0 control ($(date -u +%H:%M:%S))" >> "$LOG"
+gate kbench_acc0 && env TRIDENT_ACC=0 KB_CONFIGS=zero,dflt,dflt \
+  timeout 2400 python -u tools_dev/kbench.py >> "$LOG" 2>&1
+
 # 1. exact-fit binning A/B across the three capacity-diverse configs in ONE
 #    process (bench aborts loudly if aux != 0 — the 4K capacity guard)
 echo "=== BENCH EXACT_BINS=1: 1M + 110k + 4K ($(date -u +%H:%M:%S))" >> "$LOG"

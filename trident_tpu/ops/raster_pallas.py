@@ -831,7 +831,7 @@ def build_bins(setup: TriangleSetup, width: int, height: int,
 
 
 def _visibility_kernel(band_ref, zp_ref, pair_tile_ref, pair_chunk_ref,
-                       *refs, ntx: int):
+                       *refs, ntx: int, depth_only: bool = False):
     """Layouts chosen for Mosaic: triangles on sublanes (C,1), pixels on
     lanes (1,npx); outputs are flat (1,1,npx) tile rows — no in-kernel
     reshapes or transposes.
@@ -857,10 +857,19 @@ def _visibility_kernel(band_ref, zp_ref, pair_tile_ref, pair_chunk_ref,
     later-draw-wins state (Pipeline.cpp:549-725) for any processing order,
     which frees the binner to order a tile's pairs near-to-far (ZORDER)
     so the hierarchical-Z skip can fire on occluded pairs."""
-    # refs = MASK_WORDS mask words (scalar-prefetch), records, depth, tri
-    # (+ the (SUB, npx) run_d/run_t VMEM scratch pair when ACC)
+    # refs = MASK_WORDS mask words (scalar-prefetch), records, depth[, tri]
+    # (+ the (SUB, npx) run_d[/run_t] VMEM scratch when ACC). depth_only
+    # (static, the shadow-map light pass): no tri output, no tid
+    # accumulation — the merge degenerates to a plain min, which is
+    # bit-identical to the full kernel's depth plane (ties share a depth).
     mask_refs = refs[:MASK_WORDS]
-    if ACC:
+    tri_out = run_d_ref = run_t_ref = None
+    if depth_only:
+        if ACC:
+            rec_ref, depth_out, run_d_ref = refs[MASK_WORDS:]
+        else:
+            rec_ref, depth_out = refs[MASK_WORDS:]
+    elif ACC:
         rec_ref, depth_out, tri_out, run_d_ref, run_t_ref = refs[MASK_WORDS:]
     else:
         rec_ref, depth_out, tri_out = refs[MASK_WORDS:]
@@ -879,13 +888,15 @@ def _visibility_kernel(band_ref, zp_ref, pair_tile_ref, pair_chunk_ref,
     @pl.when(first)
     def _():
         depth_out[0] = jnp.full((1, npx), 1.0, jnp.float32)
-        tri_out[0] = jnp.full((1, npx), -1, jnp.int32)
+        if not depth_only:
+            tri_out[0] = jnp.full((1, npx), -1, jnp.int32)
 
     if ACC:
         # straight-line per-pair scratch reset (sentinel never wins the
         # final merge: cmin = 4.0 > any accumulated acc_d ≤ 1.0)
         run_d_ref[...] = jnp.full((SUB, npx), DEPTH_SENTINEL, jnp.float32)
-        run_t_ref[...] = jnp.full((SUB, npx), -1, jnp.int32)
+        if not depth_only:
+            run_t_ref[...] = jnp.full((SUB, npx), -1, jnp.int32)
 
     if ZSKIP and ZSKIP_PACK:
         # hierarchical-Z: the pair's packed conservative min depth (last
@@ -954,9 +965,22 @@ def _visibility_kernel(band_ref, zp_ref, pair_tile_ref, pair_chunk_ref,
                     d = zi * pl.reciprocal(jnp.where(cover, wi, 1.0),
                                            approx=False)
                     dm = jnp.where(cover, d, DEPTH_SENTINEL)
+                    sl = slice(w * qpx, (w + 1) * qpx)
+
+                    if depth_only:
+                        # min-only merge (no winner id): bit-identical
+                        # depth to the lexicographic merge
+                        if ACC:
+                            run_d_ref[:, sl] = jnp.minimum(
+                                run_d_ref[:, sl], dm)
+                            return
+                        cmin = jnp.min(dm, axis=0, keepdims=True)
+                        depth_out[0, :, sl] = jnp.minimum(
+                            depth_out[0, :, sl], cmin)
+                        return
+
                     # global ids ride record col 15 (f32-exact < 2^24)
                     tid = col(15).astype(jnp.int32)
-                    sl = slice(w * qpx, (w + 1) * qpx)
 
                     if ACC:
                         # 6-op elementwise lexicographic accumulate into
@@ -1002,15 +1026,19 @@ def _visibility_kernel(band_ref, zp_ref, pair_tile_ref, pair_chunk_ref,
         # (mask miss / hierarchical-Z skip) left sentinel rows, which can
         # never beat acc_d ≤ 1.0.
         rd = run_d_ref[...]
-        rt = run_t_ref[...]
         cmin = jnp.min(rd, axis=0, keepdims=True)          # (1, npx)
-        win = jnp.max(jnp.where(rd <= cmin, rt, -1), axis=0, keepdims=True)
-        acc_d = depth_out[0]
-        acc_t = tri_out[0]
-        better = (win >= 0) & ((cmin < acc_d)
-                               | ((cmin == acc_d) & (win > acc_t)))
-        depth_out[0] = jnp.where(better, cmin, acc_d)
-        tri_out[0] = jnp.where(better, win, acc_t)
+        if depth_only:
+            depth_out[0] = jnp.minimum(depth_out[0], cmin)
+        else:
+            rt = run_t_ref[...]
+            win = jnp.max(jnp.where(rd <= cmin, rt, -1), axis=0,
+                          keepdims=True)
+            acc_d = depth_out[0]
+            acc_t = tri_out[0]
+            better = (win >= 0) & ((cmin < acc_d)
+                                   | ((cmin == acc_d) & (win > acc_t)))
+            depth_out[0] = jnp.where(better, cmin, acc_d)
+            tri_out[0] = jnp.where(better, win, acc_t)
 
 
 def _visibility_kernel_ck(band_ref, zp_ref, pair_tile_ref, pair_chunk_ref,
@@ -1123,7 +1151,7 @@ def untile_frame(flat: Array, ntx: int, nty: int) -> Array:
 
 def visibility_pallas_tiled(setup: TriangleSetup, width: int, height: int,
                             interpret: bool = False, tile_y_offset=0,
-                            setup_cols=None):
+                            setup_cols=None, depth_only: bool = False):
     """Tile-binned Pallas visibility, keeping the kernel-native tiled
     layout: returns (bins, depth_tiles, tri_tiles, written) with
     depth/tri (n_tiles, 1, TH·TW) and written (n_tiles,) bool — the resolve
@@ -1145,6 +1173,7 @@ def visibility_pallas_tiled(setup: TriangleSetup, width: int, height: int,
     n_tiles = ntx * nty
     npx = TILE_H * TILE_W
     band = jnp.asarray(tile_y_offset, jnp.int32).reshape(1)
+    depth_only = depth_only and not CKERN  # CKERN has no depth-only body
     if CKERN:
         kernel = functools.partial(_visibility_kernel_ck, ntx=ntx)
         rec_in = bins.compact
@@ -1153,7 +1182,8 @@ def visibility_pallas_tiled(setup: TriangleSetup, width: int, height: int,
                                 (i, 0, 0),
                                 memory_space=pltpu.VMEM)
     else:
-        kernel = functools.partial(_visibility_kernel, ntx=ntx)
+        kernel = functools.partial(_visibility_kernel, ntx=ntx,
+                                   depth_only=depth_only)
         rec_in = bins.records
         if RECT:
             rec_spec = pl.BlockSpec((16, CHUNK),
@@ -1167,39 +1197,40 @@ def visibility_pallas_tiled(setup: TriangleSetup, width: int, height: int,
                                     memory_space=pltpu.VMEM)
     # shared-accumulator scratch (ACC): run_d/run_t persist across the
     # masked kernel's @pl.when sweep regions within a pair
-    scratch = ([pltpu.VMEM((SUB, npx), jnp.float32),
-                pltpu.VMEM((SUB, npx), jnp.int32)]
-               if (ACC and not CKERN) else [])
+    if ACC and not CKERN:
+        scratch = [pltpu.VMEM((SUB, npx), jnp.float32)]
+        if not depth_only:
+            scratch.append(pltpu.VMEM((SUB, npx), jnp.int32))
+    else:
+        scratch = []
+    out_spec = pl.BlockSpec((1, 1, npx),
+                            lambda i, band, zp, tiles, chunks, *masks:
+                            (tiles[i], 0, 0),
+                            memory_space=pltpu.VMEM)
+    out_specs = [out_spec] if depth_only else [out_spec, out_spec]
+    out_shape = [jax.ShapeDtypeStruct((n_tiles, 1, npx), jnp.float32)]
+    if not depth_only:
+        out_shape.append(jax.ShapeDtypeStruct((n_tiles, 1, npx), jnp.int32))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4 + MASK_WORDS,
         # dynamic: only real pairs execute (≥1 — pair 0 degenerates to the
         # empty sentinel chunk when the frame has no pairs at all)
         grid=(jnp.maximum(bins.n_real, 1),),
         in_specs=[rec_spec],
-        out_specs=[
-            pl.BlockSpec((1, 1, npx),
-                         lambda i, band, zp, tiles, chunks, *masks:
-                         (tiles[i], 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, npx),
-                         lambda i, band, zp, tiles, chunks, *masks:
-                         (tiles[i], 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        out_specs=out_specs,
         scratch_shapes=scratch,
     )
-    depth, tri = pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((n_tiles, 1, npx), jnp.float32),
-            jax.ShapeDtypeStruct((n_tiles, 1, npx), jnp.int32),
-        ],
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         interpret=interpret,
     )(band, bins.zparams, bins.pair_tile, bins.pair_chunk, *bins.pair_mask,
       rec_in)
+    depth = out[0]
+    tri = None if depth_only else out[1]
 
     # tiles no executed pair touched keep uninitialized VMEM garbage —
     # mask them to background from the pair list itself (one tiny scatter)
@@ -1209,7 +1240,8 @@ def visibility_pallas_tiled(setup: TriangleSetup, width: int, height: int,
     written = jnp.zeros((n_tiles + 1,), jnp.bool_).at[touched_idx].set(
         True, mode="drop")[:n_tiles]
     depth = jnp.where(written[:, None, None], depth, 1.0)
-    tri = jnp.where(written[:, None, None], tri, -1)
+    if tri is not None:
+        tri = jnp.where(written[:, None, None], tri, -1)
     return bins, depth, tri, written
 
 

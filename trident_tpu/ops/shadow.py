@@ -94,15 +94,22 @@ def render_shadow_map(geometry: GeometryBuffers, plan: DrawPlan,
     if raster == "pallas":
         import jax
 
-        from trident_tpu.ops.raster_pallas import visibility_pallas
+        from trident_tpu.ops.raster_pallas import (
+            TILE_H, TILE_W, untile_frame, visibility_pallas_tiled,
+        )
 
-        gbuf = visibility_pallas(setup, size, size,
-                                 interpret=jax.default_backend() == "cpu")
-    else:
-        from trident_tpu.ops.raster_ref import visibility_ref
+        # depth_only: the light pass needs no winner ids — the kernel
+        # skips the tid accumulation and the tri output entirely (half
+        # the output-tile DMA traffic; min-merge instead of
+        # lexicographic), bit-identical depth (round 5, VERDICT item 5)
+        ntx, nty = -(-size // TILE_W), -(-size // TILE_H)
+        _, depth_t, _, _ = visibility_pallas_tiled(
+            setup, size, size, interpret=jax.default_backend() == "cpu",
+            depth_only=True)
+        return untile_frame(depth_t, ntx, nty)[:size, :size]
+    from trident_tpu.ops.raster_ref import visibility_ref
 
-        gbuf = visibility_ref(setup, size, size)
-    return gbuf.depth
+    return visibility_ref(setup, size, size).depth
 
 
 def shadow_factor(shadow: ShadowParams, world: Array, pcf: bool = False) -> Array:
