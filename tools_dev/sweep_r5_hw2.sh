@@ -44,6 +44,13 @@ gate bench_exact && env BENCH_ITERS=30 BENCH_WATCHDOG=2400 TRIDENT_EXACT_BINS=1 
   timeout 5400 python -u scripts/bench_sweep.py spheres1080_1m spheres1080 ultra4k \
   >> "$LOG" 2>&1
 
+# 1b. shadows1080 at the new defaults (depth-only light pass; zskip policy
+#     auto-applies) — r4 best was 19.44 with zskip, 17.82 without
+echo "=== BENCH shadows1080 depth-only light pass ($(date -u +%H:%M:%S))" >> "$LOG"
+gate bench_shadows && env BENCH_ITERS=30 BENCH_WATCHDOG=1800 \
+  timeout 3600 python -u scripts/bench_sweep.py shadows1080 shadows1080 \
+  >> "$LOG" 2>&1
+
 # 2. binning-chain decomposition at EXACT_BINS=1 (compare hw1 §3 baseline)
 echo "=== KBENCH BINS EXACT_BINS=1 ($(date -u +%H:%M:%S))" >> "$LOG"
 gate kbench_exact && env TRIDENT_EXACT_BINS=1 KB_BINS=1 KB_CONFIGS=dflt \
@@ -58,3 +65,9 @@ echo "=== AIBENCH ultra4k shapes ($(date -u +%H:%M:%S))" >> "$LOG"
 gate aibench && timeout 2400 python -u tools_dev/aibench.py >> "$LOG" 2>&1
 
 echo "##### sweep_r5_hw2 done $(date -u)" >> "$LOG"
+
+# 5. shadow-pass decomposition at the shadows1080 scene (first ever)
+echo "=== SHBENCH shadows1080 ($(date -u +%H:%M:%S))" >> "$LOG"
+gate shbench && timeout 3600 python -u tools_dev/shbench.py >> "$LOG" 2>&1
+
+echo "##### sweep_r5_hw2 really done $(date -u)" >> "$LOG"
