@@ -524,3 +524,96 @@ def test_depth_only_kernel_matches_full(rng, monkeypatch, acc):
     donly = jax.jit(lambda s: visibility_pallas_tiled(
         s, W, H, interpret=True, depth_only=True)[1])(setup)
     assert (np.asarray(full) != np.asarray(donly)).sum() == 0
+
+
+def test_dynhit_is_bit_exact(rng):
+    """Dynamic hit-sub sweep (TRIDENT_DYNHIT, round 5): one fori_loop over
+    the packed descending-q hit list must render BIT-IDENTICALLY to the
+    static @pl.when sweep structure — same evaluations, same
+    lexicographic semantics, no branch checks."""
+    from trident_tpu.ops import kernel_knobs
+
+    setup = _random_scene(rng, 600)
+    off = _vis(setup)
+    with kernel_knobs.overrides(dynhit=True):
+        on = _assert_matches_ref(setup)
+    assert (np.asarray(off.tri_id) != np.asarray(on.tri_id)).sum() == 0
+    assert (np.asarray(off.depth) != np.asarray(on.depth)).sum() == 0
+
+
+def test_dynhit_depth_tie_is_bit_exact(rng):
+    """DYNHIT's 3-op strict-< accumulate relies on descending-q iteration
+    for tid ties: exact duplicates across DIFFERENT sub-blocks (and
+    different chunks) must still pick max-tid-at-min-depth, matching the
+    6-op lexicographic path bit-for-bit."""
+    from trident_tpu.ops import kernel_knobs
+
+    t = raster_pallas.CHUNK + 96
+    pos = (rng.uniform(-1, 1, (t, 1, 3)) * [0.9, 0.9, 0.3]
+           + rng.uniform(-0.3, 0.3, (t, 3, 3))).astype(np.float32)
+    pos[5] = pos[40]            # ties across sub-blocks (q=0 vs q=2)
+    pos[20] = pos[85]
+    pos[60] = pos[raster_pallas.CHUNK + 60]   # tie across chunks
+    setup = _setup_from_ndc(pos)
+    off = _vis(setup)
+    with kernel_knobs.overrides(dynhit=True):
+        on = _assert_matches_ref(setup)
+    assert (np.asarray(off.tri_id) != np.asarray(on.tri_id)).sum() == 0
+    assert (np.asarray(off.depth) != np.asarray(on.depth)).sum() == 0
+
+
+def test_dynhit_zskip_is_bit_exact(rng):
+    """DYNHIT + hierarchical-Z: the bound rides the nhit word's high bits
+    and a skipped pair clamps the loop count to 0 — outputs must stay
+    bit-identical (the skip is provably a no-op merge)."""
+    from trident_tpu.ops import kernel_knobs
+
+    t = raster_pallas.CHUNK * 2
+    pos = (rng.uniform(-1, 1, (t, 1, 3)) * [0.9, 0.9, 0]
+           + rng.uniform(-0.25, 0.25, (t, 3, 3))).astype(np.float32)
+    half = t // 2
+    pos[:half, :, 2] = rng.uniform(-0.7, -0.5, (half, 1))
+    pos[half:, :, 2] = rng.uniform(0.6, 0.8, (t - half, 1))
+    setup = _setup_from_ndc(pos)
+    with kernel_knobs.overrides(dynhit=True):
+        off = _vis(setup)
+        with kernel_knobs.overrides(zskip=True, zorder=True):
+            on = _assert_matches_ref(setup)
+    assert (np.asarray(off.tri_id) != np.asarray(on.tri_id)).sum() == 0
+    assert (np.asarray(off.depth) != np.asarray(on.depth)).sum() == 0
+
+
+def test_dynhit_depth_only_matches_full(rng):
+    """DYNHIT's depth-only body (shadow light pass) degenerates to a plain
+    min accumulate — depth must be bit-identical to the full kernel's."""
+    from trident_tpu.ops import kernel_knobs
+    from trident_tpu.ops.raster_pallas import visibility_pallas_tiled
+
+    t = 300
+    pos = (rng.uniform(-1, 1, (t, 1, 3)) * [0.9, 0.9, 0.3]
+           + rng.uniform(-0.3, 0.3, (t, 3, 3))).astype(np.float32)
+    pos[10] = pos[200]
+    setup = _setup_from_ndc(pos)
+    with kernel_knobs.overrides(dynhit=True):
+        full = jax.jit(lambda s: visibility_pallas_tiled(
+            s, W, H, interpret=True)[1])(setup)
+        donly = jax.jit(lambda s: visibility_pallas_tiled(
+            s, W, H, interpret=True, depth_only=True)[1])(setup)
+    assert (np.asarray(full) != np.asarray(donly)).sum() == 0
+
+
+def test_dynhit_requires_compatible_knobs():
+    """DYNHIT validation: exclusive with CKERN/QGATE/RECT, requires ACC
+    and sublane-aligned SUB — each must fail loudly (and leave the knob
+    set restored)."""
+    from trident_tpu.ops import kernel_knobs
+
+    before = kernel_knobs.snapshot()
+    for bad in ({"dynhit": True, "ckern": True},
+                {"dynhit": True, "qgate": True},
+                {"dynhit": True, "rect": True},
+                {"dynhit": True, "acc": False},
+                {"dynhit": True, "sub": 12, "chunk": 240}):
+        with pytest.raises(ValueError):
+            kernel_knobs.apply(bad)
+    assert kernel_knobs.snapshot() == before

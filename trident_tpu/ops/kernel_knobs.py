@@ -38,6 +38,7 @@ _KNOBS: Dict[str, Tuple[str, str]] = {
     "qgate": ("trident_tpu.ops.raster_pallas", "QGATE"),
     "ckern": ("trident_tpu.ops.raster_pallas", "CKERN"),
     "acc": ("trident_tpu.ops.raster_pallas", "ACC"),
+    "dynhit": ("trident_tpu.ops.raster_pallas", "DYNHIT"),
     "recpad": ("trident_tpu.ops.raster_pallas", "RECPAD"),
     "rect": ("trident_tpu.ops.raster_pallas", "RECT"),
     "ck_bank": ("trident_tpu.ops.raster_pallas", "CK_BANK"),

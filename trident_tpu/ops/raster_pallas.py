@@ -181,6 +181,28 @@ ACC = _os.environ.get("TRIDENT_ACC", "1") == "1"
                      # per-sub-block branch structure — which QGATE/CKERN
                      # showed must stay — is untouched. Bit-exact either
                      # way (same lexicographic semantics; A/B test).
+DYNHIT = _os.environ.get("TRIDENT_DYNHIT", "0") == "1"
+                     # dynamic hit-sub sweep (round 5): kbench r4kb1/r5hw2
+                     # measured ~40-65 ns per @pl.when branch CHECK — the
+                     # zero-mask kernel's 6.2-7.5 ms is almost entirely the
+                     # 16 UNTAKEN checks — and the flagship takes only
+                     # 5.8/16. DYNHIT replaces the NSUB static branch
+                     # regions with ONE jax.lax.fori_loop over the pair's
+                     # hit sub-blocks: build_bins packs the hit sub
+                     # INDICES (descending q, base-DYN_B digits, DPW per
+                     # SMEM word) and the kernel dynamic-slices each hit
+                     # sub's 16 record rows from the already-resident VMEM
+                     # block (no CKERN-style producer gather — the records
+                     # layout stays untouched, which r4 proved is the only
+                     # cost-neutral place to restructure). Descending q
+                     # order makes within-pair tid ties resolve with ONE
+                     # strict < compare (ids are monotone in q for a fixed
+                     # record row), cutting the 6-op lexicographic
+                     # accumulate to 3 ops. Requires ACC (the loop
+                     # accumulates into the shared scratch), NQ=1 (no
+                     # QGATE), the dense record layout (no RECT/CKERN),
+                     # and SUB % 8 == 0 (sublane-aligned dynamic slices).
+                     # Exact either way (oracle + A/B bit-equality tests).
 RECT = _os.environ.get("TRIDENT_RECT", "0") == "1"
                      # transposed DENSE records (round-4 floor follow-up):
                      # the per-pair record DMA is ~1 µs serialized because
@@ -265,10 +287,19 @@ def recompute_derived() -> None:
     config unification) — kernels read the module globals at trace time,
     and the renderer keys its jit caches on kernel_knobs.trace_key()."""
     global NSUB, NQ, MASK_BITS, MASK_WORDS, ZSKIP_SHIFT, ZSKIP_PACK
-    global SPAN_X, SPAN_Y, PAIR_BUDGET
+    global SPAN_X, SPAN_Y, PAIR_BUDGET, DYN_B, DPW, DYN_WORDS
     if CKERN and QGATE:
         raise ValueError("TRIDENT_CKERN=1 and TRIDENT_QGATE=1 are exclusive "
                          "visibility-kernel structures")
+    if DYNHIT and (CKERN or QGATE or RECT):
+        raise ValueError(
+            "TRIDENT_DYNHIT=1 is exclusive with CKERN/QGATE/RECT: the "
+            "dynamic hit loop assumes the dense masked-kernel record "
+            "layout and whole-tile (NQ=1) sweeps")
+    if DYNHIT and not ACC:
+        raise ValueError(
+            "TRIDENT_DYNHIT=1 requires TRIDENT_ACC=1: the dynamic loop "
+            "accumulates into the shared (SUB, npx) scratch")
     if SUB < 1:
         raise ValueError(f"TRIDENT_SUB={SUB} must be >= 1")
     if CHUNK < SUB or CHUNK % SUB != 0:
@@ -277,6 +308,11 @@ def recompute_derived() -> None:
             f"SUB={SUB}: the kernel splits each chunk into SUB-triangle "
             "sub-blocks")
     NSUB = CHUNK // SUB  # sub-blocks per chunk (hit-maskable unit)
+    if DYNHIT and SUB % 8 != 0:
+        raise ValueError(
+            f"TRIDENT_DYNHIT=1 needs TRIDENT_SUB={SUB} % 8 == 0: the "
+            "kernel dynamic-slices SUB record rows at q*SUB, which must "
+            "be f32 sublane-aligned")
     if TILE_H < 1 or 128 % TILE_H != 0:
         raise ValueError(
             f"TRIDENT_TILE_H={TILE_H} must divide 128: SPAN_Y = 128//TILE_H "
@@ -303,6 +339,19 @@ def recompute_derived() -> None:
         MASK_BITS = max(5, NSUB.bit_length())
         MASK_WORDS = 1
         ZSKIP_SHIFT = MASK_BITS
+    elif DYNHIT:
+        # word 0: hit COUNT in the low bits (+ the hierarchical-Z bound
+        # above, CKERN-style); words 1..DYN_WORDS: the hit sub-block
+        # indices in DESCENDING q order, DPW base-DYN_B digits per word
+        # (mul/add packing — div/rem unpack in the kernel; bit ops on
+        # Mosaic scalars are avoided repo-wide)
+        MASK_BITS = max(5, NSUB.bit_length())
+        ZSKIP_SHIFT = MASK_BITS
+        dyn_bits = max(1, (NSUB - 1).bit_length())
+        DYN_B = 1 << dyn_bits
+        DPW = 30 // dyn_bits
+        DYN_WORDS = -(-NSUB // DPW)
+        MASK_WORDS = 1 + DYN_WORDS
     else:
         MASK_BITS = NSUB * NQ   # hit bits per pair (sub-major, NQ-minor)
         MASK_WORDS = -(-MASK_BITS // 30)
@@ -314,11 +363,12 @@ def recompute_derived() -> None:
     ZSKIP_PACK = (30 - ZSKIP_SHIFT) >= ZSKIP_BITS
     if MAX_GLOBAL < 1:
         raise ValueError(f"TRIDENT_MAX_GLOBAL={MAX_GLOBAL} must be >= 1")
-    if MASK_WORDS > 3:
+    if MASK_WORDS > (4 if DYNHIT else 3):
         raise ValueError(
             f"TRIDENT_CHUNK={CHUNK}/TRIDENT_SUB={SUB} with QGATE="
-            f"{int(QGATE)} needs {MASK_WORDS} hit-mask words; at most 3 "
-            "fit the SMEM scalar-prefetch budget")
+            f"{int(QGATE)} DYNHIT={int(DYNHIT)} needs {MASK_WORDS} "
+            f"hit-mask words; at most {4 if DYNHIT else 3} fit the SMEM "
+            "scalar-prefetch budget")
     global CK_NBANKS
     if CKERN:
         if CK_BANK < 1:
@@ -346,7 +396,8 @@ def recompute_derived() -> None:
     else:
         PAIR_BUDGET = (PAIR_BUDGET_OVERRIDE
                        if PAIR_BUDGET_OVERRIDE is not None
-                       else {1: 65536, 2: 49152, 3: 40960}[MASK_WORDS])
+                       else {1: 65536, 2: 49152, 3: 40960,
+                             4: 32768}[MASK_WORDS])
 
 
 recompute_derived()
@@ -765,6 +816,23 @@ def build_bins(setup: TriangleSetup, width: int, height: int,
         compact = records.reshape((n_chunks + 1) * NSUB, SUB * 16)[g]
         compact = compact.reshape(pairs.shape[0], nbank * SUB, 16)
         masks = [jnp.where(real, nhit, 0)]
+    elif DYNHIT:
+        # dynamic hit loop: word 0 = hit count (+ zskip bits above),
+        # words 1.. = hit sub indices in DESCENDING q, DPW base-DYN_B
+        # digits per word. Descending order is what lets the kernel's
+        # accumulate resolve within-pair tid ties with one strict <
+        # (record ids are monotone in q for a fixed row; see the knob).
+        nhit = jnp.sum(hit, axis=1).astype(jnp.int32)
+        order_rev = jnp.argsort(~hit[:, ::-1], axis=1,
+                                stable=True).astype(jnp.int32)
+        qdesc = (NSUB - 1) - order_rev               # hit qs first, desc
+        j = jnp.arange(NSUB, dtype=jnp.int32)[None, :]
+        digits = jnp.where(j < nhit[:, None], qdesc, 0)
+        masks = [jnp.where(real, nhit, 0)]
+        for wd in range(DYN_WORDS):
+            seg = digits[:, wd * DPW:(wd + 1) * DPW]
+            wgt = DYN_B ** jnp.arange(seg.shape[1], dtype=jnp.int32)
+            masks.append(jnp.sum(seg * wgt[None, :], axis=-1))
     else:
         if NQ > 1:
             qrows_px = TILE_H // NQ
@@ -805,7 +873,10 @@ def build_bins(setup: TriangleSetup, width: int, height: int,
             recon = base + zq.astype(jnp.float32) * step
             zq = jnp.maximum(jnp.where(recon > target, zq - 1, zq), 0)
         has_hit = jnp.any(hit, axis=-1) & real
-        masks[-1] = masks[-1] + (jnp.where(has_hit, zq, 0)
+        # the bound rides the nhit word under DYNHIT/CKERN, else the last
+        # bit-mask word's spare high bits
+        zt = 0 if DYNHIT else -1
+        masks[zt] = masks[zt] + (jnp.where(has_hit, zq, 0)
                                  * (1 << ZSKIP_SHIFT))
         zparams = jnp.stack([base, step])
 
@@ -905,7 +976,7 @@ def _visibility_kernel(band_ref, zp_ref, pair_tile_ref, pair_chunk_ref,
         # keeps the test well-defined on a tile's first visit (zmax = 1.0
         # → no skip). Only fires once nearer geometry covered the whole
         # quarter — near-to-far pair order (ZORDER) makes that happen.
-        zq = mask_words[-1] // (1 << ZSKIP_SHIFT)
+        zq = mask_words[0 if DYNHIT else -1] // (1 << ZSKIP_SHIFT)
         zminf = zp_ref[0] + zq.astype(jnp.float32) * zp_ref[1]
         dcur = depth_out[0]
         keep = [zminf <= jnp.max(dcur[:, w * qpx:(w + 1) * qpx])
@@ -913,11 +984,66 @@ def _visibility_kernel(band_ref, zp_ref, pair_tile_ref, pair_chunk_ref,
     else:
         keep = None
 
+    if DYNHIT:
+        # ONE dynamic fori_loop over the pair's HIT sub-blocks (indices
+        # packed descending-q in mask words 1.., see build_bins) — no
+        # untaken @pl.when checks (~40-65 ns each, ~2/3 of sub-blocks on
+        # the flagship miss), and the descending order turns the 6-op
+        # lexicographic accumulate into 3 ops: record ids are monotone in
+        # q for a fixed row, so a strict < keeps the earlier (= higher
+        # tid) winner on exact depth ties — identical semantics.
+        nhit = jax.lax.rem(mask_words[0], 1 << ZSKIP_SHIFT)
+        if keep is not None:
+            nhit = jnp.where(keep[0], nhit, 0)
+
+        r = jax.lax.broadcasted_iota(jnp.int32, (1, npx), 1)
+        pxf = (tx * TILE_W
+               + jax.lax.rem(r, TILE_W)).astype(jnp.float32) + 0.5
+        pyf = (ty * TILE_H + r // TILE_W).astype(jnp.float32) + 0.5
+
+        def dyn_body(k, ws):
+            q = jax.lax.rem(ws[0], DYN_B)
+            rec = rec_ref[pl.ds(q * SUB, SUB), :]
+
+            def col(j):
+                return rec[:, j:j + 1]                 # (SUB, 1)
+
+            e0 = col(0) * pxf + col(1) * pyf + col(2)  # (SUB, npx)
+            e1 = col(3) * pxf + col(4) * pyf + col(5)
+            e2 = col(6) * pxf + col(7) * pyf + col(8)
+            # numerics pinned to the oracle — see the static loop's note
+            zi = (e0 * col(9) + e1 * col(10)) + e2 * col(11)
+            wi = (e0 * col(12) + e1 * col(13)) + e2 * col(14)
+            mnn = jnp.minimum(jnp.minimum(e0, e1), jnp.minimum(e2, zi))
+            cover = (mnn >= 0.0) & (zi <= wi) & (wi > 1e-12)
+            d = zi * pl.reciprocal(jnp.where(cover, wi, 1.0), approx=False)
+            dm = jnp.where(cover, d, DEPTH_SENTINEL)
+            rd = run_d_ref[...]
+            if depth_only:
+                run_d_ref[...] = jnp.minimum(rd, dm)
+            else:
+                tid = col(15).astype(jnp.int32)
+                rt = run_t_ref[...]
+                btr = dm < rd                          # strict: desc q
+                run_d_ref[...] = jnp.where(btr, dm, rd)
+                run_t_ref[...] = jnp.where(
+                    btr, jnp.broadcast_to(tid, dm.shape), rt)
+            # advance the digit stream: shift the current word, rotate to
+            # the next word every DPW digits
+            adv = (ws[0] // DYN_B,) + ws[1:]
+            rot = ws[1:] + (jnp.zeros((), jnp.int32),)
+            last = jax.lax.rem(k, DPW) == (DPW - 1)
+            return tuple(jnp.where(last, ro, ad)
+                         for ro, ad in zip(rot, adv))
+
+        jax.lax.fori_loop(
+            0, nhit, dyn_body,
+            tuple(mask_words[1 + j] for j in range(DYN_WORDS)))
     if RECT:
         # one relayout per pair restores triangles-on-sublanes from the
         # DMA-dense (16, CHUNK) transposed block
         rec_all = jnp.transpose(rec_ref[...])          # (CHUNK, 16)
-    for q in range(NSUB):
+    for q in range(NSUB if not DYNHIT else 0):
         for w in range(NQ):
             # mask bit via // and % — bit ops are avoided in Mosaic scalars
             b = q * NQ + w
