@@ -30,7 +30,7 @@ def test_checkpoint_roundtrip_and_apply(tmp_path):
     assert out.shape == (32, 32, 3)
 
 
-def _scene(tmp_path, upscaler_path):
+def _scene(tmp_path, upscaler_path, kernel=None):
     from trident_tpu.core.config import AiConfig, EngineConfig, RenderConfig
     from trident_tpu.ecs.components import (
         MeshComponent, TextureComponent, TransformComponent)
@@ -40,7 +40,8 @@ def _scene(tmp_path, upscaler_path):
     from trident_tpu.render.renderer import Renderer
 
     r = Renderer(EngineConfig(
-        render=RenderConfig(width=64, height=64, ai_upscale=True),
+        render=RenderConfig(width=64, height=64, ai_upscale=True,
+                            kernel=kernel or {}),
         ai=AiConfig(upscaler_path=upscaler_path)))
     reg = Registry()
     r.set_active_registry(reg)
@@ -243,3 +244,146 @@ def test_depth_channel_layouts(tmp_path):
     frame = r.read_frame()
     assert frame.shape == (64, 64, 4)
     assert frame[..., :3].max() > 60
+
+
+# ---- V2 reconstruction path (round 5): block-layout history, no 4K
+# relayouts (aibench r5hw2: warp 93 ms + d2s transpose ~26 ms) ----------
+
+
+def test_d2s_modes_bit_exact():
+    """All depth_to_space modes are exact relayouts: the one-hot MXU
+    conv_transpose (HIGHEST) and the zero-interleave pad+add must equal
+    the reference reshape/transpose BIT-FOR-BIT."""
+    from trident_tpu.ai.upscaler import depth_to_space
+
+    rng = np.random.default_rng(11)
+    blocks = jnp.asarray(rng.random((24, 40, 12), np.float32))
+    ref = np.asarray(depth_to_space(blocks, mode="xla"))
+    assert ref.shape == (48, 80, 3)
+    for mode in ("convt", "pad"):
+        out = np.asarray(depth_to_space(blocks, mode=mode))
+        assert (out != ref).sum() == 0, mode
+
+
+def test_base_blocks_matches_resize():
+    """The block-layout bilinear base (four phase-shifted half-res lerps)
+    equals jax.image.resize's 2x bilinear up to f32 association."""
+    from trident_tpu.ai.upscaler import base_blocks, depth_to_space
+
+    rng = np.random.default_rng(12)
+    img = jnp.asarray(rng.random((32, 48, 3), np.float32))
+    via_blocks = np.asarray(depth_to_space(base_blocks(img), mode="xla"))
+    ref = np.asarray(jax.image.resize(img, (64, 96, 3), "bilinear"))
+    np.testing.assert_allclose(via_blocks, ref, atol=1e-6)
+
+
+def test_v2_matches_v1_at_f32():
+    """apply_upscaler_v2 (f32 compute) must reproduce apply_upscaler on
+    non-trivial weights: same convs, residual re-associated into block
+    layout, one exact depth_to_space."""
+    from trident_tpu.ai import upscaler as up
+    from trident_tpu.ops import kernel_knobs
+
+    _, variables = up.init_upscaler(jax.random.PRNGKey(5), base_channels=8,
+                                    in_channels=17)
+    # perturb the zero-init head so the residual is exercised
+    params = jax.tree.map(
+        lambda a: a + 0.05 * jax.random.normal(jax.random.PRNGKey(6),
+                                               a.shape, a.dtype),
+        variables["params"])
+    rng = np.random.default_rng(13)
+    img = jnp.asarray(rng.random((16, 24, 3), np.float32))
+    temporal = jnp.asarray(rng.random((16, 24, 13), np.float32))
+    d = jnp.asarray(rng.random((16, 24), np.float32))
+    v1 = np.asarray(up.apply_upscaler(params, img, temporal, d))
+    with kernel_knobs.overrides(upscale_dtype="f32"):
+        rgb, blocks = up.apply_upscaler_v2(params, img, temporal, d)
+    assert blocks.shape == (16, 24, 12)
+    np.testing.assert_allclose(np.asarray(rgb), v1, atol=2e-6)
+
+
+def test_warp_from_blocks_matches_warp_previous():
+    """Given equal history VALUES (blocks = s2d of the full-res frame),
+    the V2 warp must be bit-identical to the V1 warp — same reprojection,
+    same gather, no space-to-depth."""
+    from trident_tpu.ai.upscaler import warp_from_blocks, warp_previous
+    from trident_tpu.render.camera import EditorCamera
+
+    cam = EditorCamera()
+    cam.set_viewport_size(32, 32)
+    cam.set_position([0, 0, 3])
+    cam.look_at_target([0, 0, 0])
+    p0 = cam.params()
+    vp0 = (np.asarray(p0.proj) @ np.asarray(p0.view)).astype(np.float32)
+    cam.orbit([0, 0, 0], 7.0, 3.0)           # a real inter-frame motion
+    p1 = cam.params()
+    vp1 = (np.asarray(p1.proj) @ np.asarray(p1.view)).astype(np.float32)
+
+    rng = np.random.default_rng(14)
+    prev = rng.random((32, 32, 3)).astype(np.float32)
+    blocks = prev.reshape(16, 2, 16, 2, 3).transpose(0, 2, 1, 3, 4) \
+        .reshape(16, 16, 12)
+    depth = rng.uniform(0.3, 0.7, (16, 16)).astype(np.float32)
+    inv = np.linalg.inv(vp1).astype(np.float32)
+    v1 = np.asarray(warp_previous(
+        jnp.asarray(prev), jnp.asarray(depth), jnp.asarray(inv),
+        jnp.asarray(vp0), 32, 32))
+    v2 = np.asarray(warp_from_blocks(
+        jnp.asarray(blocks), jnp.asarray(depth), jnp.asarray(inv),
+        jnp.asarray(vp0), 32, 32))
+    assert (v1 != v2).sum() == 0
+
+
+def test_renderer_v2_history_and_parity(tmp_path):
+    """Renderer end-to-end: with V2 on (default) the temporal mode keeps
+    (h, w, 12) uint8 blocks as prev_state and chains frames; the first
+    frame matches the V1 path within 1 uint8 LSB (association-only
+    differences at f32 compute)."""
+    from trident_tpu.ai.upscaler import (
+        TEMPORAL_CHANNELS, init_upscaler, save_upscaler)
+    from trident_tpu.ops import kernel_knobs
+
+    _, variables = init_upscaler(jax.random.PRNGKey(7), base_channels=8,
+                                 in_channels=TEMPORAL_CHANNELS)
+    save_upscaler(jax.device_get(variables["params"]), str(tmp_path))
+
+    # knobs must ride RenderConfig.kernel: Renderer.__init__ resets the
+    # registry from env defaults (the round-4 leak fix), so a bare
+    # overrides() context would be stomped at construction
+    r = _scene(tmp_path, str(tmp_path),
+               kernel={"upscale_v2": True, "upscale_dtype": "f32"})
+    f0 = np.asarray(r.read_frame())
+    hist = r.viewports[0].prev_state[0]
+    assert hist.shape == (32, 32, 12) and hist.dtype == jnp.uint8
+    r.editor_camera.orbit([0, 0, 0], 10.0, 0.0)
+    f1 = np.asarray(r.read_frame())
+    assert (f0 != f1).any()
+
+    r1 = _scene(tmp_path, str(tmp_path), kernel={"upscale_v2": False})
+    g0 = np.asarray(r1.read_frame())
+    assert r1.viewports[0].prev_state[0].shape[-1] == 4  # packed color
+    assert np.abs(f0.astype(int) - g0.astype(int)).max() <= 1
+
+
+def test_v2_bf16_quality_close_to_f32(tmp_path):
+    """bf16 conv compute (the V2 default) must not visibly regress
+    quality: PSNR(v2_bf16, v2_f32) on a non-trivial net stays high."""
+    from trident_tpu.ai import upscaler as up
+    from trident_tpu.ops import kernel_knobs
+
+    _, variables = up.init_upscaler(jax.random.PRNGKey(8), base_channels=8,
+                                    in_channels=17)
+    params = jax.tree.map(
+        lambda a: a + 0.05 * jax.random.normal(jax.random.PRNGKey(9),
+                                               a.shape, a.dtype),
+        variables["params"])
+    rng = np.random.default_rng(15)
+    img = jnp.asarray(rng.random((32, 32, 3), np.float32))
+    temporal = jnp.asarray(rng.random((32, 32, 13), np.float32))
+    d = jnp.asarray(rng.random((32, 32), np.float32))
+    with kernel_knobs.overrides(upscale_dtype="f32"):
+        rgb32, _ = up.apply_upscaler_v2(params, img, temporal, d)
+    with kernel_knobs.overrides(upscale_dtype="bf16"):
+        rgb16, _ = up.apply_upscaler_v2(params, img, temporal, d)
+    p = float(up.psnr(rgb16, rgb32))
+    assert p > 40.0, f"bf16 vs f32 PSNR {p:.1f} dB"

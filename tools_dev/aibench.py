@@ -70,7 +70,8 @@ def main():
               f"ms/call", flush=True)
 
     cfgs = os.environ.get(
-        "AB_CONFIGS", "warp,net,resize,convs,repeat,pack").split(",")
+        "AB_CONFIGS",
+        "warp,net,resize,convs,repeat,pack,d2s,warpv2,netv2,v2").split(",")
 
     if "warp" in cfgs:
         timed("warp", jax.jit(lambda pr, d, tok: up.warp_previous(
@@ -120,6 +121,45 @@ def main():
         big = jax.random.uniform(key, (H2, W2, 4), jnp.float32)
         timed("pack_rgba8(4k)", jax.jit(lambda fr, tok: pack_rgba8(
             fr + tok).ravel()[0].astype(jnp.float32) * 0.0), big)
+
+    # ---- V2 path pieces (round 5: block-layout history, no 4K relayouts)
+    blocks = jax.random.uniform(key, (h, w, 12), jnp.float32)
+    if "d2s" in cfgs:
+        for mode in ("xla", "convt", "pad"):
+            timed(f"d2s({mode})", jax.jit(lambda bl, tok, m=mode: up.
+                  depth_to_space(bl + tok, mode=m).ravel()[0] * 0.0), blocks)
+    if "warpv2" in cfgs:
+        blk_u8 = (blocks * 255).astype(jnp.uint8)
+        timed("warp_v2(blocks)", jax.jit(lambda bl, d, tok: up.
+              warp_from_blocks(bl, d + tok, eye, eye, W2, H2)
+              .ravel()[0] * 0.0), blk_u8, cur_depth)
+    if "netv2" in cfgs:
+        from trident_tpu.ops import kernel_knobs
+
+        for dt in ("f32", "bf16"):
+            with kernel_knobs.overrides(upscale_dtype=dt):
+                timed(f"netv2_blocks({dt})",
+                      jax.jit(lambda im, tmp, d, tok: up.apply_upscaler_v2(
+                          params, im + tok, tmp, d)[1].ravel()[0] * 0.0),
+                      image, temporal, cur_depth)
+    if "v2" in cfgs:
+        # the FULL v2 per-frame chain: warp from uint8 blocks + net +
+        # display d2s + history quantize (compare: warp + net(full))
+        from trident_tpu.ops import kernel_knobs
+
+        blk_u8 = (blocks * 255).astype(jnp.uint8)
+
+        def v2_chain(bl, im, d, tok):
+            t = up.warp_from_blocks(bl, d + tok, eye, eye, W2, H2)
+            rgb, out_blocks = up.apply_upscaler_v2(params, im, t, d)
+            hist = up.blocks_to_u8(out_blocks)
+            return (rgb.ravel()[0] + hist.ravel()[0].astype(jnp.float32)
+                    ) * 0.0
+
+        for dt in ("bf16", "f32"):
+            with kernel_knobs.overrides(upscale_dtype=dt):
+                timed(f"v2_chain({dt})", jax.jit(v2_chain),
+                      blk_u8, image, cur_depth)
 
 
 if __name__ == "__main__":

@@ -59,6 +59,9 @@ _KNOBS: Dict[str, Tuple[str, str]] = {
     "texel_max_q": ("trident_tpu.ops.texel_pallas", "MAX_TABLE_ENTRIES"),
     "texel_max_pix": ("trident_tpu.ops.texel_pallas", "TEXEL_MXU_MAX_PIX"),
     "tiled_shade": ("trident_tpu.ops.deferred_tiled", "TILED_SHADE"),
+    "upscale_v2": ("trident_tpu.ai.upscaler", "V2"),
+    "d2s_mode": ("trident_tpu.ai.upscaler", "D2S_MODE"),
+    "upscale_dtype": ("trident_tpu.ai.upscaler", "UPSCALE_DTYPE"),
 }
 
 
@@ -112,6 +115,13 @@ def _revalidate() -> None:
                 else None)
     if rv.RESOLVE_HALF and rp.CHUNK % 2 != 0:
         raise ValueError("resolve_half=True requires an even chunk")
+    up = _mod("trident_tpu.ai.upscaler")
+    if up.D2S_MODE not in ("convt", "pad", "xla"):
+        raise ValueError(f"d2s_mode={up.D2S_MODE!r}: expected "
+                         "convt | pad | xla")
+    if up.UPSCALE_DTYPE not in ("bf16", "f32"):
+        raise ValueError(f"upscale_dtype={up.UPSCALE_DTYPE!r}: "
+                         "expected bf16 | f32")
 
 
 def trace_key() -> tuple:

@@ -362,19 +362,27 @@ def _render_frame_impl(geometry, plan, tri_draw, params, palette, shade_table,
         frame = jnp.concatenate(
             [tonemap_reinhard_gamma(hdr), frame[..., 3:4]], axis=-1)
     frame = post.resolve_supersample(frame, supersample)
+    history = None
     if upscale_params is not None:
         # neural 2x reconstruction (ai/upscaler.py): width/height here are
         # the HALF-res render dims; the output frame is full size. The AI
         # blend then applies at display resolution.
-        from trident_tpu.ai.upscaler import apply_upscaler, temporal_from_prev
+        from trident_tpu.ai import upscaler as up
 
         d_half = gbuf.depth[::supersample, ::supersample]
-        # prev = (previous full-res FrameOutput.color, previous
-        # view-projection): reproject its detail into this view
-        temporal = temporal_from_prev(upscale_params, prev, d_half, camera,
-                                      width * 2, height * 2)
-        rgb = apply_upscaler(upscale_params, frame[..., :3], temporal,
-                             depth=d_half)
+        # prev = (previous history, previous view-projection): V1 = the
+        # full-res packed color, V2 = the (h, w, 12) output blocks
+        # (temporal_from_prev dispatches on the channel count, so the
+        # first frame after a knob flip still warps correctly)
+        temporal = up.temporal_from_prev(upscale_params, prev, d_half,
+                                         camera, width * 2, height * 2)
+        if up.V2:
+            rgb, blocks = up.apply_upscaler_v2(
+                upscale_params, frame[..., :3], temporal, depth=d_half)
+            history = up.blocks_to_u8(blocks)
+        else:
+            rgb = up.apply_upscaler(upscale_params, frame[..., :3],
+                                    temporal, depth=d_half)
         alpha = jnp.repeat(jnp.repeat(frame[..., 3:4], 2, axis=0), 2, axis=1)
         frame = jnp.concatenate([rgb, alpha], axis=-1)
     frame = jnp.clip(apply_ai_blend(frame, ai), 0.0, 1.0)
@@ -386,7 +394,7 @@ def _render_frame_impl(geometry, plan, tri_draw, params, palette, shade_table,
         depth_out = jnp.repeat(jnp.repeat(depth_out, 2, axis=0), 2, axis=1)
         tri_out = jnp.repeat(jnp.repeat(tri_out, 2, axis=0), 2, axis=1)
     return FrameOutput(color=pack_rgba8(frame), depth=depth_out,
-                       tri_id=tri_out, aux=gbuf.aux)
+                       tri_id=tri_out, aux=gbuf.aux, history=history)
 
 
 @functools.partial(jax.jit, static_argnames=("width", "height", "clear_color",
@@ -872,7 +880,8 @@ class Renderer:
             if up is not None:
                 hp = jax.lax.Precision.HIGHEST
                 p = cam.params()
-                ctx.prev_state = (out.color,
+                hist = out.history if out.history is not None else out.color
+                ctx.prev_state = (hist,
                                   jnp.matmul(p.proj, p.view, precision=hp))
             # the idle-frame signature describes the SINGLE-chip pipeline;
             # a frame produced here (possibly via a banding fallback with
@@ -938,7 +947,8 @@ class Renderer:
             if up is not None:
                 hp = jax.lax.Precision.HIGHEST
                 p = cam.params()
-                ctx.prev_state = (out.color,
+                hist = out.history if out.history is not None else out.color
+                ctx.prev_state = (hist,
                                   jnp.matmul(p.proj, p.view, precision=hp))
         ctx.last_frame = out
         return out

@@ -158,6 +158,13 @@ class FrameOutput(NamedTuple):
     tri_id: Array         # (H,W) i32
     aux: Optional[Array] = None  # (2,) i32 raster drop counters (None on
                                  # the ref-raster path, which cannot drop)
+    history: Optional[Array] = None
+                          # upscaler-V2 temporal history: the (h, w, 12)
+                          # uint8 OUTPUT BLOCKS (2×2·rgb, depth-to-space
+                          # pending) — next frame's warp gathers from this
+                          # directly, skipping the 4K space-to-depth
+                          # relayout that dominated the V1 warp (93 ms
+                          # measured, tools_dev/r5hw2.log)
 
 
 def zero_light_params() -> LightParams:
