@@ -110,26 +110,50 @@ def main():
         sp = ShadowParams(depth=depth_map, light_vp=lvp,
                           enabled=jnp.asarray(True),
                           bias=jnp.asarray(2e-3, jnp.float32))
-        world = jax.random.uniform(jax.random.PRNGKey(0), (h, w, 3),
-                                   jnp.float32, -20.0, 20.0)
-        timed("factor(hard)", jax.jit(lambda wd, tok: shadow_factor(
-            sp, wd + tok, pcf=False).ravel()[0] * 0.0), world)
-        timed("factor(pcf)", jax.jit(lambda wd, tok: shadow_factor(
-            sp, wd + tok, pcf=True).ravel()[0] * 0.0), world)
+        # screen-COHERENT world positions (what a real frame reconstructs:
+        # neighbors map to neighboring shadow texels) + a random-world
+        # adversarial case. The r5hw2 110.6/86.1 ms numbers were the
+        # random world — they overstate the in-frame gather cost and are
+        # the worst case for the MXU path's block windows.
+        yy = jnp.linspace(-15.0, 15.0, h)[:, None] * jnp.ones((1, w))
+        xx = jnp.ones((h, 1)) * jnp.linspace(-15.0, 15.0, w)[None, :]
+        bump = jnp.sin(xx * 0.7) * jnp.cos(yy * 0.5)
+        world = jnp.stack([xx, bump, yy], axis=-1).astype(jnp.float32)
+        world_rnd = jax.random.uniform(jax.random.PRNGKey(0), (h, w, 3),
+                                       jnp.float32, -20.0, 20.0)
+        from trident_tpu.ops import kernel_knobs
 
+        for mxu in (False, True):
+            with kernel_knobs.overrides(shadow_mxu=mxu):
+                tag = "mxu" if mxu else "gather"
+                timed(f"factor(hard,{tag})", jax.jit(
+                    lambda wd, tok: shadow_factor(
+                        sp, wd + tok, pcf=False).ravel()[0] * 0.0), world)
+                timed(f"factor(pcf,{tag})", jax.jit(
+                    lambda wd, tok: shadow_factor(
+                        sp, wd + tok, pcf=True).ravel()[0] * 0.0), world)
+                timed(f"factor(hard,{tag},random)", jax.jit(
+                    lambda wd, tok: shadow_factor(
+                        sp, wd + tok, pcf=False).ravel()[0] * 0.0),
+                    world_rnd)
+
+    # NOTE: the r5hw2 run consumed .depth[0,0], which DCE'd the entire
+    # shade (incl. the factor) — main0/main1 both read 8.7 ms = the
+    # visibility side only. Consuming a COLOR reduction keeps the full
+    # frame alive.
     for name, ssize in (("main0", 0), ("main1", size)):
         if name not in cfgs:
             continue
         lc_arg = light_cam if ssize else None
         timed(f"{name}(frame, shadow={bool(ssize)})",
-              jax.jit(lambda tok, _s=ssize, _l=lc_arg: render_frame(
+              jax.jit(lambda tok, _s=ssize, _l=lc_arg: jnp.sum(render_frame(
                   geo, plan, tri_draw, params, palette, shade,
                   CameraParams(cam.view, cam.proj, cam.position + tok * 0),
                   lights, tex, sky, ai, light_camera=_l, corner_t=corner_t,
                   width=w, height=h,
                   clear_color=tuple(renderer.config.render.clear_color),
                   raster="pallas", chunk=64, skinned=False, shadow_size=_s,
-                  **stride_kw).depth[0, 0] * 0.0))
+                  **stride_kw).color.astype(jnp.float32)) * 0.0))
 
 
 if __name__ == "__main__":

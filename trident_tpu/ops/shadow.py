@@ -133,10 +133,29 @@ def shadow_factor(shadow: ShadowParams, world: Array, pcf: bool = False) -> Arra
     inside = (u >= 0) & (u <= 1) & (v >= 0) & (v <= 1) & (depth <= 1.0)
     test_depth = depth - shadow.bias
 
+    from trident_tpu.ops import shadow_pallas as sp
+
+    # windowed one-hot MXU fetch (ops/shadow_pallas.py) when the map fits
+    # the kernel's VMEM budget: the per-pixel 2D gather measured 110.6 ms
+    # hard / 86.1 ms PCF at 1080p/1024² in isolation (r5hw2 shbench) and
+    # is the dominant shadow-frame cost. The fetch returns the EXACT map
+    # bits, so the compare/lerp below is shared verbatim with the gather.
+    use_mxu = (sp.SHADOW_MXU and world.ndim == 3 and s >= sp.CW
+               and sp.supported(s))
+    interp = jax.default_backend() == "cpu"
+
     if not pcf:
         xi = jnp.clip((u * s).astype(jnp.int32), 0, s - 1)
         yi = jnp.clip((v * s).astype(jnp.int32), 0, s - 1)
-        lit = jnp.where(test_depth > shadow.depth[yi, xi], 0.0, 1.0)
+        if use_mxu:
+            chunks = sp.build_shadow_chunks(shadow.depth)
+            bits = sp.shadow_tap_bits(chunks, jnp.where(inside, yi, -1),
+                                      jnp.where(inside, xi, -1),
+                                      interpret=interp)
+            fetched = jax.lax.bitcast_convert_type(bits[..., 0], jnp.float32)
+        else:
+            fetched = shadow.depth[yi, xi]
+        lit = jnp.where(test_depth > fetched, 0.0, 1.0)
     else:
         fx = u * s - 0.5
         fy = v * s - 0.5
@@ -147,11 +166,27 @@ def shadow_factor(shadow: ShadowParams, world: Array, pcf: bool = False) -> Arra
         x0c, x1c = jnp.clip(x0, 0, s - 1), jnp.clip(x0 + 1, 0, s - 1)
         y0c, y1c = jnp.clip(y0, 0, s - 1), jnp.clip(y0 + 1, 0, s - 1)
 
-        def tap(yi, xi):
-            return jnp.where(test_depth > shadow.depth[yi, xi], 0.0, 1.0)
+        if use_mxu:
+            chunks = sp.build_shadow_chunks(shadow.depth)
+            bits = sp.shadow_tap_bits(
+                chunks, jnp.where(inside, y0c, -1),
+                jnp.where(inside, x0c, -1), jnp.where(inside, y1c, -1),
+                jnp.where(inside, x1c, -1), interpret=interp)
+            f = jax.lax.bitcast_convert_type(bits, jnp.float32)
+            taps = {(0, 0): f[..., 0], (0, 1): f[..., 1],
+                    (1, 0): f[..., 2], (1, 1): f[..., 3]}
 
-        lit = ((tap(y0c, x0c) * (1 - wx) + tap(y0c, x1c) * wx) * (1 - wy)
-               + (tap(y1c, x0c) * (1 - wx) + tap(y1c, x1c) * wx) * wy)
+            def tap(ty, tx):
+                return jnp.where(test_depth > taps[(ty, tx)], 0.0, 1.0)
+
+            lit = ((tap(0, 0) * (1 - wx) + tap(0, 1) * wx) * (1 - wy)
+                   + (tap(1, 0) * (1 - wx) + tap(1, 1) * wx) * wy)
+        else:
+            def tap(yi, xi):
+                return jnp.where(test_depth > shadow.depth[yi, xi], 0.0, 1.0)
+
+            lit = ((tap(y0c, x0c) * (1 - wx) + tap(y0c, x1c) * wx) * (1 - wy)
+                   + (tap(y1c, x0c) * (1 - wx) + tap(y1c, x1c) * wx) * wy)
 
     lit = jnp.where(inside, lit, 1.0)
     return jnp.where(shadow.enabled, lit, 1.0)[..., None]
