@@ -209,7 +209,10 @@ def test_zskip_is_bit_exact_and_packs(rng, monkeypatch):
     """Hierarchical-Z pair skip (TRIDENT_ZSKIP): occluded-layer scenes
     must render BIT-IDENTICALLY with the skip on and off (the skip may
     only elide provably no-op merges), and build_bins must pack a nonzero
-    depth bound into mask word 0's high bits for front-depth geometry."""
+    depth bound into mask word 0's high bits for front-depth geometry.
+    (Legacy bit-mask word layout — DYNHIT off; the DYNHIT+zskip A/B is
+    test_dynhit_zskip_is_bit_exact.)"""
+    _set_dynhit(monkeypatch, False)
     if not raster_pallas.ZSKIP_PACK:
         pytest.skip("ZSKIP bound does not fit the last mask word's spare "
                     "bits at this CHUNK/SUB/QGATE config")
@@ -265,8 +268,34 @@ def test_zskip_is_bit_exact_and_packs(rng, monkeypatch):
     assert bound[hitbits > 0].min() <= dmin
 
 
+_DERIVED = ("NSUB", "NQ", "MASK_BITS", "MASK_WORDS", "ZSKIP_SHIFT",
+            "ZSKIP_PACK", "SPAN_X", "SPAN_Y", "PAIR_BUDGET", "DYN_B",
+            "DPW", "DYN_WORDS", "CK_NBANKS")
+
+
+def _set_flags(monkeypatch, **flags):
+    """monkeypatch raster_pallas knob FLAGS (lowercase names) and run the
+    real recompute_derived() for consistent deriveds — everything
+    restored at test teardown (monkeypatch registers the originals
+    before recompute overwrites them)."""
+    for name in _DERIVED:
+        if hasattr(raster_pallas, name):
+            monkeypatch.setattr(raster_pallas, name,
+                                getattr(raster_pallas, name))
+    for k, v in flags.items():
+        monkeypatch.setattr(raster_pallas, k.upper(), v)
+    raster_pallas.recompute_derived()
+
+
+def _set_dynhit(monkeypatch, on: bool):
+    _set_flags(monkeypatch, dynhit=on)
+
+
 def _set_qgate(monkeypatch, on: bool):
-    """Consistently monkeypatch the QGATE-derived module constants."""
+    """Consistently monkeypatch the QGATE-derived module constants.
+    QGATE is exclusive with DYNHIT (the round-5 default), so BOTH legs
+    of a qgate A/B run the static masked structure."""
+    _set_dynhit(monkeypatch, False)
     nq = 4 if on else 1
     bits = raster_pallas.NSUB * nq
     mw = -(-bits // 30)
@@ -370,7 +399,9 @@ def test_recpad_is_bit_exact(rng, monkeypatch):
 
 def test_rect_is_bit_exact(rng, monkeypatch):
     """Transposed dense records (TRIDENT_RECT): the in-kernel transpose
-    restores the exact values — renders must be BIT-IDENTICAL."""
+    restores the exact values — renders must be BIT-IDENTICAL.
+    (RECT is exclusive with the DYNHIT default.)"""
+    _set_dynhit(monkeypatch, False)
     setup = _random_scene(rng, 400)
     off = _vis(setup)
     monkeypatch.setattr(raster_pallas, "RECT", True)
@@ -383,7 +414,9 @@ def test_acc_is_bit_exact(rng, monkeypatch):
     """Shared-accumulator masked kernel (TRIDENT_ACC, round 5): reducing +
     merging once per PAIR via the (SUB, npx) scratch must render
     BIT-IDENTICALLY to the per-sweep merge — same order-independent
-    lexicographic (depth, tid) semantics, different association point."""
+    lexicographic (depth, tid) semantics, different association point.
+    (Static sweep structure — DYNHIT requires ACC, so it is off here.)"""
+    _set_dynhit(monkeypatch, False)
     setup = _random_scene(rng, 600)
     monkeypatch.setattr(raster_pallas, "ACC", False)
     off = _vis(setup)
@@ -433,6 +466,7 @@ def test_acc_depth_tie_is_bit_exact(rng, monkeypatch):
     accumulator's per-cell tie-break plus the final cross-sub max must
     pick the same winner as the per-sweep merge (max tid among min-depth
     entries, globally)."""
+    _set_dynhit(monkeypatch, False)
     t = 96                     # spans several SUB=16 sub-blocks
     pos = (rng.uniform(-1, 1, (t, 1, 3)) * [0.9, 0.9, 0.3]
            + rng.uniform(-0.3, 0.3, (t, 3, 3))).astype(np.float32)
@@ -518,6 +552,8 @@ def test_depth_only_kernel_matches_full(rng, monkeypatch, acc):
            + rng.uniform(-0.3, 0.3, (t, 3, 3))).astype(np.float32)
     pos[10] = pos[200]         # exact ties across chunks
     setup = _setup_from_ndc(pos)
+    if not acc:
+        _set_dynhit(monkeypatch, False)   # DYNHIT requires ACC
     monkeypatch.setattr(raster_pallas, "ACC", acc)
     full = jax.jit(lambda s: visibility_pallas_tiled(
         s, W, H, interpret=True)[1])(setup)

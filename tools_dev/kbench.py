@@ -68,19 +68,43 @@ def main():
     n_real = int(bins.n_real)
     masks_np = [np.asarray(m) for m in bins.pair_mask]
     real = np.arange(bins.n_pairs) < n_real
-    hit_words = rp.MASK_BITS - 30 * (rp.MASK_WORDS - 1)
-    nhits = sum(
-        ((m[:, None] >> np.arange(30 if wd < rp.MASK_WORDS - 1 else hit_words
-                                  )[None, :]) & 1).sum()
-        for wd, m in enumerate(masks_np))
-    print(f"pairs={n_real} aux={np.asarray(bins.aux)} "
-          f"hit_bits_total={int(nhits)} "
-          f"({nhits / max(n_real, 1):.1f}/pair of {rp.MASK_BITS})", flush=True)
+    if rp.DYNHIT:
+        # word 0 low bits = the hit COUNT (digits ride words 1..)
+        nhits = (masks_np[0][real] % (1 << rp.ZSKIP_SHIFT)).sum()
+        print(f"pairs={n_real} aux={np.asarray(bins.aux)} "
+              f"hit_total={int(nhits)} "
+              f"({nhits / max(n_real, 1):.1f}/pair of {rp.NSUB}, DYNHIT)",
+              flush=True)
+    else:
+        hit_words = rp.MASK_BITS - 30 * (rp.MASK_WORDS - 1)
+        nhits = sum(
+            ((m[:, None] >> np.arange(30 if wd < rp.MASK_WORDS - 1
+                                      else hit_words)[None, :]) & 1).sum()
+            for wd, m in enumerate(masks_np))
+        print(f"pairs={n_real} aux={np.asarray(bins.aux)} "
+              f"hit_bits_total={int(nhits)} "
+              f"({nhits / max(n_real, 1):.1f}/pair of {rp.MASK_BITS})",
+              flush=True)
 
     def doctored(kind):
         if kind == "dflt":
             return bins
         words = []
+        if rp.DYNHIT:
+            # zero: nhit=0 everywhere; full: all NSUB subs hit, digits
+            # descending q packed base-DYN_B, DPW per word
+            nh = rp.NSUB if kind == "full" else 0
+            words.append(jnp.where(jnp.asarray(real), nh, 0)
+                         .astype(jnp.int32))
+            digits = list(range(rp.NSUB - 1, -1, -1))
+            for wd in range(rp.DYN_WORDS):
+                seg = digits[wd * rp.DPW:(wd + 1) * rp.DPW]
+                val = sum(d * rp.DYN_B ** k for k, d in enumerate(seg))
+                words.append(jnp.where(jnp.asarray(real),
+                                       val if kind == "full" else 0, 0)
+                             .astype(jnp.int32))
+            return bins._replace(pair_mask=tuple(words))
+        hit_words = rp.MASK_BITS - 30 * (rp.MASK_WORDS - 1)
         for wd in range(rp.MASK_WORDS):
             bits = 30 if wd < rp.MASK_WORDS - 1 else hit_words
             val = (1 << bits) - 1 if kind == "full" else 0

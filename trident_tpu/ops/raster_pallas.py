@@ -181,7 +181,7 @@ ACC = _os.environ.get("TRIDENT_ACC", "1") == "1"
                      # per-sub-block branch structure — which QGATE/CKERN
                      # showed must stay — is untouched. Bit-exact either
                      # way (same lexicographic semantics; A/B test).
-DYNHIT = _os.environ.get("TRIDENT_DYNHIT", "0") == "1"
+DYNHIT = _os.environ.get("TRIDENT_DYNHIT", "1") == "1"
                      # dynamic hit-sub sweep (round 5): kbench r4kb1/r5hw2
                      # measured ~40-65 ns per @pl.when branch CHECK — the
                      # zero-mask kernel's 6.2-7.5 ms is almost entirely the
@@ -203,6 +203,11 @@ DYNHIT = _os.environ.get("TRIDENT_DYNHIT", "0") == "1"
                      # QGATE), the dense record layout (no RECT/CKERN),
                      # and SUB % 8 == 0 (sublane-aligned dynamic slices).
                      # Exact either way (oracle + A/B bit-equality tests).
+                     # DEFAULT ON since the round-5 hardware A/B
+                     # (r5hw3.log): 1M/1080p 24.81/24.85 FPS vs 22.80/
+                     # 22.83 at the ACC defaults (+8.8%), 110k 46.61 vs
+                     # 43.8, kernel dflt 17.06 ms vs 19.05, flavor gate
+                     # PASSED on chip.
 RECT = _os.environ.get("TRIDENT_RECT", "0") == "1"
                      # transposed DENSE records (round-4 floor follow-up):
                      # the per-pair record DMA is ~1 µs serialized because
