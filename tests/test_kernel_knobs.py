@@ -36,7 +36,9 @@ def test_unknown_and_invalid_knobs_fail_loudly():
 
 def test_overrides_context_manager():
     base = raster_pallas.CHUNK
-    with kernel_knobs.overrides(chunk=512, sub=16):
+    # legacy masked layout: dynhit pinned off (32 subs exceed the DYNHIT
+    # packed-digit SMEM budget by design — see raster_pallas validation)
+    with kernel_knobs.overrides(chunk=512, sub=16, dynhit=False):
         assert raster_pallas.CHUNK == 512
         assert raster_pallas.NSUB == 32
         assert raster_pallas.MASK_WORDS == 2    # 32 sub bits > one word
@@ -74,8 +76,8 @@ def test_two_kernel_configs_in_one_process():
 
     base = kernel_knobs.snapshot()
     try:
-        ra = build({"chunk": 128, "qgate": True})
-        rb = build({"chunk": 256, "qgate": False})
+        ra = build({"chunk": 128, "qgate": True, "dynhit": False})
+        rb = build({"chunk": 256, "qgate": False, "dynhit": False})
         fa1 = np.asarray(ra.read_frame())
         fb1 = np.asarray(rb.read_frame())
         fa2 = np.asarray(ra.read_frame())   # interleave back to A

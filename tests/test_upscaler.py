@@ -387,3 +387,93 @@ def test_v2_bf16_quality_close_to_f32(tmp_path):
         rgb16, _ = up.apply_upscaler_v2(params, img, temporal, d)
     p = float(up.psnr(rgb16, rgb32))
     assert p > 40.0, f"bf16 vs f32 PSNR {p:.1f} dB"
+
+
+def test_warp_mxu_matches_gather_where_valid():
+    """The tile-local MXU warp (ops/warp_pallas.py) must equal the XLA
+    gather warp bitwise wherever its band window covers the pixel; a
+    static camera covers EVERY pixel (zero motion → per-block spans are
+    the screen block's own 8 rows), so the outputs must be identical."""
+    from trident_tpu.ai.upscaler import warp_from_blocks
+    from trident_tpu.ops import kernel_knobs
+    from trident_tpu.render.camera import EditorCamera
+
+    cam = EditorCamera()
+    cam.set_viewport_size(64, 64)
+    cam.set_position([0, 0, 3])
+    cam.look_at_target([0, 0, 0])
+    p0 = cam.params()
+    vp0 = (np.asarray(p0.proj) @ np.asarray(p0.view)).astype(np.float32)
+
+    rng = np.random.default_rng(21)
+    blocks = rng.integers(0, 256, (32, 32, 12)).astype(np.uint8)
+    depth = rng.uniform(0.3, 0.7, (32, 32)).astype(np.float32)
+    depth[0, :4] = 1.0                     # background pixels → invalid
+    inv = np.linalg.inv(vp0).astype(np.float32)
+    args = (jnp.asarray(blocks), jnp.asarray(depth), jnp.asarray(inv),
+            jnp.asarray(vp0), 64, 64)
+    with kernel_knobs.overrides(warp_mxu=False):
+        ref = np.asarray(warp_from_blocks(*args))
+    with kernel_knobs.overrides(warp_mxu=True):
+        out = np.asarray(warp_from_blocks(*args))
+    assert (ref != out).sum() == 0
+    assert (ref[..., 12] == 1.0).any() and (ref[..., 12] == 0.0).any()
+
+
+def test_warp_mxu_band_drop_is_clean_and_small():
+    """With real inter-frame motion the MXU warp may drop pixels whose
+    source rows exceed the block's two-band window: dropped pixels must
+    be EXACTLY the spatial-fallback encoding (zeros + valid 0), all
+    others bit-equal to the gather, and the dropped fraction small."""
+    from trident_tpu.ai.upscaler import warp_from_blocks
+    from trident_tpu.ops import kernel_knobs
+    from trident_tpu.render.camera import EditorCamera
+
+    cam = EditorCamera()
+    cam.set_viewport_size(64, 64)
+    cam.set_position([0, 0, 3])
+    cam.look_at_target([0, 0, 0])
+    p0 = cam.params()
+    vp0 = (np.asarray(p0.proj) @ np.asarray(p0.view)).astype(np.float32)
+    cam.orbit([0, 0, 0], 6.0, 4.0)
+    p1 = cam.params()
+    vp1 = (np.asarray(p1.proj) @ np.asarray(p1.view)).astype(np.float32)
+
+    rng = np.random.default_rng(22)
+    blocks = rng.integers(0, 256, (32, 32, 12)).astype(np.uint8)
+    # mixed depths → parallax → some band-window misses are possible
+    depth = rng.uniform(0.2, 0.9, (32, 32)).astype(np.float32)
+    inv = np.linalg.inv(vp1).astype(np.float32)
+    args = (jnp.asarray(blocks), jnp.asarray(depth), jnp.asarray(inv),
+            jnp.asarray(vp0), 64, 64)
+    with kernel_knobs.overrides(warp_mxu=False):
+        ref = np.asarray(warp_from_blocks(*args))
+    with kernel_knobs.overrides(warp_mxu=True):
+        out = np.asarray(warp_from_blocks(*args))
+    ref_valid = ref[..., 12] == 1.0
+    out_valid = out[..., 12] == 1.0
+    assert (out_valid <= ref_valid).all()          # can only drop
+    same = (ref == out).all(axis=-1)
+    dropped = ref_valid & ~out_valid
+    assert (same | dropped).all()
+    assert (out[~out_valid] == 0.0).all()          # clean fallback coding
+    assert dropped.mean() < 0.05
+
+
+def test_warp_fetch_mxu_direct(rng):
+    """Kernel-level: exact byte fetch for in-window indices, zeros for
+    -1 sentinels, across band boundaries within a block's window."""
+    from trident_tpu.ops import warp_pallas as wp
+
+    blocks = rng.integers(0, 256, (96, 64, 12)).astype(np.uint8)
+    planes, h, w = wp.build_warp_planes(jnp.asarray(blocks))
+    hh, ww = 16, 40
+    by = rng.integers(0, 24, (hh, ww)).astype(np.int32)   # spans 1 window
+    bx = rng.integers(0, 64, (hh, ww)).astype(np.int32)
+    by[3, :7] = -1
+    bx[3, :7] = -1
+    out = np.asarray(wp.warp_fetch_mxu(planes, jnp.asarray(by),
+                                       jnp.asarray(bx), interpret=True))
+    want = blocks[np.clip(by, 0, 95), np.clip(bx, 0, 63)].astype(np.float32)
+    want[3, :7] = 0.0
+    assert (out != want).sum() == 0

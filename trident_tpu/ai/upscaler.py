@@ -231,16 +231,34 @@ def warp_from_blocks(prev_blocks: Array, cur_depth: Array,
     measured, tools_dev/r5hw2.log). Same block indexing and channel
     order as warp_previous's s2d, so outputs are bit-identical given
     equal history values (tested)."""
-    blk = prev_blocks
-    if blk.dtype == jnp.uint8:
-        blk = blk.astype(jnp.float32) * (1.0 / 255.0)
-    hh, ww2 = blk.shape[0], blk.shape[1]
+    hh, ww2 = prev_blocks.shape[0], prev_blocks.shape[1]
     px, py, pw = _reproject_half(cur_depth, cur_vp_inv, prev_vp,
                                  full_width, full_height)
     bx = jnp.round(px * 0.5 - 0.5).astype(jnp.int32)
     by = jnp.round(py * 0.5 - 0.5).astype(jnp.int32)
     in_bounds = ((bx >= 0) & (bx < ww2) & (by >= 0) & (by < hh)
                  & (pw > 1e-6) & (cur_depth < 1.0))
+
+    from trident_tpu.ops import warp_pallas as wp
+
+    if wp.WARP_MXU and prev_blocks.dtype == jnp.uint8:
+        # tile-local MXU fetch (ops/warp_pallas.py): the XLA row gather
+        # measured 66.4 ms at 1080p (r5hw3 aibench). Pixels outside
+        # their block's two-band source-row span degrade to validity 0
+        # (the net's trained spatial fallback); everything else is the
+        # exact gather value (uint8 bytes are bf16-exact).
+        planes, _, _ = wp.build_warp_planes(prev_blocks)
+        ok = wp.band_ok_mask(by, in_bounds, planes.shape[1])
+        fetched = wp.warp_fetch_mxu(
+            planes, jnp.where(ok, by, -1), jnp.where(ok, bx, -1),
+            interpret=jax.default_backend() == "cpu")
+        valid = ok[..., None].astype(jnp.float32)
+        return jnp.concatenate([fetched * (1.0 / 255.0) * valid, valid],
+                               axis=-1)
+
+    blk = prev_blocks
+    if blk.dtype == jnp.uint8:
+        blk = blk.astype(jnp.float32) * (1.0 / 255.0)
     block = blk[jnp.clip(by, 0, hh - 1), jnp.clip(bx, 0, ww2 - 1)]
     valid = in_bounds[..., None].astype(jnp.float32)
     return jnp.concatenate([block * valid, valid], axis=-1)

@@ -60,6 +60,7 @@ _KNOBS: Dict[str, Tuple[str, str]] = {
     "texel_max_pix": ("trident_tpu.ops.texel_pallas", "TEXEL_MXU_MAX_PIX"),
     "tiled_shade": ("trident_tpu.ops.deferred_tiled", "TILED_SHADE"),
     "shadow_mxu": ("trident_tpu.ops.shadow_pallas", "SHADOW_MXU"),
+    "warp_mxu": ("trident_tpu.ops.warp_pallas", "WARP_MXU"),
     "upscale_v2": ("trident_tpu.ai.upscaler", "V2"),
     "d2s_mode": ("trident_tpu.ai.upscaler", "D2S_MODE"),
     "upscale_dtype": ("trident_tpu.ai.upscaler", "UPSCALE_DTYPE"),
