@@ -166,7 +166,32 @@ def main():
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    def run_kernel(b, token, dense=False):
+    # fused-pass floor probe (route-to-60 leg 1): a resolve-shaped second
+    # block ((3, RW=32, CHUNK) bf16, the split-precision tr layout) rides
+    # the SAME grid step as the visibility records. dual-vs-dflt is the
+    # marginal cost of co-streaming it: ~0 means the per-pair DMA floor is
+    # latency (two operand copies pipeline together) and a fused
+    # visibility+resolve kernel saves a whole pass floor; ~1 µs/pair means
+    # the copies serialize and fusion only saves merge overhead.
+    rec2 = jnp.zeros(
+        (3, 32, (bins.records.shape[0] // rp.CHUNK) * rp.CHUNK),
+        jnp.bfloat16)
+
+    def _dual_kernel(band_ref, zp_ref, tiles_ref, chunks_ref, *refs,
+                     ntx: int):
+        masks = refs[:rp.MASK_WORDS]
+        rec, rec2_ref, depth_out, tri_out = refs[rp.MASK_WORDS:
+                                                 rp.MASK_WORDS + 4]
+        rest = refs[rp.MASK_WORDS + 4:]
+        rp._visibility_kernel(band_ref, zp_ref, tiles_ref, chunks_ref,
+                              *masks, rec, depth_out, tri_out, *rest,
+                              ntx=ntx)
+        # consume one lane strip so Mosaic cannot elide the block copy;
+        # 1e-30-scaled, numerically invisible for a timing probe
+        depth_out[0] = depth_out[0] + jnp.sum(
+            rec2_ref[0, 0:1, :].astype(jnp.float32)) * 1e-30
+
+    def run_kernel(b, token, dense=False, dual=False):
         import functools
 
         band = jnp.zeros((1,), jnp.int32)
@@ -178,7 +203,8 @@ def main():
                 memory_space=pltpu.VMEM)
         else:
             kernel = functools.partial(
-                _dense_kernel if dense else rp._visibility_kernel, ntx=ntx)
+                _dual_kernel if dual else
+                (_dense_kernel if dense else rp._visibility_kernel), ntx=ntx)
             if rp.RECT:
                 rec_spec = pl.BlockSpec(
                     (16, rp.CHUNK),
@@ -194,10 +220,17 @@ def main():
         scratch = ([pltpu.VMEM((rp.SUB, npx), jnp.float32),
                     pltpu.VMEM((rp.SUB, npx), jnp.int32)]
                    if (rp.ACC and not rp.CKERN and not dense) else [])
+        in_specs = [rec_spec]
+        if dual:
+            in_specs.append(pl.BlockSpec(
+                (3, 32, rp.CHUNK),
+                lambda i, band, zp, tiles, chunks, *masks:
+                (0, 0, chunks[i]),
+                memory_space=pltpu.VMEM))
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=4 + rp.MASK_WORDS,
             grid=(jnp.maximum(b.n_real, 1),),
-            in_specs=[rec_spec],
+            in_specs=in_specs,
             out_specs=[
                 pl.BlockSpec((1, 1, npx),
                              lambda i, band, zp, tiles, chunks, *masks:
@@ -207,6 +240,9 @@ def main():
                              (tiles[i], 0, 0), memory_space=pltpu.VMEM),
             ],
             scratch_shapes=scratch)
+        args = [(b.compact if rp.CKERN else b.records) + token]
+        if dual:
+            args.append(rec2)
         depth, tri = pl.pallas_call(
             kernel, grid_spec=grid_spec,
             out_shape=[jax.ShapeDtypeStruct((n_tiles, 1, npx), jnp.float32),
@@ -214,8 +250,7 @@ def main():
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("arbitrary",)),
             interpret=os.environ.get("KB_INTERPRET", "0") == "1",
-        )(band, b.zparams, b.pair_tile, b.pair_chunk, *b.pair_mask,
-          (b.compact if rp.CKERN else b.records) + token)
+        )(band, b.zparams, b.pair_tile, b.pair_chunk, *b.pair_mask, *args)
         return depth[0, 0, 0] * 0.0
 
     if os.environ.get("KB_BINS", "0") == "1":
@@ -362,10 +397,11 @@ def main():
             print(f"kind={kind}: {ms:.2f} ms/call", flush=True)
             continue
         dense = kind == "nobranch"
-        if dense and rp.CKERN:
+        dual = kind == "dual"
+        if (dense or dual) and rp.CKERN:
             continue                      # masked-kernel probe only
-        b = doctored("full" if dense else kind)
-        f = jax.jit(functools.partial(run_kernel, dense=dense))
+        b = doctored("dflt" if dual else ("full" if dense else kind))
+        f = jax.jit(functools.partial(run_kernel, dense=dense, dual=dual))
         token = f(b, jnp.zeros((), jnp.float32))
         np.asarray(token)                      # compile + run once
         t0 = time.perf_counter()
