@@ -265,3 +265,65 @@ def test_forward_matches_gather_trilinear_ssaa():
     diff = np.abs(scene(True) - scene(False))
     assert diff.max() <= 3, diff.max()
     assert (diff > 1).mean() < 0.002
+
+
+def test_fused_visibility_resolve_bit_exact():
+    """TRIDENT_FUSE (one pair-grid pass streaming visibility AND resolve
+    records, attrs merged in lock-step with the lexicographic (depth,tid)
+    merge) must reproduce the two-pass pipeline BIT-EXACTLY: same winner
+    ids and depth, and the same attribute image in every channel."""
+    import jax
+
+    from trident_tpu.ops.raster_pallas import visibility_pallas_tiled
+    from trident_tpu.ops.resolve_pallas import (
+        fused_visibility_resolve_pallas, resolve_attrs_pallas,
+    )
+
+    from trident_tpu.ops import planes as planes_mod
+    from trident_tpu.ops.raster_pallas import CHUNK
+
+    w, h = 256, 128
+    setup, records = _random_setup_and_records(w=w, h=h)
+    # the fused path requires the transposed (production-default) layout;
+    # use it on BOTH sides so the comparison is apples-to-apples
+    rng = np.random.default_rng(7)
+    rows = rng.standard_normal((200, planes_mod.RR_WIDTH)).astype(np.float32)
+    records = planes_mod.chunk_resolve_cols(jnp.asarray(rows.T), CHUNK)
+
+    def two_pass(s, rec):
+        bins, depth_t, tri_t, _ = visibility_pallas_tiled(s, w, h,
+                                                          interpret=True)
+        at = resolve_attrs_pallas(bins, tri_t, rec, w, h, interpret=True,
+                                  skip=False)
+        return depth_t, tri_t, at
+
+    def fused(s, rec):
+        from trident_tpu.ops.raster_pallas import TILE_W, untile_frame
+        _, depth_t, tri_t, attrs_t, _ = fused_visibility_resolve_pallas(
+            s, rec, w, h, interpret=True)
+        ntx = -(-w // TILE_W)
+        nty = attrs_t.shape[0] // ntx
+        return depth_t, tri_t, untile_frame(attrs_t, ntx, nty)[:h, :w]
+
+    d0, t0, a0 = jax.jit(two_pass)(setup, records)
+    d1, t1, a1 = jax.jit(fused)(setup, records)
+    np.testing.assert_array_equal(np.asarray(t0), np.asarray(t1))
+    np.testing.assert_array_equal(np.asarray(d0), np.asarray(d1))
+    np.testing.assert_array_equal(np.asarray(a0), np.asarray(a1))
+    assert np.abs(np.asarray(a0)).sum() > 0
+
+
+def test_fused_requires_acc(monkeypatch):
+    import pytest
+
+    from trident_tpu.ops import raster_pallas as rp
+    from trident_tpu.ops.resolve_pallas import (
+        fused_visibility_resolve_pallas,
+    )
+
+    w, h = 256, 128
+    setup, records = _random_setup_and_records(w=w, h=h)
+    monkeypatch.setattr(rp, "ACC", False)
+    with pytest.raises(ValueError, match="acc=True"):
+        fused_visibility_resolve_pallas(setup, records, w, h,
+                                        interpret=True)

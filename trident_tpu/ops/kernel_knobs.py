@@ -46,6 +46,7 @@ _KNOBS: Dict[str, Tuple[str, str]] = {
     "zskip": ("trident_tpu.ops.raster_pallas", "ZSKIP"),
     "max_global": ("trident_tpu.ops.raster_pallas", "MAX_GLOBAL"),
     "pair_budget": ("trident_tpu.ops.raster_pallas", "PAIR_BUDGET_OVERRIDE"),
+    "fuse": ("trident_tpu.ops.resolve_pallas", "FUSE"),
     "resolve_half": ("trident_tpu.ops.resolve_pallas", "RESOLVE_HALF"),
     "resolve_compact": ("trident_tpu.ops.resolve_pallas", "RESOLVE_COMPACT"),
     "resolve_skip": ("trident_tpu.ops.resolve_pallas", "RESOLVE_SKIP"),
@@ -117,6 +118,11 @@ def _revalidate() -> None:
                 else None)
     if rv.RESOLVE_HALF and rp.CHUNK % 2 != 0:
         raise ValueError("resolve_half=True requires an even chunk")
+    if rv.FUSE:
+        pm = _mod("trident_tpu.ops.planes")
+        if not (rp.ACC and not rp.CKERN and not rp.RECT and pm.RESOLVE_TR):
+            raise ValueError("fuse=True requires acc=True, ckern=False, "
+                             "rect=False, resolve_tr=True")
     up = _mod("trident_tpu.ai.upscaler")
     if up.D2S_MODE not in ("convt", "pad", "xla"):
         raise ValueError(f"d2s_mode={up.D2S_MODE!r}: expected "

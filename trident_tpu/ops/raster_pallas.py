@@ -907,7 +907,8 @@ def build_bins(setup: TriangleSetup, width: int, height: int,
 
 
 def _visibility_kernel(band_ref, zp_ref, pair_tile_ref, pair_chunk_ref,
-                       *refs, ntx: int, depth_only: bool = False):
+                       *refs, ntx: int, depth_only: bool = False,
+                       fused_cb=None):
     """Layouts chosen for Mosaic: triangles on sublanes (C,1), pixels on
     lanes (1,npx); outputs are flat (1,1,npx) tile rows — no in-kernel
     reshapes or transposes.
@@ -1170,6 +1171,13 @@ def _visibility_kernel(band_ref, zp_ref, pair_tile_ref, pair_chunk_ref,
                                    | ((cmin == acc_d) & (win > acc_t)))
             depth_out[0] = jnp.where(better, cmin, acc_d)
             tri_out[0] = jnp.where(better, win, acc_t)
+            if fused_cb is not None:
+                # fused resolve (ops/resolve_pallas._fused_kernel): the
+                # pixels where this pair's local winner just took the
+                # accumulator are exactly where its interpolants belong —
+                # attrs merge in lock-step with (depth, tid), so the final
+                # attribute image is the final winner's in any pair order
+                fused_cb(win, better)
 
 
 def _visibility_kernel_ck(band_ref, zp_ref, pair_tile_ref, pair_chunk_ref,

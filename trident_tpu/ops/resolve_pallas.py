@@ -189,6 +189,226 @@ CH_TSX, CH_TSY = 14, 15          # mip-0 texture (w,h); with the base these
 CHANNELS = 16
 
 
+def _eval_interpolants(sel, pxf, pyf, vertex_colors: bool):
+    """Every deferred-shading interpolant from the selected (RW, npx)
+    record rows at pixel centers (pxf, pyf) → (CHANNELS, npx) f32.
+    Shared by the standalone resolve kernel and the fused
+    visibility+resolve kernel — identical math means bit-identical
+    attribute images (tested)."""
+
+    def row(j):
+        return sel[j:j + 1]                    # (1, npx)
+
+    def plane(j):                              # g·(px,py,1)
+        return row(j) * pxf + row(j + 1) * pyf + row(j + 2)
+
+    P = planes_mod
+    denom = plane(P.RR_G1)
+    inv = pl.reciprocal(
+        jnp.where(jnp.abs(denom) < 1e-20, 1e-20, denom), approx=False)
+
+    nx = plane(P.RR_NX) * inv
+    ny = plane(P.RR_NY) * inv
+    nz = plane(P.RR_NZ) * inv
+    u_num = plane(P.RR_U)
+    v_num = plane(P.RR_V)
+    u = u_num * inv
+    v = v_num * inv
+
+    # analytic UV screen derivatives → mip (matches ops/deferred.py)
+    g1x, g1y = row(P.RR_G1), row(P.RR_G1 + 1)
+    du_dx = (row(P.RR_U) - u * g1x) * inv
+    du_dy = (row(P.RR_U + 1) - u * g1y) * inv
+    dv_dx = (row(P.RR_V) - v * g1x) * inv
+    dv_dy = (row(P.RR_V + 1) - v * g1y) * inv
+    tsx, tsy = row(P.RR_TSX), row(P.RR_TSY)
+    rho = jnp.maximum(
+        jnp.square(du_dx * tsx) + jnp.square(dv_dx * tsy),
+        jnp.square(du_dy * tsx) + jnp.square(dv_dy * tsy))
+    mip = 0.5 * jnp.log2(jnp.maximum(rho, 1e-12))
+
+    cf_r, cf_g, cf_b = row(P.RR_CF), row(P.RR_CF + 1), row(P.RR_CF + 2)
+    if vertex_colors:
+        cf_r = cf_r * plane(P.RR_COL) * inv
+        cf_g = cf_g * plane(P.RR_COL + 3) * inv
+        cf_b = cf_b * plane(P.RR_COL + 6) * inv
+
+    return jnp.concatenate([
+        nx, ny, nz, u, v, mip,
+        cf_r, cf_g, cf_b, row(P.RR_CF + 3),
+        row(P.RR_MET), row(P.RR_ROUGH), row(P.RR_AMB), row(P.RR_BASE8),
+        tsx, tsy,
+    ], axis=0)                                 # (CHANNELS, npx)
+
+
+def _prep_records(records: Array):
+    """Resolve-record precision prep → (records, tr, rw). Transposed
+    records (planes.RESOLVE_TR builders) are 2-D (RW, (NC+1)·C); the
+    lane-major legacy layout is (NC+1, C, RW). split mode: exact 3-way
+    bf16 decomposition — each subtraction cancels the already-captured
+    high bits, so it is exact in f32 and hi+mid+lo reconstructs records
+    bit-exactly. Planes stack on a LEADING axis (per-step slicing stays
+    off the lane dim). optimization_barrier: with the planes' ONLY
+    consumers being bf16 kernel operands, XLA:TPU's bf16 precision
+    propagation is free to demote the f32 intermediates (records/r1) to
+    bf16 — then r1 = r − r ≡ 0 and the decomposition silently collapses
+    to hi-only (the r3hw9 hardware finding). The barriers keep the
+    subtraction chain f32-real."""
+    tr = records.ndim == 2
+    rw = records.shape[0] if tr else records.shape[2]
+    if _PREC_MODE == "split":
+        hi = records.astype(jnp.bfloat16)
+        records, hi = jax.lax.optimization_barrier((records, hi))
+        r1 = records - hi.astype(jnp.float32)
+        mid = r1.astype(jnp.bfloat16)
+        r1, mid = jax.lax.optimization_barrier((r1, mid))
+        lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+        records = jnp.stack([hi, mid, lo], axis=0 if tr else 1)
+        # tr: (3, RW, (NC+1)·C); legacy: (NC+1, 3, C, RW)
+    return records, tr, rw
+
+
+# TRIDENT_FUSE=1: fused visibility+resolve — ONE pair-grid pass streams
+# the visibility records AND the resolve records per pair; the attribute
+# image merges in lock-step with the (depth, tid) lexicographic merge
+# (raster_pallas._visibility_kernel's fused_cb hook). Removes the second
+# pass's per-pair floor (grid step + tri-block read + winner reduction)
+# if the two operand copies pipeline (kbench `dual` probe). Requires the
+# ACC scratch accumulator and the transposed record layout.
+FUSE = _os.environ.get("TRIDENT_FUSE", "0") == "1"
+
+
+def _fused_kernel(band_ref, zp_ref, pair_tile_ref, pair_chunk_ref, *refs,
+                  ntx: int, vertex_colors: bool, tr: bool):
+    """refs = MASK_WORDS mask words, vis records block, resolve records
+    block, depth/tri/attr outputs, run_d/run_t scratch."""
+    mw = _rp.MASK_WORDS
+    masks = refs[:mw]
+    vis_rec, res_rec, depth_out, tri_out, attr_out = refs[mw:mw + 5]
+    scratch = refs[mw + 5:]
+    i = pl.program_id(0)
+    tile = pair_tile_ref[i]
+    prev = pair_tile_ref[jnp.maximum(i - 1, 0)]
+    first = jnp.logical_or(i == 0, tile != prev)
+    cid = pair_chunk_ref[i]
+    ty = tile // ntx + band_ref[0]
+    tx = jax.lax.rem(tile, ntx)
+    npx = _rp.TILE_H * _rp.TILE_W
+
+    @pl.when(first)
+    def _():
+        attr_out[0] = jnp.zeros((CHANNELS, npx), jnp.float32)
+
+    def cb(win, better):
+        # win: this pair's local winner ids (in the chunk's id range
+        # wherever >= 0); better: pixels where it just took the
+        # accumulator. One one-hot MXU select + interpolant eval, only
+        # when the pair won anything (front-to-back ZORDER makes most
+        # later pairs skip here, like the standalone resolve's
+        # winner-skip).
+        @pl.when(jnp.any(better))
+        def _():
+            rel = win - (cid - 1) * _rp.CHUNK
+            oh = jnp.where(
+                better,
+                (jax.lax.broadcasted_iota(jnp.int32, (_rp.CHUNK, npx), 0)
+                 == rel).astype(_oh_dtype()), 0)
+            sel = _winner_select(res_rec, oh, tr)
+            r = jax.lax.broadcasted_iota(jnp.int32, (1, npx), 1)
+            pxf = (tx * _rp.TILE_W
+                   + jax.lax.rem(r, _rp.TILE_W)).astype(jnp.float32) + 0.5
+            pyf = (ty * _rp.TILE_H + r // _rp.TILE_W).astype(
+                jnp.float32) + 0.5
+            new = _eval_interpolants(sel, pxf, pyf, vertex_colors)
+            attr_out[0] = jnp.where(better, new, attr_out[0])
+
+    _rp._visibility_kernel(band_ref, zp_ref, pair_tile_ref, pair_chunk_ref,
+                           *masks, vis_rec, depth_out, tri_out, *scratch,
+                           ntx=ntx, fused_cb=cb)
+
+
+def fused_visibility_resolve_pallas(setup, records: Array, width: int,
+                                    height: int, vertex_colors: bool = False,
+                                    interpret: bool = False,
+                                    tile_y_offset=0, setup_cols=None):
+    """One Pallas pass over the pair grid producing visibility AND the
+    attribute image: returns (bins, depth_tiles, tri_tiles, attrs_tiles,
+    written) — drop-in for visibility_pallas_tiled + resolve_attrs_pallas
+    with bit-identical outputs (tested). `records` is the resolve record
+    table (planes.build_resolve_records, transposed layout required)."""
+    if not (_rp.ACC and not _rp.CKERN and not _rp.RECT):
+        raise ValueError("fuse=True requires acc=True, ckern=False, "
+                         "rect=False")
+    ntx = -(-width // _rp.TILE_W)
+    nty = -(-height // _rp.TILE_H)
+    wpad, hpad = ntx * _rp.TILE_W, nty * _rp.TILE_H
+    bins = _rp.build_bins(setup, wpad, hpad, setup_cols=setup_cols)
+    n_tiles = ntx * nty
+    npx = _rp.TILE_H * _rp.TILE_W
+    band = jnp.asarray(tile_y_offset, jnp.int32).reshape(1)
+
+    records, tr, rw = _prep_records(records)
+    if not tr:
+        raise ValueError("fuse=True requires resolve_tr=True records")
+
+    kernel = functools.partial(_fused_kernel, ntx=ntx,
+                               vertex_colors=vertex_colors, tr=tr)
+    vis_spec = pl.BlockSpec((_rp.CHUNK, bins.records.shape[1]),
+                            lambda i, band, zp, tiles, chunks, *masks:
+                            (chunks[i], 0),
+                            memory_space=pltpu.VMEM)
+    res_spec = (
+        pl.BlockSpec((3, rw, _rp.CHUNK),
+                     lambda i, band, zp, tiles, chunks, *masks:
+                     (0, 0, chunks[i]),
+                     memory_space=pltpu.VMEM)
+        if _PREC_MODE == "split" else
+        pl.BlockSpec((rw, _rp.CHUNK),
+                     lambda i, band, zp, tiles, chunks, *masks:
+                     (0, chunks[i]),
+                     memory_space=pltpu.VMEM))
+    tile_spec = pl.BlockSpec((1, 1, npx),
+                             lambda i, band, zp, tiles, chunks, *masks:
+                             (tiles[i], 0, 0), memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4 + _rp.MASK_WORDS,
+        grid=(jnp.maximum(bins.n_real, 1),),
+        in_specs=[vis_spec, res_spec],
+        out_specs=[
+            tile_spec, tile_spec,
+            pl.BlockSpec((1, CHANNELS, npx),
+                         lambda i, band, zp, tiles, chunks, *masks:
+                         (tiles[i], 0, 0), memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[pltpu.VMEM((_rp.SUB, npx), jnp.float32),
+                        pltpu.VMEM((_rp.SUB, npx), jnp.int32)],
+    )
+    depth, tri, attrs = pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((n_tiles, 1, npx), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, 1, npx), jnp.int32),
+            jax.ShapeDtypeStruct((n_tiles, CHANNELS, npx), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(band, bins.zparams, bins.pair_tile, bins.pair_chunk, *bins.pair_mask,
+      bins.records, records)
+
+    # untouched tiles hold uninitialized VMEM garbage (same contract as
+    # the split passes): mask from the pair list
+    touched_idx = jnp.where(
+        jnp.arange(bins.n_pairs, dtype=jnp.int32) < bins.n_real,
+        bins.pair_tile, n_tiles)
+    written = jnp.zeros((n_tiles + 1,), jnp.bool_).at[touched_idx].set(
+        True, mode="drop")[:n_tiles]
+    depth = jnp.where(written[:, None, None], depth, 1.0)
+    tri = jnp.where(written[:, None, None], tri, -1)
+    attrs = jnp.where(written[:, None, None], attrs, 0.0)
+    return bins, depth, tri, attrs, written
+
+
 def _resolve_kernel(band_ref, pair_tile_ref, pair_chunk_ref, won_ref,
                     rec_ref, tri_ref, out_ref, *, ntx: int,
                     vertex_colors: bool, skip: bool, tr: bool):
@@ -226,51 +446,7 @@ def _resolve_kernel(band_ref, pair_tile_ref, pair_chunk_ref, won_ref,
         r = jax.lax.broadcasted_iota(jnp.int32, (1, npx), 1)
         pxf = (tx * _rp.TILE_W + jax.lax.rem(r, _rp.TILE_W)).astype(jnp.float32) + 0.5
         pyf = (ty * _rp.TILE_H + r // _rp.TILE_W).astype(jnp.float32) + 0.5
-
-        def row(j):
-            return sel[j:j + 1]                    # (1, npx)
-
-        def plane(j):                              # g·(px,py,1)
-            return row(j) * pxf + row(j + 1) * pyf + row(j + 2)
-
-        P = planes_mod
-        denom = plane(P.RR_G1)
-        inv = pl.reciprocal(
-            jnp.where(jnp.abs(denom) < 1e-20, 1e-20, denom), approx=False)
-
-        nx = plane(P.RR_NX) * inv
-        ny = plane(P.RR_NY) * inv
-        nz = plane(P.RR_NZ) * inv
-        u_num = plane(P.RR_U)
-        v_num = plane(P.RR_V)
-        u = u_num * inv
-        v = v_num * inv
-
-        # analytic UV screen derivatives → mip (matches ops/deferred.py)
-        g1x, g1y = row(P.RR_G1), row(P.RR_G1 + 1)
-        du_dx = (row(P.RR_U) - u * g1x) * inv
-        du_dy = (row(P.RR_U + 1) - u * g1y) * inv
-        dv_dx = (row(P.RR_V) - v * g1x) * inv
-        dv_dy = (row(P.RR_V + 1) - v * g1y) * inv
-        tsx, tsy = row(P.RR_TSX), row(P.RR_TSY)
-        rho = jnp.maximum(
-            jnp.square(du_dx * tsx) + jnp.square(dv_dx * tsy),
-            jnp.square(du_dy * tsx) + jnp.square(dv_dy * tsy))
-        mip = 0.5 * jnp.log2(jnp.maximum(rho, 1e-12))
-
-        cf_r, cf_g, cf_b = row(P.RR_CF), row(P.RR_CF + 1), row(P.RR_CF + 2)
-        if vertex_colors:
-            cf_r = cf_r * plane(P.RR_COL) * inv
-            cf_g = cf_g * plane(P.RR_COL + 3) * inv
-            cf_b = cf_b * plane(P.RR_COL + 6) * inv
-
-        new = jnp.concatenate([
-            nx, ny, nz, u, v, mip,
-            cf_r, cf_g, cf_b, row(P.RR_CF + 3),
-            row(P.RR_MET), row(P.RR_ROUGH), row(P.RR_AMB), row(P.RR_BASE8),
-            tsx, tsy,
-        ], axis=0)                                 # (CHANNELS, npx)
-
+        new = _eval_interpolants(sel, pxf, pyf, vertex_colors)
         acc = out_ref[0]
         out_ref[0] = jnp.where(write_mask, new, acc)
 
@@ -336,33 +512,7 @@ def resolve_attrs_pallas(bins: PallasBins, tri_tiles: Array, records: Array,
     nty = -(-height // _rp.TILE_H)
     n_tiles = ntx * nty
     npx = _rp.TILE_H * _rp.TILE_W
-    # transposed records (planes.RESOLVE_TR builders) are 2-D
-    # (RW, (NC+1)·C); the lane-major legacy layout is (NC+1, C, RW)
-    tr = records.ndim == 2
-    rw = records.shape[0] if tr else records.shape[2]
-    if _PREC_MODE == "split":
-        # exact 3-way bf16 decomposition (see the mode comment at top):
-        # each subtraction cancels the already-captured high bits, so it
-        # is exact in f32 and hi+mid+lo reconstructs records bit-exactly.
-        # Planes stack on a LEADING axis — per-step slicing stays off the
-        # lane dim (a k·RW lane-offset bf16 slice relayouts every step).
-        #
-        # optimization_barrier: with the planes' ONLY consumers being
-        # bf16 kernel operands, XLA:TPU's bf16 precision propagation is
-        # free to demote the f32 intermediates (records/r1) to bf16 —
-        # then r1 = r − r ≡ 0 and the decomposition silently collapses
-        # to hi-only (the r3hw9 hardware finding: split ≡ raw bf16
-        # quantization while the same graph returned as f32 is exact).
-        # The barriers keep the subtraction chain f32-real.
-        hi = records.astype(jnp.bfloat16)
-        records, hi = jax.lax.optimization_barrier((records, hi))
-        r1 = records - hi.astype(jnp.float32)
-        mid = r1.astype(jnp.bfloat16)
-        r1, mid = jax.lax.optimization_barrier((r1, mid))
-        lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
-        records = jnp.stack([hi, mid, lo], axis=0 if tr else 1)
-        # tr: (3, RW, (NC+1)·C); legacy: (NC+1, 3, C, RW)
-
+    records, tr, rw = _prep_records(records)
     pair_tile, pair_chunk, n_grid = bins.pair_tile, bins.pair_chunk, bins.n_real
     idx = jnp.arange(bins.n_pairs, dtype=jnp.int32)
     # scalar-prefetch arrays live in the ~1MB SMEM budget: the full-size

@@ -96,9 +96,21 @@ def _visibility_and_shade(setup, records, planes, textures, camera, lights,
                            depth=jnp.ones((height, width), jnp.float32),
                            aux=b.aux)
             return frame, gbuf
-        bins, depth_tiles, tri_tiles, _ = visibility_pallas_tiled(
-            setup, width, height, interpret=interpret, tile_y_offset=tile_y,
-            setup_cols=setup_cols)
+        from trident_tpu.ops import resolve_pallas as _rvp
+
+        fused_attrs_t = None
+        if _rvp.FUSE and not profile_stop:
+            # one pair-grid pass: visibility + attribute resolve share
+            # the record streams (TRIDENT_FUSE, route-to-60 leg 1)
+            bins, depth_tiles, tri_tiles, fused_attrs_t, _ = (
+                _rvp.fused_visibility_resolve_pallas(
+                    setup, records, width, height,
+                    vertex_colors=vertex_colors, interpret=interpret,
+                    tile_y_offset=tile_y, setup_cols=setup_cols))
+        else:
+            bins, depth_tiles, tri_tiles, _ = visibility_pallas_tiled(
+                setup, width, height, interpret=interpret,
+                tile_y_offset=tile_y, setup_cols=setup_cols)
         ntx, nty = -(-width // TILE_W), -(-height // TILE_H)
         gbuf = GBuffer(
             tri_id=untile_frame(tri_tiles, ntx, nty)[:height, :width],
@@ -137,10 +149,11 @@ def _visibility_and_shade(setup, records, planes, textures, camera, lights,
             # 1M/1080p, PERF.md r3hw11)
             from trident_tpu.ops.deferred import _background, apply_ai_blend
 
-            attrs_t = resolve_attrs_pallas(
-                bins, tri_tiles, records, width, height,
-                vertex_colors=vertex_colors, interpret=interpret,
-                tile_y_offset=tile_y, tiled=True)
+            attrs_t = fused_attrs_t if fused_attrs_t is not None else \
+                resolve_attrs_pallas(
+                    bins, tri_tiles, records, width, height,
+                    vertex_colors=vertex_colors, interpret=interpret,
+                    tile_y_offset=tile_y, tiled=True)
             rgba_t = shade_attrs_tiled(
                 tri_tiles, depth_tiles, attrs_t, textures, camera, lights,
                 width, height, shadow=shadow, shadow_pcf=shadow_pcf,
@@ -156,9 +169,13 @@ def _visibility_and_shade(setup, records, planes, textures, camera, lights,
             if tonemap:
                 frame = jnp.clip(apply_ai_blend(frame, None), 0.0, 1.0)
             return frame, gbuf
-        attrs = resolve_attrs_pallas(bins, tri_tiles, records, width, height,
-                                     vertex_colors=vertex_colors,
-                                     interpret=interpret, tile_y_offset=tile_y)
+        if fused_attrs_t is not None:
+            attrs = untile_frame(fused_attrs_t, ntx, nty)[:height, :width]
+        else:
+            attrs = resolve_attrs_pallas(bins, tri_tiles, records, width,
+                                         height, vertex_colors=vertex_colors,
+                                         interpret=interpret,
+                                         tile_y_offset=tile_y)
         if profile_stop == "resolve":
             # force ALL channels post-untile (a :4 slice lets XLA skip
             # most of the relayout and undercounts vs resolve_tiled)
