@@ -653,3 +653,21 @@ def test_dynhit_requires_compatible_knobs():
         with pytest.raises(ValueError):
             kernel_knobs.apply(bad)
     assert kernel_knobs.snapshot() == before
+
+
+def test_treset_off_is_bit_exact(rng, monkeypatch):
+    """Dropping the per-pair run_t scratch reset (TRIDENT_TRESET=0) must
+    be invisible: stale tids only survive under sentinel run_d rows (a
+    valid dm writes depth and tid in the same select), and the final
+    merge excludes sentinel rows whenever cmin is valid while an
+    all-sentinel pair loses the (cmin < acc_d) guard. Both the DYNHIT
+    and static-ACC structures must match the reset path bitwise."""
+    setup = _random_scene(rng, 600)
+    for dynhit in (True, False):
+        _set_dynhit(monkeypatch, dynhit)
+        monkeypatch.setattr(raster_pallas, "TRESET", True)
+        on = _vis(setup)
+        monkeypatch.setattr(raster_pallas, "TRESET", False)
+        off = _assert_matches_ref(setup)
+        assert (np.asarray(on.tri_id) != np.asarray(off.tri_id)).sum() == 0
+        assert (np.asarray(on.depth) != np.asarray(off.depth)).sum() == 0

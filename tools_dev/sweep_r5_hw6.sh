@@ -33,9 +33,19 @@ echo "=== KBENCH dual-stream probe ($(date -u +%H:%M:%S))" >> "$LOG"
 gate kb_dual && env KB_CONFIGS=zero,dflt,dual,dflt,dual \
   timeout 3600 python -u tools_dev/kbench.py >> "$LOG" 2>&1
 
+echo "=== BENCH 1m FUSE=1 ($(date -u +%H:%M:%S))" >> "$LOG"
+gate bench_fuse && env TRIDENT_FUSE=1 \
+  BENCH_ITERS=30 BENCH_WATCHDOG=1800 \
+  timeout 3600 python -u scripts/bench_sweep.py spheres1080_1m \
+  >> "$LOG" 2>&1
+
 echo "=== KBENCH chunk512/sub32 ($(date -u +%H:%M:%S))" >> "$LOG"
 gate kb_512 && env TRIDENT_CHUNK=512 TRIDENT_SUB=32 \
   KB_CONFIGS=zero,dflt,full,dflt \
+  timeout 3600 python -u tools_dev/kbench.py >> "$LOG" 2>&1
+
+echo "=== KBENCH treset off ($(date -u +%H:%M:%S))" >> "$LOG"
+gate kb_treset && env TRIDENT_TRESET=0 KB_CONFIGS=zero,dflt,dflt \
   timeout 3600 python -u tools_dev/kbench.py >> "$LOG" 2>&1
 
 echo "=== BENCH 1m chunk512/sub32 vs defaults ($(date -u +%H:%M:%S))" >> "$LOG"

@@ -39,6 +39,7 @@ _KNOBS: Dict[str, Tuple[str, str]] = {
     "ckern": ("trident_tpu.ops.raster_pallas", "CKERN"),
     "acc": ("trident_tpu.ops.raster_pallas", "ACC"),
     "dynhit": ("trident_tpu.ops.raster_pallas", "DYNHIT"),
+    "treset": ("trident_tpu.ops.raster_pallas", "TRESET"),
     "recpad": ("trident_tpu.ops.raster_pallas", "RECPAD"),
     "rect": ("trident_tpu.ops.raster_pallas", "RECT"),
     "ck_bank": ("trident_tpu.ops.raster_pallas", "CK_BANK"),

@@ -208,6 +208,17 @@ DYNHIT = _os.environ.get("TRIDENT_DYNHIT", "1") == "1"
                      # 22.83 at the ACC defaults (+8.8%), 110k 46.61 vs
                      # 43.8, kernel dflt 17.06 ms vs 19.05, flavor gate
                      # PASSED on chip.
+TRESET = _os.environ.get("TRIDENT_TRESET", "1") == "1"
+                     # per-pair run_t scratch reset. treset=False drops it:
+                     # stale tids can only persist under SENTINEL run_d
+                     # rows (a valid dm always writes depth and tid in the
+                     # same btr select), and the final merge excludes
+                     # sentinel rows whenever cmin is valid — while an
+                     # all-sentinel pair's win is discarded by the
+                     # (cmin < acc_d) guard (4.0 can never beat acc ≤ 1.0).
+                     # So the reset is provably redundant; bit-exact A/B
+                     # tested. Kept ON until the hardware A/B sizes the
+                     # ~64 KB/pair VMEM fill it saves.
 RECT = _os.environ.get("TRIDENT_RECT", "0") == "1"
                      # transposed DENSE records (round-4 floor follow-up):
                      # the per-pair record DMA is ~1 µs serialized because
@@ -972,7 +983,9 @@ def _visibility_kernel(band_ref, zp_ref, pair_tile_ref, pair_chunk_ref,
         # straight-line per-pair scratch reset (sentinel never wins the
         # final merge: cmin = 4.0 > any accumulated acc_d ≤ 1.0)
         run_d_ref[...] = jnp.full((SUB, npx), DEPTH_SENTINEL, jnp.float32)
-        if not depth_only:
+        if not depth_only and TRESET:
+            # optional (see the TRESET knob note): stale tids live only
+            # under sentinel depth, which the final merge excludes
             run_t_ref[...] = jnp.full((SUB, npx), -1, jnp.int32)
 
     if ZSKIP and ZSKIP_PACK:
