@@ -325,6 +325,27 @@ def main():
                                 s._replace(edge=s.edge + tok),
                                 ntx * rp.TILE_W, nty * rp.TILE_H))), setup)
 
+    if os.environ.get("KB_SORT", "0") == "1":
+        # sort-shape ladder (route-to-60 leg 3): r5hw2 saw 24,576 keys
+        # sort SLOWER than 73,664 — the sort is shape-quantized. Find the
+        # fast sizes so the tiered emission can pad to one.
+        def timed_s(label, f, *args):
+            out = f(*args, jnp.zeros((), jnp.int32))
+            np.asarray(out.ravel()[0])
+            t0 = time.perf_counter()
+            tok = jnp.zeros((), jnp.int32)
+            for _ in range(iters):
+                tok = f(*args, tok).ravel()[0] * 0
+            np.asarray(tok)
+            ms = (time.perf_counter() - t0) / iters * 1000.0
+            print(f"{label}: {ms:.2f} ms/call", flush=True)
+
+        for n in (8192, 16384, 24576, 32768, 49152, 65536, 73664, 81920,
+                  98304, 131072):
+            keys = jnp.arange(n, dtype=jnp.int32)[::-1]
+            timed_s(f"sort_{n}", jax.jit(
+                lambda k, tok: jnp.sort(k + tok)), keys)
+
     def run_probe(b, token, tiny):
         """Step-machinery probe: the kernel body is ONLY the first-tile
         reset (no mask checks, no sweeps). tiny=True feeds (8,128) dummy
@@ -383,6 +404,8 @@ def main():
     configs = os.environ.get(
         "KB_CONFIGS", "zero,dflt,full,nobranch,dflt").split(",")
     for kind in configs:
+        if kind in ("none", ""):
+            continue
         if kind in ("probe", "probe_tiny"):
             f = jax.jit(functools.partial(run_probe,
                                           tiny=kind == "probe_tiny"))

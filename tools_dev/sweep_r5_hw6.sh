@@ -44,6 +44,10 @@ gate kb_512 && env TRIDENT_CHUNK=512 TRIDENT_SUB=32 \
   KB_CONFIGS=zero,dflt,full,dflt \
   timeout 3600 python -u tools_dev/kbench.py >> "$LOG" 2>&1
 
+echo "=== KBENCH sort ladder ($(date -u +%H:%M:%S))" >> "$LOG"
+gate kb_sort && env KB_SORT=1 KB_CONFIGS=none \
+  timeout 3600 python -u tools_dev/kbench.py >> "$LOG" 2>&1
+
 echo "=== KBENCH treset off ($(date -u +%H:%M:%S))" >> "$LOG"
 gate kb_treset && env TRIDENT_TRESET=0 KB_CONFIGS=zero,dflt,dflt \
   timeout 3600 python -u tools_dev/kbench.py >> "$LOG" 2>&1
