@@ -44,6 +44,12 @@ gate kb_512 && env TRIDENT_CHUNK=512 TRIDENT_SUB=32 \
   KB_CONFIGS=zero,dflt,full,dflt \
   timeout 3600 python -u tools_dev/kbench.py >> "$LOG" 2>&1
 
+echo "=== BENCH 1m FUSE=1 TILED_SHADE=1 ($(date -u +%H:%M:%S))" >> "$LOG"
+gate bench_fuse_ts && env TRIDENT_FUSE=1 TRIDENT_TILED_SHADE=1 \
+  BENCH_ITERS=30 BENCH_WATCHDOG=1800 \
+  timeout 3600 python -u scripts/bench_sweep.py spheres1080_1m \
+  >> "$LOG" 2>&1
+
 echo "=== KBENCH sort ladder ($(date -u +%H:%M:%S))" >> "$LOG"
 gate kb_sort && env KB_SORT=1 KB_CONFIGS=none \
   timeout 3600 python -u tools_dev/kbench.py >> "$LOG" 2>&1
