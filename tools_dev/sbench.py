@@ -216,6 +216,23 @@ def main():
                                         resolve_attrs_pallas(
             bins, tt, rec + tok, width, height, interpret=interp,
             tiled=True).ravel()[0] * 0.0), tri_tiles, records)
+    if "fused" in cfgs:
+        # TRIDENT_FUSE stage probe (both rebuild bins per call, so their
+        # DIFFERENCE is the fused pass's marginal resolve cost; compare
+        # that against resolve(tiled) = the standalone second pass)
+        timed("visbins(bins+vis)", jax.jit(lambda s, tok:
+                                           (lambda o: o[1].ravel()[0]
+                                            + o[2].ravel()[0]
+                                            .astype(jnp.float32))(
+            visibility_pallas_tiled(
+                s._replace(edge=s.edge + tok), width, height,
+                interpret=interp)) * 0.0), setup)
+        timed("fused(bins+vis+resolve,tiled)", jax.jit(
+            lambda s, rec, tok: (lambda o: o[1].ravel()[0]
+                                 + o[3].ravel()[0])(
+                rp.fused_visibility_resolve_pallas(
+                    s._replace(edge=s.edge + tok), rec, width, height,
+                    interpret=interp)) * 0.0), setup, records)
     if "tiled" in cfgs:
         def tiled_chain(tt, dt, rec, tok):
             at = resolve_attrs_pallas(bins, tt, rec + tok, width, height,

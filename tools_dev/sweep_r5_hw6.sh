@@ -33,6 +33,10 @@ echo "=== KBENCH dual-stream probe ($(date -u +%H:%M:%S))" >> "$LOG"
 gate kb_dual && env KB_CONFIGS=zero,dflt,dual,dflt,dual \
   timeout 3600 python -u tools_dev/kbench.py >> "$LOG" 2>&1
 
+echo "=== SBENCH fused stage probe ($(date -u +%H:%M:%S))" >> "$LOG"
+gate sb_fused && env SB_CONFIGS=fused,resolve,resolve_tiled \
+  timeout 3600 python -u tools_dev/sbench.py >> "$LOG" 2>&1
+
 echo "=== BENCH 1m FUSE=1 ($(date -u +%H:%M:%S))" >> "$LOG"
 gate bench_fuse && env TRIDENT_FUSE=1 \
   BENCH_ITERS=30 BENCH_WATCHDOG=1800 \
