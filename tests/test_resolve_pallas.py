@@ -327,3 +327,42 @@ def test_fused_requires_acc(monkeypatch):
     with pytest.raises(ValueError, match="acc=True"):
         fused_visibility_resolve_pallas(setup, records, w, h,
                                         interpret=True)
+
+
+def test_fused_vertex_colors_bit_exact():
+    """FUSE with the vertex-color interpolants (RR_WIDTH_VCOLOR records,
+    color planes folded into the color factor) matches the two-pass
+    resolve bitwise."""
+    import jax
+
+    from trident_tpu.ops import planes as planes_mod
+    from trident_tpu.ops.raster_pallas import (
+        CHUNK, TILE_W, untile_frame, visibility_pallas_tiled,
+    )
+    from trident_tpu.ops.resolve_pallas import (
+        fused_visibility_resolve_pallas, resolve_attrs_pallas,
+    )
+
+    w, h = 256, 128
+    setup, _ = _random_setup_and_records(w=w, h=h)
+    rng = np.random.default_rng(11)
+    rows = rng.standard_normal(
+        (200, planes_mod.RR_WIDTH_VCOLOR)).astype(np.float32)
+    records = planes_mod.chunk_resolve_cols(jnp.asarray(rows.T), CHUNK)
+
+    def two_pass(s, rec):
+        bins, _, tri_t, _ = visibility_pallas_tiled(s, w, h, interpret=True)
+        return resolve_attrs_pallas(bins, tri_t, rec, w, h, interpret=True,
+                                    vertex_colors=True, skip=False)
+
+    def fused(s, rec):
+        _, _, _, attrs_t, _ = fused_visibility_resolve_pallas(
+            s, rec, w, h, vertex_colors=True, interpret=True)
+        ntx = -(-w // TILE_W)
+        nty = attrs_t.shape[0] // ntx
+        return untile_frame(attrs_t, ntx, nty)[:h, :w]
+
+    a0 = np.asarray(jax.jit(two_pass)(setup, records))
+    a1 = np.asarray(jax.jit(fused)(setup, records))
+    np.testing.assert_array_equal(a0, a1)
+    assert np.abs(a0).sum() > 0
