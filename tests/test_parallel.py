@@ -213,7 +213,9 @@ def test_banded_render_composes_with_ckern(eight_devices):
     frames = {}
     try:
         for ck in (False, True):
-            kernel_knobs.apply({"ckern": ck})
+            # dynhit assumes the dense masked layout — pin it off so both
+            # legs run the static structure CKERN composes with
+            kernel_knobs.apply({"ckern": ck, "dynhit": False})
             out = jax.jit(functools.partial(
                 render_frame_banded, mesh, "fb", **common))(*args)
             frames[ck] = np.asarray(out.color)
