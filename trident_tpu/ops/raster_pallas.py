@@ -979,14 +979,17 @@ def _visibility_kernel(band_ref, zp_ref, pair_tile_ref, pair_chunk_ref,
         if not depth_only:
             tri_out[0] = jnp.full((1, npx), -1, jnp.int32)
 
-    if ACC:
-        # straight-line per-pair scratch reset (sentinel never wins the
-        # final merge: cmin = 4.0 > any accumulated acc_d ≤ 1.0)
+    def _reset_scratch():
+        # per-pair scratch reset (sentinel never wins the final merge:
+        # cmin = 4.0 > any accumulated acc_d ≤ 1.0)
         run_d_ref[...] = jnp.full((SUB, npx), DEPTH_SENTINEL, jnp.float32)
         if not depth_only and TRESET:
             # optional (see the TRESET knob note): stale tids live only
             # under sentinel depth, which the final merge excludes
             run_t_ref[...] = jnp.full((SUB, npx), -1, jnp.int32)
+
+    if ACC and not DYNHIT:
+        _reset_scratch()
 
     if ZSKIP and ZSKIP_PACK:
         # hierarchical-Z: the pair's packed conservative min depth (last
@@ -1014,6 +1017,14 @@ def _visibility_kernel(band_ref, zp_ref, pair_tile_ref, pair_chunk_ref,
         nhit = jax.lax.rem(mask_words[0], 1 << ZSKIP_SHIFT)
         if keep is not None:
             nhit = jnp.where(keep[0], nhit, 0)
+        # hierarchical-Z-skipped (and hitless) pairs skip the scratch
+        # reset AND the final reduce+merge below — the record DMA is the
+        # only cost they still pay
+        work = nhit > 0
+
+        @pl.when(work)
+        def _():
+            _reset_scratch()
 
         r = jax.lax.broadcasted_iota(jnp.int32, (1, npx), 1)
         pxf = (tx * TILE_W
@@ -1169,28 +1180,37 @@ def _visibility_kernel(band_ref, zp_ref, pair_tile_ref, pair_chunk_ref,
         # lexicographic semantics, so the result is bit-identical to the
         # per-sweep merge in any pair/sweep order. Sweeps that never ran
         # (mask miss / hierarchical-Z skip) left sentinel rows, which can
-        # never beat acc_d ≤ 1.0.
-        rd = run_d_ref[...]
-        cmin = jnp.min(rd, axis=0, keepdims=True)          # (1, npx)
-        if depth_only:
-            depth_out[0] = jnp.minimum(depth_out[0], cmin)
+        # never beat acc_d ≤ 1.0. DYNHIT: worked-free pairs (nhit == 0,
+        # z-skipped) skip the whole reduce+merge — their scratch was
+        # never reset and must not be read.
+        def _final_merge():
+            rd = run_d_ref[...]
+            cmin = jnp.min(rd, axis=0, keepdims=True)      # (1, npx)
+            if depth_only:
+                depth_out[0] = jnp.minimum(depth_out[0], cmin)
+            else:
+                rt = run_t_ref[...]
+                win = jnp.max(jnp.where(rd <= cmin, rt, -1), axis=0,
+                              keepdims=True)
+                acc_d = depth_out[0]
+                acc_t = tri_out[0]
+                better = (win >= 0) & ((cmin < acc_d)
+                                       | ((cmin == acc_d) & (win > acc_t)))
+                depth_out[0] = jnp.where(better, cmin, acc_d)
+                tri_out[0] = jnp.where(better, win, acc_t)
+                if fused_cb is not None:
+                    # fused resolve (ops/resolve_pallas._fused_kernel):
+                    # the pixels where this pair's local winner just took
+                    # the accumulator are exactly where its interpolants
+                    # belong — attrs merge in lock-step with (depth, tid),
+                    # so the final attribute image is the final winner's
+                    # in any pair order
+                    fused_cb(win, better)
+
+        if DYNHIT:
+            pl.when(work)(_final_merge)
         else:
-            rt = run_t_ref[...]
-            win = jnp.max(jnp.where(rd <= cmin, rt, -1), axis=0,
-                          keepdims=True)
-            acc_d = depth_out[0]
-            acc_t = tri_out[0]
-            better = (win >= 0) & ((cmin < acc_d)
-                                   | ((cmin == acc_d) & (win > acc_t)))
-            depth_out[0] = jnp.where(better, cmin, acc_d)
-            tri_out[0] = jnp.where(better, win, acc_t)
-            if fused_cb is not None:
-                # fused resolve (ops/resolve_pallas._fused_kernel): the
-                # pixels where this pair's local winner just took the
-                # accumulator are exactly where its interpolants belong —
-                # attrs merge in lock-step with (depth, tid), so the final
-                # attribute image is the final winner's in any pair order
-                fused_cb(win, better)
+            _final_merge()
 
 
 def _visibility_kernel_ck(band_ref, zp_ref, pair_tile_ref, pair_chunk_ref,
