@@ -67,8 +67,8 @@ gate bench_512 && env TRIDENT_CHUNK=512 TRIDENT_SUB=32 \
   BENCH_ITERS=30 BENCH_WATCHDOG=1800 \
   timeout 3600 python -u scripts/bench_sweep.py spheres1080_1m \
   >> "$LOG" 2>&1
-gate bench_ctrl && env BENCH_ITERS=30 BENCH_WATCHDOG=1800 \
-  timeout 3600 python -u scripts/bench_sweep.py spheres1080_1m \
+gate bench_ctrl && env BENCH_ITERS=30 BENCH_WATCHDOG=2400 \
+  timeout 3600 python -u scripts/bench_sweep.py spheres1080_1m shadows1080 \
   >> "$LOG" 2>&1
 
 echo "##### sweep_r5_hw6 done $(date -u)" >> "$LOG"
