@@ -276,11 +276,22 @@ def _main_inner() -> None:
     # temporal upscaler: chain each frame's output + view-projection into
     # the next call as reconstruction history (renderer.prev_state analogue)
     temporal_ai = False
+    hist0 = None
     if upscale_params is not None:
-        from trident_tpu.ai.upscaler import upscaler_wants_temporal
+        from trident_tpu.ai import upscaler as up
 
-        temporal_ai = upscaler_wants_temporal(upscale_params)
+        temporal_ai = up.upscaler_wants_temporal(upscale_params)
+        # V2 history = the (rh, rw, 12) uint8 output BLOCKS from
+        # FrameOutput.history (the warp then runs the tile-local MXU
+        # fetch, 7.0 vs 66.5 ms at 4K — r5hw5); chaining out.color here
+        # instead silently falls back to the V1 full-res warp, which is
+        # exactly the regression the r5hw5 :ai run exposed.
+        hist0 = (jnp.zeros((rh, rw, 12), jnp.uint8) if up.V2
+                 else jnp.zeros((h, w, 4), jnp.uint8))
     vp_mat = jnp.asarray(np.asarray(cam.proj) @ np.asarray(cam.view))
+
+    def _hist_of(o):
+        return o.history if o.history is not None else o.color
 
     stride_kw = renderer._stride_kwargs(skinned=False)
 
@@ -338,7 +349,7 @@ def _main_inner() -> None:
                                     i32b, tex, sky, ai_img, corner_t,
                                     upscale_params, prev, **statics)
 
-    prev0 = (jnp.zeros((h, w, 4), jnp.uint8), vp_mat) if temporal_ai else None
+    prev0 = (hist0, vp_mat) if temporal_ai else None
     out = frame_b(jnp.zeros((), jnp.float32), *bundles[0], prev0)
     np.asarray(out.color.ravel()[:1])
 
@@ -358,7 +369,7 @@ def _main_inner() -> None:
             out = frame_b(token, *bundles[k], prev)
             token = out.depth[0, 0] * 0.0
             if temporal_ai:
-                prev = (out.color, vp_mat)
+                prev = (_hist_of(out), vp_mat)
         np.asarray(token)                  # force the whole chain
         return iters / (time.perf_counter() - t0)
 
@@ -391,11 +402,10 @@ def _main_inner() -> None:
                 bloom=renderer.config.render.bloom, **stride_kw)
             aux = (jnp.zeros((2,), jnp.int32) if o.aux is None
                    else jnp.asarray(o.aux).reshape(-1, 2).sum(axis=0))
-            new_prev = (o.color, vp_mat) if temporal_ai else None
+            new_prev = (_hist_of(o), vp_mat) if temporal_ai else None
             return (o.depth[0, 0] * 0.0, new_prev), (o.color[0, 0, 0], aux)
         init = (jnp.zeros((), jnp.float32),
-                (jnp.zeros((h, w, 4), jnp.uint8), vp_mat) if temporal_ai
-                else None)
+                (hist0, vp_mat) if temporal_ai else None)
         (token, _), (samples, aux) = jax.lax.scan(body, init, params_seq)
         return samples, aux.sum(axis=0)
 
@@ -425,7 +435,7 @@ def _main_inner() -> None:
         prev_eval = None
         if temporal_ai:
             r0 = frame(jnp.zeros((), jnp.float32), *plans[0], None)
-            prev_eval = (r0.color, vp_mat)
+            prev_eval = (_hist_of(r0), vp_mat)
         recon = frame(jnp.zeros((), jnp.float32), *plans[1], prev_eval)
         a = np.asarray(native.color[..., :3]).astype(np.float32) / 255.0
         b = np.asarray(recon.color[..., :3]).astype(np.float32) / 255.0
