@@ -33,4 +33,12 @@ gate bench_ai_v2 && env BENCH_ITERS=30 BENCH_WATCHDOG=2400 \
   timeout 7200 python -u scripts/bench_sweep.py \
   spheres1080_1m:ai ultra4k:ai >> "$LOG" 2>&1
 
+# final defaults bracket at the shipping tree (VERDICT item 9 guard for
+# BENCH_r05): every config, defaults only
+echo "=== FINAL DEFAULTS BRACKET ($(date -u +%H:%M:%S))" >> "$LOG"
+gate final_bracket && env BENCH_ITERS=30 BENCH_WATCHDOG=2400 \
+  timeout 10800 python -u scripts/bench_sweep.py \
+  spheres1080_1m cube512 spheres1080 ultra4k shadows1080 spheres1080_1m \
+  >> "$LOG" 2>&1
+
 echo "##### sweep_r5_hw7 done $(date -u)" >> "$LOG"
