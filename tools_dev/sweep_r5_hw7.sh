@@ -33,6 +33,23 @@ gate bench_ai_v2 && env BENCH_ITERS=30 BENCH_WATCHDOG=2400 \
   timeout 7200 python -u scripts/bench_sweep.py \
   spheres1080_1m:ai ultra4k:ai >> "$LOG" 2>&1
 
+# FUSE composition probes: near-to-far pair order makes the fused
+# kernel's any(better) interpolation gate approximate the standalone
+# resolve's final-winner skip (without ZORDER, later pairs are often
+# locally ahead and pay the one-hot+interp the split pass skips —
+# r5hw6 sbench: fused marginal 7.9 vs standalone tiled 8.78)
+echo "=== BENCH 1m FUSE+ZORDER ($(date -u +%H:%M:%S))" >> "$LOG"
+gate bench_fuse_z && env TRIDENT_FUSE=1 TRIDENT_ZORDER=1 \
+  BENCH_ITERS=30 BENCH_WATCHDOG=1800 \
+  timeout 3600 python -u scripts/bench_sweep.py spheres1080_1m \
+  >> "$LOG" 2>&1
+
+echo "=== BENCH 1m FUSE+ZORDER+ZSKIP ($(date -u +%H:%M:%S))" >> "$LOG"
+gate bench_fuse_zz && env TRIDENT_FUSE=1 TRIDENT_ZORDER=1 TRIDENT_ZSKIP=1 \
+  BENCH_ITERS=30 BENCH_WATCHDOG=1800 \
+  timeout 3600 python -u scripts/bench_sweep.py spheres1080_1m \
+  >> "$LOG" 2>&1
+
 # final defaults bracket at the shipping tree (VERDICT item 9 guard for
 # BENCH_r05): every config, defaults only
 echo "=== FINAL DEFAULTS BRACKET ($(date -u +%H:%M:%S))" >> "$LOG"
