@@ -1,0 +1,55 @@
+#!/bin/bash
+# Round-5 hardware batch #8: re-measure the end-to-end A/Bs whose hw6
+# numbers were lost with the uncommitted r5hw6.log (see PERF.md log
+# index): TRESET=0, CHUNK=512/SUB=32, plain FUSE. All three are pure
+# knob flips over parity-tested code (test_treset_off_is_bit_exact;
+# the chunk512/sub32 and FUSE combos were CPU-golden verified before
+# hw6 queued). Defaults anchor first so every A/B has a same-process
+# tunnel-state control.
+set -u
+LOG="${1:-/root/repo/tools_dev/r5hw8.log}"
+export PYTHONPATH=/root/repo:/root/.axon_site
+cd /root/repo
+
+probe() {
+  timeout 420 python -u -c "
+import jax, jax.numpy as jnp
+print('probe devices:', jax.devices(), flush=True)
+print('probe ok:', float((jnp.ones((128,128)) @ jnp.ones((128,128))).sum()), flush=True)
+" >> "$LOG" 2>&1
+}
+
+gate() {
+  local tries=0
+  until probe; do
+    tries=$((tries+1))
+    echo "--- tunnel down before $1 (probe fail #$tries), sleeping 300s" >> "$LOG"
+    if [ "$tries" -ge 12 ]; then echo "--- giving up" >> "$LOG"; return 1; fi
+    sleep 300
+  done
+}
+
+echo "##### sweep_r5_hw8 start $(date -u)" >> "$LOG"
+
+echo "=== BENCH 1m defaults anchor + TRESET=0 ($(date -u +%H:%M:%S))" >> "$LOG"
+gate bench_anchor && env BENCH_ITERS=30 BENCH_WATCHDOG=1800 \
+  timeout 3600 python -u scripts/bench_sweep.py spheres1080_1m \
+  >> "$LOG" 2>&1
+gate bench_treset && env TRIDENT_TRESET=0 \
+  BENCH_ITERS=30 BENCH_WATCHDOG=1800 \
+  timeout 3600 python -u scripts/bench_sweep.py spheres1080_1m \
+  >> "$LOG" 2>&1
+
+echo "=== BENCH 1m chunk512/sub32 ($(date -u +%H:%M:%S))" >> "$LOG"
+gate bench_512 && env TRIDENT_CHUNK=512 TRIDENT_SUB=32 \
+  BENCH_ITERS=30 BENCH_WATCHDOG=1800 \
+  timeout 3600 python -u scripts/bench_sweep.py spheres1080_1m \
+  >> "$LOG" 2>&1
+
+echo "=== BENCH 1m FUSE=1 (plain) ($(date -u +%H:%M:%S))" >> "$LOG"
+gate bench_fuse && env TRIDENT_FUSE=1 \
+  BENCH_ITERS=30 BENCH_WATCHDOG=1800 \
+  timeout 3600 python -u scripts/bench_sweep.py spheres1080_1m \
+  >> "$LOG" 2>&1
+
+echo "##### sweep_r5_hw8 done $(date -u)" >> "$LOG"
