@@ -52,4 +52,13 @@ gate bench_fuse && env TRIDENT_FUSE=1 \
   timeout 3600 python -u scripts/bench_sweep.py spheres1080_1m \
   >> "$LOG" 2>&1
 
+# hw7 showed FUSE+ZORDER loses on the zero-overdraw flagship (23.78 vs
+# 24.85); the shadows scene is the overdraw case where zskip already
+# pays — the fused pass's z-skipped pairs skip BOTH sweeps' work there
+echo "=== BENCH shadows1080 FUSE=1 ($(date -u +%H:%M:%S))" >> "$LOG"
+gate bench_fuse_sh && env TRIDENT_FUSE=1 \
+  BENCH_ITERS=30 BENCH_WATCHDOG=1800 \
+  timeout 3600 python -u scripts/bench_sweep.py shadows1080 \
+  >> "$LOG" 2>&1
+
 echo "##### sweep_r5_hw8 done $(date -u)" >> "$LOG"
