@@ -31,13 +31,21 @@ gate() {
 
 echo "##### sweep_r5_hw8 start $(date -u)" >> "$LOG"
 
-echo "=== BENCH 1m defaults anchor + TRESET=0 ($(date -u +%H:%M:%S))" >> "$LOG"
-gate bench_anchor && env BENCH_ITERS=30 BENCH_WATCHDOG=1800 \
-  timeout 3600 python -u scripts/bench_sweep.py spheres1080_1m \
-  >> "$LOG" 2>&1
+# anchor: the hw7 final-bracket flagship run minutes earlier in the
+# same tunnel state serves as the defaults control for these A/Bs
+echo "=== BENCH 1m TRESET=0 ($(date -u +%H:%M:%S))" >> "$LOG"
 gate bench_treset && env TRIDENT_TRESET=0 \
   BENCH_ITERS=30 BENCH_WATCHDOG=1800 \
   timeout 3600 python -u scripts/bench_sweep.py spheres1080_1m \
+  >> "$LOG" 2>&1
+
+# hw7 showed FUSE+ZORDER loses on the zero-overdraw flagship (23.78 vs
+# 24.85); the shadows scene is the overdraw case where zskip already
+# pays — the fused pass's z-skipped pairs skip BOTH sweeps' work there
+echo "=== BENCH shadows1080 FUSE=1 ($(date -u +%H:%M:%S))" >> "$LOG"
+gate bench_fuse_sh && env TRIDENT_FUSE=1 \
+  BENCH_ITERS=30 BENCH_WATCHDOG=1800 \
+  timeout 3600 python -u scripts/bench_sweep.py shadows1080 \
   >> "$LOG" 2>&1
 
 echo "=== BENCH 1m chunk512/sub32 ($(date -u +%H:%M:%S))" >> "$LOG"
@@ -50,15 +58,6 @@ echo "=== BENCH 1m FUSE=1 (plain) ($(date -u +%H:%M:%S))" >> "$LOG"
 gate bench_fuse && env TRIDENT_FUSE=1 \
   BENCH_ITERS=30 BENCH_WATCHDOG=1800 \
   timeout 3600 python -u scripts/bench_sweep.py spheres1080_1m \
-  >> "$LOG" 2>&1
-
-# hw7 showed FUSE+ZORDER loses on the zero-overdraw flagship (23.78 vs
-# 24.85); the shadows scene is the overdraw case where zskip already
-# pays — the fused pass's z-skipped pairs skip BOTH sweeps' work there
-echo "=== BENCH shadows1080 FUSE=1 ($(date -u +%H:%M:%S))" >> "$LOG"
-gate bench_fuse_sh && env TRIDENT_FUSE=1 \
-  BENCH_ITERS=30 BENCH_WATCHDOG=1800 \
-  timeout 3600 python -u scripts/bench_sweep.py shadows1080 \
   >> "$LOG" 2>&1
 
 echo "##### sweep_r5_hw8 done $(date -u)" >> "$LOG"
