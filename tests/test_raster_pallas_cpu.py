@@ -671,3 +671,30 @@ def test_treset_off_is_bit_exact(rng, monkeypatch):
         off = _assert_matches_ref(setup)
         assert (np.asarray(on.tri_id) != np.asarray(off.tri_id)).sum() == 0
         assert (np.asarray(on.depth) != np.asarray(off.depth)).sum() == 0
+
+
+def test_sort_pad_is_bit_exact(rng, monkeypatch):
+    """SORT_PAD pads the emission slot array with extra sentinels to a
+    measured-fast sort shape (r5hw9_sort.log: the TPU sort is
+    shape-quantized — 131,072 keys sort faster than 73,664). Padding
+    sentinels is semantically identity: they sort past the real-pair
+    prefix, so bins AND the rendered output must match bitwise. Bounds
+    shrunk so the small CPU scene actually crosses SORT_PAD_MIN."""
+    setup = _random_scene(rng, 600)
+    b0 = jax.jit(lambda s: build_bins(s, W, H))(setup)
+    off = _vis(setup)
+    n_slots = int(b0.pair_tile.shape[0])  # post-budget; natural slots vary
+    monkeypatch.setattr(raster_pallas, "SORT_PAD", True)
+    monkeypatch.setattr(raster_pallas, "SORT_PAD_MIN", 8)
+    monkeypatch.setattr(raster_pallas, "SORT_PAD_TARGET",
+                        max(4096, 2 * n_slots))
+    b1 = jax.jit(lambda s: build_bins(s, W, H))(setup)
+    assert (np.asarray(b0.pair_tile[:b0.n_pairs])
+            == np.asarray(b1.pair_tile[:b0.n_pairs])).all()
+    assert (np.asarray(b0.pair_chunk[:b0.n_pairs])
+            == np.asarray(b1.pair_chunk[:b0.n_pairs])).all()
+    assert int(b0.n_real) == int(b1.n_real)
+    assert (np.asarray(b0.aux) == np.asarray(b1.aux)).all()
+    on = _assert_matches_ref(setup)
+    assert (np.asarray(off.tri_id) != np.asarray(on.tri_id)).sum() == 0
+    assert (np.asarray(off.depth) != np.asarray(on.depth)).sum() == 0

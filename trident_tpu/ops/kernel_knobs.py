@@ -33,6 +33,7 @@ _KNOBS: Dict[str, Tuple[str, str]] = {
     "chunk": ("trident_tpu.ops.raster_pallas", "CHUNK"),
     "sub": ("trident_tpu.ops.raster_pallas", "SUB"),
     "span0": ("trident_tpu.ops.raster_pallas", "SPAN0"),
+    "sort_pad": ("trident_tpu.ops.raster_pallas", "SORT_PAD"),
     "exact_bins": ("trident_tpu.ops.raster_pallas", "EXACT_BINS"),
     "cover_gate": ("trident_tpu.ops.raster_pallas", "COVER_GATE"),
     "qgate": ("trident_tpu.ops.raster_pallas", "QGATE"),

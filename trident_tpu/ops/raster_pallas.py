@@ -88,6 +88,21 @@ SPAN0 = int(_os.environ.get("TRIDENT_SPAN0", "2"))
                      # (~65 ns/key on v5e). Wider chunks cascade through
                      # the doubling windowed tiers below, then the whale
                      # slots; only whale overflow drops (counted, aux[1]).
+SORT_PAD = _os.environ.get("TRIDENT_SORT_PAD", "0") == "1"
+                     # pad the emission slot array with extra sentinels to
+                     # a measured-fast sort shape before the one big
+                     # jnp.sort. The TPU sort is shape-quantized, not
+                     # per-key: 131,072 i32 keys sort in 1.97 ms where the
+                     # flagship's natural 73,664 take 3.87 and 49,152 take
+                     # 5.53 (r5hw9_sort.log ladder; r5hw2 first saw 24,576
+                     # sorting SLOWER than 73,664). Sentinel padding is
+                     # semantically identity — pads sort to the end, past
+                     # the real-pair prefix the budget slice keeps. Only
+                     # kicks in for (SORT_PAD_MIN, SORT_PAD_TARGET)
+                     # natural sizes so tiny scenes (cube512) never pay a
+                     # bigger sort.
+SORT_PAD_MIN = 32768
+SORT_PAD_TARGET = 131072
 COVER_GATE = _os.environ.get("TRIDENT_COVER_GATE", "0") == "1"
                      # skip a sub-block's reciprocal/reductions/merge when
                      # every edge test missed (bbox hit, no pixel covered).
@@ -765,6 +780,14 @@ def build_bins(setup: TriangleSetup, width: int, height: int,
     # lowers pathologically on TPU (binning 9.8 → 38 ms at 1M) — XLA's
     # sort is the fast path here. (The EXACT_BINS cumsum is over n_chunks
     # — three orders of magnitude shorter — not that pathological shape.)
+    if SORT_PAD and SORT_PAD_MIN < pairs.shape[0] < SORT_PAD_TARGET:
+        # see the SORT_PAD knob note: the sort is shape-quantized and
+        # SORT_PAD_TARGET is a measured-fast size; extra sentinels are
+        # just more empty slots (static shape — pairs.shape[0] is set by
+        # the tier layout, not the scene data)
+        pairs = jnp.concatenate([
+            pairs, jnp.full((SORT_PAD_TARGET - pairs.shape[0],),
+                            n_tiles << shift_t, jnp.int32)])
     pairs = jnp.sort(pairs)
     # real pairs form a sorted prefix; padding slots clamp to
     # (last tile, sentinel chunk 0) and sit beyond the dynamic grid bound
